@@ -1,0 +1,116 @@
+"""Rollup tiers vs a pandas-computed oracle; cascade exactness (SURVEY §5.2.4)."""
+
+import numpy as np
+import pandas as pd
+
+from timeseriestokenizer_spark.functions.signals import derive_signals
+from timeseriestokenizer_spark.operators.rollup import (
+    TIER_SECONDS,
+    rollup_cascade,
+    rollup_tier,
+    with_derived_metrics,
+)
+
+
+def _pandas_signals(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="stable").copy()
+    pdf["latency_s"] = (
+        pdf.groupby("conv_id")["ts"].diff().dt.total_seconds()
+    )
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf["is_tool_call"] = pdf["tool"].notna()
+    return pdf
+
+
+def _pandas_rollup(pdf: pd.DataFrame, seconds: int) -> pd.DataFrame:
+    pdf = pdf.copy()
+    epoch = pdf["ts"].astype("int64") // 10**6
+    pdf["bucket"] = (epoch // seconds) * seconds
+    g = pdf.groupby(["conv_id", "bucket"])
+    out = g.agg(
+        n_turns=("turn_idx", "size"),
+        n_lat=("latency_s", "count"),
+        sum_lat=("latency_s", lambda s: s.sum(min_count=1)),  # all-null → null like SQL
+        min_lat=("latency_s", "min"),
+        max_lat=("latency_s", "max"),
+        sum_chars=("n_chars", "sum"),
+        n_tool_calls=("is_tool_call", "sum"),
+    ).reset_index()
+    return out
+
+
+def test_signals_match_pandas(spark, transcripts, transcripts_pdf):
+    got = (
+        derive_signals(transcripts)
+        .select("conv_id", "turn_idx", "latency_s", "n_chars", "is_tool_call")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp = _pandas_signals(transcripts_pdf)[
+        ["conv_id", "turn_idx", "latency_s", "n_chars", "is_tool_call"]
+    ].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, exp, check_dtype=False, check_exact=False, atol=1e-9
+    )
+
+
+def test_rollup_tiers_match_pandas(spark, transcripts, transcripts_pdf):
+    sig = derive_signals(transcripts)
+    exp_sig = _pandas_signals(transcripts_pdf)
+    for tier in ["1m", "5m", "1h", "1d"]:
+        got = rollup_tier(sig, tier).toPandas()
+        got["bucket"] = (
+            got["bucket_ts"].astype("datetime64[us]").astype("int64") // 10**6
+        )
+        got = (
+            got.drop(columns=["bucket_ts", "sum_tokens"])
+            .sort_values(["conv_id", "bucket"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            _pandas_rollup(exp_sig, TIER_SECONDS[tier])
+            .sort_values(["conv_id", "bucket"])
+            .reset_index(drop=True)
+        )
+        got = got[exp.columns]
+        pd.testing.assert_frame_equal(
+            got, exp, check_dtype=False, check_exact=False, atol=1e-9
+        )
+
+
+def test_cascade_exactly_equals_direct(spark, transcripts):
+    """Coarser tiers derived from finer tiers == computed from raw (exact)."""
+    sig = derive_signals(transcripts).cache()
+    tiers = rollup_cascade(sig)
+    for tier in ["5m", "1h", "1d"]:
+        direct = rollup_tier(sig, tier).toPandas().sort_values(["conv_id", "bucket_ts"]).reset_index(drop=True)
+        cascaded = tiers[tier].toPandas().sort_values(["conv_id", "bucket_ts"]).reset_index(drop=True)
+        cascaded = cascaded[direct.columns]
+        pd.testing.assert_frame_equal(cascaded, direct, check_exact=False, atol=1e-9)
+    sig.unpersist()
+
+
+def test_derived_metrics(spark, transcripts):
+    sig = derive_signals(transcripts)
+    t = with_derived_metrics(rollup_tier(sig, "1d")).toPandas()
+    assert (t["tool_call_rate"].dropna() <= 1).all()
+    mask = t["n_lat"] > 0
+    assert np.allclose(
+        t.loc[mask, "avg_lat"], t.loc[mask, "sum_lat"] / t.loc[mask, "n_lat"]
+    )
+
+
+def test_text_equality_invariant(spark, transcripts, transcripts_pdf):
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering after
+    an engine pass (BASELINE.json input_hint)."""
+    out = (
+        derive_signals(transcripts)
+        .select("conv_id", "turn_idx", "text")
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    exp = transcripts_pdf.sort_values(["conv_id", "turn_idx"])[
+        ["conv_id", "turn_idx", "text"]
+    ].reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)

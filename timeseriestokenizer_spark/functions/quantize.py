@@ -1,0 +1,163 @@
+"""Quantize / dequantize: scaled floats <-> token bins.
+
+Exact reference semantics (utils/discretisize.py:8-32, 246-279) inside
+Arrow-vectorized pandas UDFs with broadcast per-series edges:
+
+* edges   = linspace(min, max, n_bins)            (n_bins EDGES)
+* symbol  = np.digitize(x, edges[1:], right=True) + 1   (in-range → 1..n_bins-1)
+* decode  = bin centers, with the reference's extrapolation rules for s == 0
+            and s >= len(edges), NaN otherwise.
+
+Edge construction is a distributed agg (min/max per series) + tiny driver
+linspace; edges ride a broadcast into the UDFs (north-star J3 pattern — no
+join in the plan, the dimension side is a dict).
+
+A pure-SQL expression twin (`quantize_sql_expr`) exists for oracle
+cross-checks: symbol = 1 + count of edges[1:] strictly below x, which is
+bit-identical to np.digitize(..., right=True) + 1 when the edges are built
+with the same IEEE ops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..oracle import numpy_oracle as O
+
+
+def fit_edges(
+    df: DataFrame, key: str, value_col: str, n_bins: int, kind: str = "equal_width"
+) -> dict[str, np.ndarray]:
+    """Per-series bin edges. equal_width needs only (min, max) — one agg.
+    quantile uses percentile_approx at scale (exact np.quantile on collected
+    values would not distribute); adaptive pulls per-series histograms via
+    the oracle inside applyInPandas (A6 is sequential per series)."""
+    if kind == "equal_width":
+        rows = df.groupBy(key).agg(
+            F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
+        ).collect()
+        return {
+            r[key]: np.linspace(r["lo"], r["hi"], n_bins) for r in rows
+        }
+    if kind == "quantile":
+        probs = list(np.linspace(0.0, 1.0, n_bins + 1))
+        rows = df.groupBy(key).agg(
+            F.percentile_approx(value_col, probs, 100000).alias("qs")
+        ).collect()
+        return {r[key]: np.asarray(r["qs"], dtype=np.float64) for r in rows}
+    if kind == "adaptive":
+        import pyspark.sql.types as T
+
+        out_schema = T.StructType(
+            [
+                T.StructField("series_id", T.StringType()),
+                T.StructField("edges", T.ArrayType(T.DoubleType())),
+            ]
+        )
+
+        def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+            edges, _, _ = O.adaptive_bins_discretize(
+                pdf[value_col].to_numpy(dtype=np.float64), N=n_bins
+            )
+            return pd.DataFrame({"series_id": [pdf[key].iloc[0]], "edges": [list(edges)]})
+
+        rows = df.select(key, value_col).groupBy(key).applyInPandas(_fit, out_schema).collect()
+        return {r["series_id"]: np.asarray(r["edges"], dtype=np.float64) for r in rows}
+    raise ValueError(kind)
+
+
+def make_quantize_udf(spark, edges_by_series: dict[str, np.ndarray]):
+    """(series_key, scaled_value) -> int token via broadcast edges."""
+    bc = spark.sparkContext.broadcast(
+        {k: np.asarray(v, dtype=np.float64) for k, v in edges_by_series.items()}
+    )
+
+    @pandas_udf("int")
+    def _udf(keys: pd.Series, values: pd.Series) -> pd.Series:
+        reg = bc.value
+        out = np.empty(len(values), dtype=np.int64)
+        vals = values.to_numpy(dtype=np.float64)
+        karr = keys.to_numpy()
+        # group by key within the batch so digitize runs vectorized per series
+        order = np.argsort(karr, kind="stable")
+        i = 0
+        while i < len(order):
+            j = i
+            k = karr[order[i]]
+            while j < len(order) and karr[order[j]] == k:
+                j += 1
+            idx = order[i:j]
+            if k not in reg:
+                raise KeyError(
+                    f"series {k!r} has no fitted edges — call fit_edges on a "
+                    "frame containing every series before quantizing"
+                )
+            out[idx] = O.digitize_tokens(vals[idx], reg[k])
+            i = j
+        return pd.Series(out.astype(np.int32))
+
+    return _udf
+
+
+def make_dequantize_udf(spark, edges_by_series: dict[str, np.ndarray]):
+    """(series_key, token) -> bin-center float with reference extrapolation.
+
+    Length-preserving variant: special tokens are the caller's concern (the
+    engine keeps them as flags, never spliced into value sequences)."""
+    bc = spark.sparkContext.broadcast(
+        {k: np.asarray(v, dtype=np.float64) for k, v in edges_by_series.items()}
+    )
+
+    @pandas_udf("double")
+    def _udf(keys: pd.Series, tokens: pd.Series) -> pd.Series:
+        reg = bc.value
+        toks = tokens.to_numpy(dtype=np.int64)
+        karr = keys.to_numpy()
+        out = np.full(len(toks), np.nan, dtype=np.float64)
+        order = np.argsort(karr, kind="stable")
+        i = 0
+        while i < len(order):
+            j = i
+            k = karr[order[i]]
+            while j < len(order) and karr[order[j]] == k:
+                j += 1
+            idx = order[i:j]
+            if k not in reg:
+                raise KeyError(
+                    f"series {k!r} has no fitted edges — call fit_edges on a "
+                    "frame containing every series before dequantizing"
+                )
+            edges = reg[k]
+            centers = 0.5 * (edges[:-1] + edges[1:])
+            t = toks[idx]
+            vals = np.full(len(t), np.nan, dtype=np.float64)
+            in_range = (t >= 1) & (t <= len(centers))
+            vals[in_range] = centers[t[in_range] - 1]
+            vals[t == 0] = edges[0] - (edges[1] - edges[0]) / 2
+            vals[t >= len(edges)] = edges[-1] + (edges[-1] - edges[-2]) / 2
+            out[idx] = vals
+            i = j
+        return pd.Series(out)
+
+    return _udf
+
+
+def quantize_sql_expr(value_col: str, lo_col: str, hi_col: str, n_bins: int):
+    """Catalyst-only quantize twin: 1 + #{k in 1..n_bins-1 : edge_k < x}
+    where edge_k = lo + k*((hi-lo)/(n_bins-1)), edge_{n-1} = hi exactly
+    (np.linspace pins the last edge to the stop value)."""
+    n1 = n_bins - 1
+    return F.expr(
+        f"""
+        1 + aggregate(
+              transform(sequence(1, {n1}),
+                        k -> CASE WHEN k = {n1} THEN {hi_col}
+                                  ELSE {lo_col} + k * (({hi_col} - {lo_col}) / {n1}) END),
+              0,
+              (acc, e) -> acc + CASE WHEN e < {value_col} THEN 1 ELSE 0 END)
+        """
+    )

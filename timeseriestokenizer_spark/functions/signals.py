@@ -1,0 +1,35 @@
+"""Per-turn signal derivation over the transcripts table.
+
+The reference treats each CSV column as an independent series
+(transform_files_into_tokens.py:160-166); here each conversation's turn
+stream is the series (BASELINE.json north_star) and the per-turn signals are:
+
+* latency_s   — ts - lag(ts) over (conv_id order by turn_idx)  [SURVEY W1/W4]
+* n_chars     — length(text)
+* n_tokens    — whitespace token count (see functions/textstats.py for the
+                BPE-ish regex variant)
+* is_tool_call — tool IS NOT NULL
+
+All JVM-side expressions — no Python in this hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def derive_signals(transcripts: DataFrame) -> DataFrame:
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        transcripts.withColumn(
+            "latency_s",
+            (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            ).cast("double")
+            / 1e6,
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .withColumn("n_tokens", F.size(F.split(F.trim("text"), r"\s+")).cast("long"))
+        .withColumn("is_tool_call", F.col("tool").isNotNull())
+    )

@@ -1,0 +1,117 @@
+"""Calendar gap-fill, <PAD> marking, LOCF, and periodic <EBOS> boundary flags.
+
+Spark-first re-expression of mark_special_tokens
+(/root/reference/utils/discretisize.py:282-319):
+
+* dedup (keep-first needs an explicit order — we key on (conv_id, turn order))
+* dense calendar spine  — sequence(min_ts, max_ts, interval) + explode
+  (no driver-side date_range; the spine is built per series, distributed)
+* missing slots flagged is_pad (reference fills value cells with '<PAD>')
+* LOCF — last(value, ignorenulls=True) over rowsBetween(unboundedPreceding, 0)
+* <EBOS> every k hours anchored at the first midnight **present in the
+  spine**, overwriting pads (reference overwrites row values)
+
+At scale the spine explode is bounded per series by the tier frequency; the
+left join is on (series, slot_ts) — co-partitioned with the rollup output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def calendar_spine(
+    df: DataFrame, key: str, ts_col: str, freq_seconds: int
+) -> DataFrame:
+    """Per-key dense spine: one row per freq-aligned slot in [min, max]."""
+    return (
+        df.groupBy(key)
+        .agg(F.min(ts_col).alias("_min_ts"), F.max(ts_col).alias("_max_ts"))
+        .select(
+            key,
+            F.explode(
+                F.sequence(
+                    "_min_ts", "_max_ts", F.expr(f"interval {freq_seconds} seconds")
+                )
+            ).alias("slot_ts"),
+        )
+    )
+
+
+def gap_fill(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_cols: list[str],
+    freq_seconds: int,
+    locf: bool = True,
+) -> DataFrame:
+    """Left-join a dense spine onto per-key observations.
+
+    Output: (key, slot_ts, <value_cols>, is_pad) — value columns null on pad
+    slots unless ``locf`` carries the last observation forward.
+    Assumes df's ts values are freq-aligned (i.e. already rolled up to the
+    tier whose gaps are being exposed); dedups multiple rows per slot
+    keep-first by ts order (utils/discretisize.py:290).
+    """
+    dedup_w = W.partitionBy(key, ts_col).orderBy(*value_cols)
+    obs = (
+        df.withColumn("_rn", F.row_number().over(dedup_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumnRenamed(ts_col, "slot_ts")
+    )
+    spine = calendar_spine(df.select(key, ts_col), key, ts_col, freq_seconds)
+    joined = spine.join(obs, [key, "slot_ts"], "left").withColumn(
+        "is_pad", F.col(value_cols[0]).isNull()
+    )
+    if locf:
+        w = (
+            W.partitionBy(key)
+            .orderBy("slot_ts")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        for c in value_cols:
+            joined = joined.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return joined
+
+
+def mark_ebos(
+    filled: DataFrame, key: str, hour_toks: int, slot_col: str = "slot_ts"
+) -> DataFrame:
+    """Flag every ``hour_toks`` hours from each key's first midnight slot
+    (inclusive); is_pad is cleared where is_ebos overwrites it
+    (utils/discretisize.py:303-318)."""
+    w = W.partitionBy(key)
+    slot_sec = F.unix_timestamp(slot_col)
+    is_midnight = (F.hour(slot_col) == 0) & (F.minute(slot_col) == 0)
+    anchored = filled.withColumn(
+        "_anchor",
+        F.min(F.when(is_midnight, slot_sec)).over(w),
+    )
+    elapsed_h = F.floor((slot_sec - F.col("_anchor")) / 3600)
+    out = anchored.withColumn(
+        "is_ebos",
+        F.col("_anchor").isNotNull()
+        & (slot_sec >= F.col("_anchor"))
+        & (elapsed_h % hour_toks == 0),
+    ).drop("_anchor")
+    return out.withColumn("is_pad", F.col("is_pad") & ~F.col("is_ebos"))
+
+
+def gap_fill_with_markers(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_cols: list[str],
+    freq_seconds: int,
+    hour_toks: int = 24,
+    locf: bool = True,
+) -> DataFrame:
+    """Full F4 composition: spine → <PAD> → LOCF → <EBOS>."""
+    return mark_ebos(
+        gap_fill(df, key, ts_col, value_cols, freq_seconds, locf=locf),
+        key,
+        hour_toks,
+    )

@@ -1,0 +1,202 @@
+"""TPE (token-pair / BPE) compression as grouped-map Spark operators.
+
+The reference trains one TokenBasedTokenizer per (dataset, column)
+(utils/token_based.py:48-157) — sequential per vocabulary but independent
+across series. Spark shape (SURVEY.md §2.9):
+
+* tpe_train   — groupBy(series).applyInPandas; each group's turn stream is
+  sorted locally by the ordinal, trained with the oracle's reference-exact
+  greedy loop (dict-order tie-breaks), and emitted as one row per series:
+  ``bpe_models(series_id, actual_vocab_size, merges array<struct>, in_len, out_len)``.
+  Train parallelism = #series; a group never leaves one task.
+* tpe_encode / tpe_decode — grouped-map with the (small) models table
+  broadcast as {series: merges} — the J3 broadcast-artifact-join pattern;
+  decode uses a driver-precomputed id -> base-expansion map for O(1) lookup.
+* train_universal — reference's universal-vocab mode
+  (process_chronos_dataset.py:330-353): sample to the driver (the reference
+  itself caps at 100k rows), train ONE model in canonical (series, pos)
+  order, broadcast everywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..oracle.numpy_oracle import TpeModel
+
+MODEL_SCHEMA = T.StructType(
+    [
+        T.StructField("series_id", T.StringType()),
+        T.StructField("actual_vocab_size", T.IntegerType()),
+        T.StructField(
+            "merges",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("left", T.IntegerType()),
+                        T.StructField("right", T.IntegerType()),
+                        T.StructField("id", T.IntegerType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("in_len", T.LongType()),
+        T.StructField("out_len", T.LongType()),
+    ]
+)
+
+TOKENS_SCHEMA = T.StructType(
+    [
+        T.StructField("series_id", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tokens", T.LongType()),
+    ]
+)
+
+
+def tpe_train(
+    df: DataFrame,
+    key: str,
+    token_col: str,
+    order_col: str,
+    target_vocab_size: int,
+    actual_vocab_size: int,
+) -> DataFrame:
+    """Train one TPE model per series, in parallel across series."""
+
+    def _train(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="stable")
+        toks = pdf[token_col].to_numpy(dtype=np.int64).tolist()
+        model = TpeModel(actual_vocab_size)
+        out = model.train(toks, target_vocab_size)
+        merges = [
+            {"left": int(l), "right": int(r), "id": int(i)}
+            for (l, r), i in model.merges.items()
+        ]
+        return pd.DataFrame(
+            {
+                "series_id": [pdf[key].iloc[0]],
+                "actual_vocab_size": [model.actual_vocab_size],
+                "merges": [merges],
+                "in_len": [len(toks)],
+                "out_len": [len(out)],
+            }
+        )
+
+    return (
+        df.select(key, order_col, token_col)
+        .groupBy(key)
+        .applyInPandas(_train, MODEL_SCHEMA)
+    )
+
+
+def models_to_registry(models: DataFrame) -> dict[str, TpeModel]:
+    """Collect the models table to {series: TpeModel} (broadcast side)."""
+    reg: dict[str, TpeModel] = {}
+    for r in models.collect():
+        merges = {(m["left"], m["right"]): m["id"] for m in r["merges"]}
+        reg[r["series_id"]] = TpeModel(r["actual_vocab_size"], merges)
+    return reg
+
+
+def _grouped_apply(df, key, token_col, order_col, fn, registry_bc, default_model):
+    def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="stable")
+        sid = pdf[key].iloc[0]
+        model = registry_bc.value.get(sid, default_model) if registry_bc else default_model
+        toks = pdf[token_col].to_numpy(dtype=np.int64).tolist()
+        out = fn(model, toks)
+        return pd.DataFrame(
+            {"series_id": [sid], "tokens": [[int(t) for t in out]], "n_tokens": [len(out)]}
+        )
+
+    return (
+        df.select(key, order_col, token_col)
+        .groupBy(key)
+        .applyInPandas(_apply, TOKENS_SCHEMA)
+    )
+
+
+def tpe_encode(
+    spark,
+    df: DataFrame,
+    key: str,
+    token_col: str,
+    order_col: str,
+    registry: dict[str, TpeModel] | None = None,
+    model: TpeModel | None = None,
+) -> DataFrame:
+    """Encode each series' token stream with its (or the universal) model."""
+    bc = spark.sparkContext.broadcast(registry) if registry is not None else None
+    return _grouped_apply(
+        df, key, token_col, order_col, lambda m, t: m.encode(t), bc, model
+    )
+
+
+def tpe_decode(
+    spark,
+    encoded: DataFrame,
+    registry: dict[str, TpeModel] | None = None,
+    model: TpeModel | None = None,
+) -> DataFrame:
+    """Decode (series_id, tokens array) rows back to base tokens via the
+    precomputed expansion maps — vectorizable O(1) per token."""
+    exp_reg = {
+        k: (m.actual_vocab_size, m.expansion_map()) for k, m in (registry or {}).items()
+    }
+    default = (model.actual_vocab_size, model.expansion_map()) if model else None
+    bc = encoded.sparkSession.sparkContext.broadcast((exp_reg, default))
+
+    def _decode(pdf: pd.DataFrame) -> pd.DataFrame:
+        reg, dflt = bc.value
+        rows = []
+        for _, r in pdf.iterrows():
+            sid = r["series_id"]
+            avs, exp = reg.get(sid, dflt)
+            out: list[int] = []
+            for t in r["tokens"]:
+                t = int(t)
+                if t > avs and t in exp:
+                    out.extend(exp[t])
+                else:
+                    out.append(t)
+            rows.append({"series_id": sid, "tokens": out, "n_tokens": len(out)})
+        return pd.DataFrame(rows, columns=["series_id", "tokens", "n_tokens"])
+
+    return encoded.groupBy("series_id").applyInPandas(
+        lambda pdf: _decode(pdf), TOKENS_SCHEMA
+    )
+
+
+def train_universal(
+    df: DataFrame,
+    key: str,
+    token_col: str,
+    order_col: str,
+    target_vocab_size: int,
+    actual_vocab_size: int,
+    max_rows: int = 100_000,
+) -> TpeModel:
+    """One global merge order: deterministic driver-side training over a
+    canonically sorted, size-capped sample (reference samples 100k rows,
+    process_chronos_dataset.py:17-18,168-218)."""
+    pdf = (
+        df.select(key, order_col, token_col)
+        .orderBy(key, order_col)
+        .limit(max_rows)
+        .toPandas()
+    )
+    model = TpeModel(actual_vocab_size)
+    model.train(pdf[token_col].to_numpy(dtype=np.int64).tolist(), target_vocab_size)
+    return model
+
+
+def tokens_to_rows(tokens_df: DataFrame) -> DataFrame:
+    """(series_id, tokens array) -> exploded (series_id, pos, token)."""
+    return tokens_df.select(
+        "series_id", F.posexplode("tokens").alias("pos", "token")
+    )

@@ -1,0 +1,414 @@
+"""Vendored pure-NumPy oracle mirroring the reference's exact semantics.
+
+This module is the single source of truth the Spark engine is tested against.
+It re-implements (from scratch, same observable behavior) the math of:
+
+* equal-width discretization       — /root/reference/utils/discretisize.py:8-32
+* quantile discretization (intended semantics; the reference's version at
+  utils/discretisize.py:35-59 passes the data *range* as quantile levels,
+  which is out of [0,1] and never called by any pipeline — we implement the
+  intent: quantile levels linspace(0, 1, n_bins))
+* adaptive-bin discretization      — utils/discretisize.py:61-179
+* bin-center decode                — utils/discretisize.py:246-279
+* .fvocab 5-decimal quantization   — utils/discretisize.py:182-187
+* StandardScaler fit/inverse       — sklearn semantics (ddof=0, zero-std -> 1)
+  as used at transform_files_into_tokens.py:173-183
+* calendar gap-fill + <PAD>/<EBOS> — utils/discretisize.py:282-319
+* TPE/BPE train/encode/decode      — utils/base.py:13-41, utils/token_based.py:48-302
+* ceiling-to-int                   — process_all_results.py:258-270
+* error metrics                    — process_all_results.py:273-319
+
+Determinism notes (SURVEY.md §4.3): pair-count tie-breaks follow Python dict
+insertion order (= first occurrence in the sequence); merged token ids mint at
+``actual_vocab_size + i + 1``; np.digitize uses ``right=True`` then ``+1``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Discretization (quantize / dequantize)
+# ---------------------------------------------------------------------------
+
+
+def equal_width_edges(data: np.ndarray, n_bins: int) -> np.ndarray:
+    """n_bins *edges* (so n_bins-1 intervals), linspace over the data extent.
+
+    Mirrors utils/discretisize.py:24.
+    """
+    data = np.asarray(data, dtype=np.float64)
+    return np.linspace(data.min(), data.max(), n_bins)
+
+
+def effective_n_bins(N: int, special_tokens: dict | None) -> int:
+    """N minus the number of special tokens (utils/discretisize.py:18-20)."""
+    if special_tokens:
+        return N - len(special_tokens)
+    return N
+
+
+def digitize_tokens(data: np.ndarray, edges: np.ndarray) -> np.ndarray:
+    """symbols = np.digitize(data, edges[1:], right=True) + 1
+    (utils/discretisize.py:26). In-range values land in 1..len(edges)-1."""
+    data = np.asarray(data, dtype=np.float64)
+    return np.digitize(data, edges[1:], right=True) + 1
+
+
+def simple_discretize(data, N=10):
+    """Equal-width quantization; returns (symbols, edges).
+
+    Mirrors utils/discretisize.py:8-32 without the special-token insertion
+    branch (the engine keeps special tokens as separate rows/flags instead of
+    splicing them into the value sequence; see SURVEY.md §1.3).
+    """
+    edges = equal_width_edges(data, N)
+    return digitize_tokens(data, edges), edges
+
+
+def quantile_edges(data: np.ndarray, n_bins: int) -> np.ndarray:
+    """Intended quantile binning: n_bins+1 edges at levels linspace(0,1).
+
+    The reference's quantile_discretize (utils/discretisize.py:51) passes
+    linspace(min, max, n+1) as the quantile *levels* — a bug (levels must be
+    in [0,1]) in dead code; we implement the intent (SURVEY.md §7.3.5)."""
+    data = np.asarray(data, dtype=np.float64)
+    return np.quantile(data, np.linspace(0.0, 1.0, n_bins + 1))
+
+
+def adaptive_bins_discretize(x, N=10, K=3):
+    """Adaptive (density-proportional) binning; returns (edges, symbols, alloc).
+
+    Same algorithm as utils/discretisize.py:61-179: K equal-width
+    pre-divisions, histogram counts, proportional floor allocation with the
+    remainder going to the largest fractional parts (never to empty
+    pre-bins), inner equal-width edges per pre-division, then midpoint-split /
+    smallest-local-gap-merge repair until exactly ``n_bins`` edges, and
+    symbols = digitize(x, edges, right=True) + 1.
+    """
+    n_bins = N
+    x = np.asarray(x, dtype=np.float64).ravel()
+    xmin, xmax = x.min(), x.max()
+
+    coarse_edges = np.linspace(xmin, xmax, K + 1)
+    counts, _ = np.histogram(x, bins=coarse_edges)
+    total = counts.sum()
+    if total == 0:
+        edges = np.linspace(xmin, xmax, n_bins + 1)[1:-1]
+        return edges, np.ones_like(x, int), np.zeros(K, int)
+
+    desired = counts / total * n_bins
+    epsilon = 1e-10
+    base = np.floor(desired).astype(int)
+    base[(desired > epsilon) & (base == 0)] = 1
+    rem = n_bins - base.sum()
+    frac = desired - base
+    order = np.argsort(-frac)
+    for idx in order:
+        if rem == 0:
+            break
+        if counts[idx] > 0:
+            base[idx] += 1
+            rem -= 1
+    alloc = base
+
+    edges: list[float] = []
+    for k in range(K):
+        m_k = alloc[k]
+        if m_k <= 1:
+            continue
+        a, b = coarse_edges[k], coarse_edges[k + 1]
+        inner = np.linspace(a, b, m_k + 1)[1:-1]
+        edges.extend(inner.tolist())
+    for k in range(1, K):
+        if alloc[k - 1] > 0 and alloc[k] > 0:
+            edges.append(coarse_edges[k - 1])
+    if len(edges) < n_bins:
+        edges.append(coarse_edges[K])
+
+    edges = np.array(sorted(edges))
+    target = n_bins
+
+    def _aug_and_diffs(ed):
+        aug = np.concatenate(([xmin], ed, [xmax]))
+        return aug, np.diff(aug)
+
+    safety = 10_000
+    while edges.size < target and safety > 0:
+        safety -= 1
+        aug, diffs = _aug_and_diffs(edges)
+        i = int(np.argmax(diffs))
+        a, b = aug[i], aug[i + 1]
+        mid = 0.5 * (a + b)
+        if not np.isfinite(mid) or mid <= a or mid >= b:
+            break
+        edges = np.sort(np.append(edges, mid))
+
+    safety = 10_000
+    while edges.size > target and safety > 0 and edges.size > 0:
+        safety -= 1
+        lefts = np.concatenate(([xmin], edges[:-1]))
+        rights = np.concatenate((edges[1:], [xmax]))
+        local_min_gap = np.minimum(edges - lefts, rights - edges)
+        j = int(np.argmin(local_min_gap))
+        edges = np.delete(edges, j)
+
+    edges = np.clip(np.unique(np.sort(edges)), xmin, xmax)
+    symbols = np.digitize(x, edges, right=True) + 1
+    return edges, symbols, alloc
+
+
+def bin_centers(edges: np.ndarray) -> np.ndarray:
+    """0.5 * (edges[:-1] + edges[1:]) (utils/discretisize.py:263)."""
+    edges = np.asarray(edges, dtype=np.float64)
+    return 0.5 * (edges[:-1] + edges[1:])
+
+
+def decode_tokens(
+    symbols, edges: np.ndarray, special_token_ids: set[int] | None = None
+) -> list[float]:
+    """Token id -> float via bin centers, reference extrapolation rules.
+
+    Mirrors decode_with_float_vocab (utils/discretisize.py:246-279) with the
+    edges passed directly (the .fvocab file holds exactly these edges and
+    n_edges = len(edges) + 1, utils/discretisize.py:182-187):
+
+    * special token ids are *skipped* (output shortens)
+    * 1 <= s <= len(centers): centers[s-1]
+    * s == 0: edges[0] - (edges[1] - edges[0]) / 2
+    * s >= len(edges): edges[-1] + (edges[-1] - edges[-2]) / 2
+    * otherwise (negative s): NaN
+    """
+    edges = np.asarray(edges, dtype=np.float64)
+    n_edges = len(edges) + 1
+    centers = bin_centers(edges)
+    st = special_token_ids or set()
+    out: list[float] = []
+    for s in symbols:
+        if s in st:
+            continue
+        if 1 <= s <= len(centers):
+            out.append(float(centers[s - 1]))
+        elif s == 0:
+            out.append(float(edges[0] - (edges[1] - edges[0]) / 2))
+        elif s >= (n_edges - 1):
+            out.append(float(edges[-1] + (edges[-1] - edges[-2]) / 2))
+        else:
+            out.append(float("nan"))
+    return out
+
+
+def fvocab_quantize(edges: np.ndarray) -> np.ndarray:
+    """Round-trip edges through the .fvocab 5-decimal text format
+    (utils/discretisize.py:187 writes ``f"{x:.5f}"``)."""
+    return np.array([float(f"{x:.5f}") for x in np.asarray(edges)], dtype=np.float64)
+
+
+def chronos_rebin(x: np.ndarray, edges: np.ndarray) -> np.ndarray:
+    """The *other* binning convention (transform_with_chronos_vocab.py:188-194):
+    np.digitize(x, edges[1:-1]) (right=False, no +1) clipped to [0, N-1]."""
+    x = np.asarray(x, dtype=np.float64)
+    sym = np.digitize(x, edges[1:-1])
+    return np.clip(sym, 0, len(edges) - 1)
+
+
+# ---------------------------------------------------------------------------
+# Scaling (StandardScaler semantics)
+# ---------------------------------------------------------------------------
+
+
+def fit_scaler(x) -> tuple[float, float]:
+    """(mean, std) with population std (ddof=0); zero/near-zero std -> 1.0,
+    matching sklearn's _handle_zeros_in_scale as exercised at
+    transform_files_into_tokens.py:173-183."""
+    x = np.asarray(x, dtype=np.float64)
+    mean = float(x.mean())
+    std = float(x.std(ddof=0))
+    if std == 0.0:
+        std = 1.0
+    return mean, std
+
+
+def scale(x, mean: float, std: float) -> np.ndarray:
+    return (np.asarray(x, dtype=np.float64) - mean) / std
+
+
+def inverse_scale(z, mean: float, std: float) -> np.ndarray:
+    return np.asarray(z, dtype=np.float64) * std + mean
+
+
+# ---------------------------------------------------------------------------
+# Calendar gap-fill + special-token marking
+# ---------------------------------------------------------------------------
+
+PAD = "<PAD>"
+EBOS = "<EBOS>"
+
+
+def mark_special_tokens_spine(
+    ts_seconds: np.ndarray, freq_seconds: int, hour_toks: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Oracle twin of mark_special_tokens (utils/discretisize.py:282-319) on
+    epoch-second timestamps.
+
+    Returns (spine_seconds, is_pad, is_ebos):
+    * spine = dense range(min, max, freq) inclusive (pd.date_range semantics)
+    * is_pad marks spine slots absent from the (deduplicated) input
+    * is_ebos marks every ``hour_toks`` hours from the first midnight
+      (inclusive), *overwriting* pads (reference overwrites row values)
+    """
+    ts = np.unique(np.asarray(ts_seconds, dtype=np.int64))
+    spine = np.arange(ts.min(), ts.max() + 1, freq_seconds, dtype=np.int64)
+    present = np.isin(spine, ts)
+    is_pad = ~present
+
+    midnight = spine % 86400 == 0
+    if not midnight.any():
+        return spine, is_pad, np.zeros_like(is_pad)
+    first_midnight = spine[midnight][0]
+    elapsed_hours = (spine - first_midnight) // 3600
+    is_ebos = (spine >= first_midnight) & (elapsed_hours % hour_toks == 0)
+    is_pad = is_pad & ~is_ebos
+    return spine, is_pad, is_ebos
+
+
+# ---------------------------------------------------------------------------
+# TPE / BPE (token-pair encoding)
+# ---------------------------------------------------------------------------
+
+
+def get_stats(ids: list[int]) -> dict[tuple[int, int], int]:
+    """Consecutive-pair counts, insertion-ordered (utils/base.py:13-22)."""
+    counts: dict[tuple[int, int], int] = {}
+    for pair in zip(ids, ids[1:]):
+        counts[pair] = counts.get(pair, 0) + 1
+    return counts
+
+
+def merge_pair(ids: list[int], pair: tuple[int, int], idx: int) -> list[int]:
+    """Left-to-right non-overlapping replacement (utils/base.py:25-41)."""
+    out: list[int] = []
+    i = 0
+    n = len(ids)
+    while i < n:
+        if ids[i] == pair[0] and i < n - 1 and ids[i + 1] == pair[1]:
+            out.append(idx)
+            i += 2
+        else:
+            out.append(ids[i])
+            i += 1
+    return out
+
+
+class TpeModel:
+    """Greedy token-pair-encoding model with reference-exact determinism.
+
+    Train/encode/decode mirror TokenBasedTokenizer
+    (utils/token_based.py:48-302): tie-breaks follow dict insertion order
+    (first-seen pair wins ``max``; first minimal-rank pair wins ``min``),
+    merged ids mint at ``actual_vocab_size + i + 1``, and decode recursively
+    expands merged ids back to base tokens.
+    """
+
+    def __init__(self, actual_vocab_size: int, merges: dict[tuple[int, int], int] | None = None):
+        self.actual_vocab_size = int(actual_vocab_size)
+        self.merges: dict[tuple[int, int], int] = dict(merges) if merges else {}
+
+    # -- training ----------------------------------------------------------
+    def train(self, token_sequence, target_vocab_size: int) -> list[int]:
+        ids = [int(t) for t in token_sequence]
+        if ids:
+            max_token = max(ids)
+            if max_token > self.actual_vocab_size:
+                # reference auto-bumps (utils/token_based.py:90-95)
+                self.actual_vocab_size = max_token
+        assert target_vocab_size >= self.actual_vocab_size
+        num_merges = target_vocab_size - self.actual_vocab_size
+        merges: dict[tuple[int, int], int] = {}
+        for i in range(num_merges):
+            stats = get_stats(ids)
+            if not stats:
+                break
+            pair = max(stats, key=stats.get)  # dict-order tie-break
+            idx = self.actual_vocab_size + i + 1
+            ids = merge_pair(ids, pair, idx)
+            merges[pair] = idx
+        self.merges = merges
+        return ids
+
+    # -- encode / decode ----------------------------------------------------
+    def encode(self, token_sequence) -> list[int]:
+        ids = [int(t) for t in token_sequence]
+        while len(ids) >= 2:
+            stats = get_stats(ids)
+            pair = min(stats, key=lambda p: self.merges.get(p, math.inf))
+            if pair not in self.merges:
+                break
+            ids = merge_pair(ids, pair, self.merges[pair])
+        return ids
+
+    def expansion_map(self) -> dict[int, list[int]]:
+        """Precomputed id -> base-token expansion for O(1) decode (the Spark
+        engine broadcasts this; SURVEY.md §2.9 B4)."""
+        exp: dict[int, list[int]] = {}
+        # merges insert in rank order, so children always resolve first
+        for (left, right), idx in self.merges.items():
+            l = exp.get(left, [left] if left <= self.actual_vocab_size else None)
+            r = exp.get(right, [right] if right <= self.actual_vocab_size else None)
+            if l is None:
+                l = [left]
+            if r is None:
+                r = [right]
+            exp[idx] = l + r
+        return exp
+
+    def decode(self, ids) -> list[int]:
+        exp = self.expansion_map()
+        out: list[int] = []
+        for i in ids:
+            i = int(i)
+            if i > self.actual_vocab_size and i in exp:
+                out.extend(exp[i])
+            else:
+                out.append(i)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Ceiling + metrics (process_all_results.py)
+# ---------------------------------------------------------------------------
+
+
+def apply_ceiling(tokens: np.ndarray) -> np.ndarray:
+    """np.ceil on float-valued predicted tokens; NaN stays NaN here (the
+    caller maps NaN -> 0 placeholder, process_all_results.py:258-270)."""
+    return np.ceil(np.asarray(tokens, dtype=np.float64))
+
+
+def calculate_metrics(trues, preds, ignore_nan: bool = True) -> dict[str, float]:
+    """MSE/RMSE/MAE/MAPE/MSPE/R2 with NaN-pair masking and zero-denominator
+    guard (process_all_results.py:273-319)."""
+    trues = np.asarray(trues, dtype=np.float64)
+    preds = np.asarray(preds, dtype=np.float64)
+    if ignore_nan:
+        mask = ~(np.isnan(trues) | np.isnan(preds))
+        trues, preds = trues[mask], preds[mask]
+    if len(trues) == 0:
+        nan = float("nan")
+        return {"MSE": nan, "RMSE": nan, "MAE": nan, "MAPE": nan, "MSPE": nan,
+                "R2": nan, "valid_samples": 0}
+    err = trues - preds
+    mse = float(np.mean(err ** 2))
+    denom = np.where(trues != 0, trues, 1.0)
+    ss_tot = float(np.sum((trues - trues.mean()) ** 2))
+    return {
+        "MSE": mse,
+        "RMSE": float(np.sqrt(mse)),
+        "MAE": float(np.mean(np.abs(err))),
+        "MAPE": float(np.mean(np.abs(err / denom))) * 100,
+        "MSPE": float(np.mean((err / denom) ** 2)) * 100,
+        "R2": 1 - float(np.sum(err ** 2)) / ss_tot if ss_tot != 0 else float("nan"),
+        "valid_samples": int(len(trues)),
+    }
