@@ -1,0 +1,104 @@
+"""Gorilla pack/unpack exactness + compression sanity (SURVEY §5.2.2)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from timeseriestokenizer_spark.operators.gorilla import (
+    gorilla_pack,
+    gorilla_unpack,
+    pack_series,
+    unpack_series,
+)
+
+
+def _roundtrip(ts, vals):
+    blob = pack_series(np.asarray(ts, np.int64), np.asarray(vals, np.float64))
+    ts2, v2 = unpack_series(blob)
+    assert np.array_equal(ts2, np.asarray(ts, np.int64))
+    assert np.array_equal(
+        v2.view(np.uint64), np.asarray(vals, np.float64).view(np.uint64)
+    )  # bit-exact incl. NaN
+    return blob
+
+
+def test_roundtrip_regular_cadence():
+    ts = np.arange(0, 60_000_000 * 100, 60_000_000)  # every minute, µs
+    vals = np.sin(np.arange(100) / 5.0) * 100
+    blob = _roundtrip(ts, vals)
+    assert len(blob) < len(ts) * 16  # compresses
+
+
+def test_roundtrip_constant_values_high_ratio():
+    ts = np.arange(0, 1_000_000 * 500, 1_000_000)
+    vals = np.full(500, 42.5)
+    blob = _roundtrip(ts, vals)
+    # constant value + constant cadence → ~2 bits/point after header
+    assert len(blob) < 200
+
+
+def test_roundtrip_adversarial():
+    rng = np.random.RandomState(0)
+    ts = np.cumsum(rng.randint(1, 10**7, 300)).astype(np.int64)
+    vals = rng.standard_normal(300) * 1e12
+    _roundtrip(ts, vals)
+
+
+def test_roundtrip_specials():
+    ts = np.array([0, 1, 2, 3, 4], dtype=np.int64)
+    vals = np.array([np.nan, np.inf, -np.inf, 0.0, -0.0])
+    _roundtrip(ts, vals)
+
+
+def test_roundtrip_empty_and_single():
+    _roundtrip(np.array([], np.int64), np.array([], np.float64))
+    _roundtrip(np.array([123456789], np.int64), np.array([3.14]))
+
+
+def test_roundtrip_negative_and_huge_dod():
+    ts = np.array([10**17, 10**17 + 1, 10**17 + 10**12, 10**17 + 10**12 + 5], np.int64)
+    vals = np.array([1.0, 2.0, 3.0, 4.0])
+    _roundtrip(ts, vals)
+
+
+def test_spark_pack_unpack(spark):
+    rng = np.random.RandomState(1)
+    pdf = pd.DataFrame(
+        {
+            "series_id": np.repeat(["a", "b"], 200),
+            "ts": pd.to_datetime(
+                np.concatenate([np.cumsum(rng.randint(1, 1000, 200))] * 2) * 1000,
+                unit="us",
+            ),
+            # integer-valued floats → long trailing-zero runs → XOR compresses
+            "value": np.floor(np.sin(np.arange(400) / 7.0) * 50),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    packed = gorilla_pack(df, "series_id", "ts", "value").cache()
+    stats = {r["series_id"]: r for r in packed.collect()}
+    assert stats["a"]["n_points"] == 200
+    assert stats["a"]["packed_bytes"] < stats["a"]["raw_bytes"]
+    out = gorilla_unpack(packed).toPandas().sort_values(["series_id", "ts"])
+    exp = pdf.sort_values(["series_id", "ts"])
+    assert np.array_equal(
+        out["ts"].astype("datetime64[us]").to_numpy(),
+        exp["ts"].astype("datetime64[us]").to_numpy(),
+    )
+    assert np.array_equal(out["value"].to_numpy(), exp["value"].to_numpy())
+    packed.unpersist()
+
+
+@pytest.mark.parametrize("seed", [2, 3, 4])
+def test_roundtrip_property_random(seed):
+    rng = np.random.RandomState(seed)
+    n = rng.randint(2, 400)
+    ts = np.cumsum(rng.randint(0, 2**40, n)).astype(np.int64)
+    kinds = rng.randint(0, 3)
+    if kinds == 0:
+        vals = rng.standard_normal(n)
+    elif kinds == 1:
+        vals = np.round(rng.standard_normal(n), 1)  # repeating low-entropy
+    else:
+        vals = rng.choice([0.0, 1.5, np.nan], n)
+    _roundtrip(ts, vals)
