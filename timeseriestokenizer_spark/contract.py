@@ -1,0 +1,798 @@
+"""Driver-contract queries: every operator family from SURVEY.md §2 expressed
+over the driver-provided testdata tables, each paired with an ANSI-SQL oracle
+(DuckDB) in __spark_entry__.oracle_sql().
+
+Conventions (driver hash-compares by column name, order-insensitive):
+* every computed column is aliased identically in Spark and SQL
+* float aggregates are rounded explicitly on BOTH sides — r6 for small
+  magnitudes, r2 for money-scale sums — so engine summation-order ulps can't
+  flip the hash
+* counts cast to long/BIGINT on both sides
+
+The `events` table plays the transcript-series role here (user_id = series
+key, ts = turn time, value = signal); the engine's own transcript fixtures are
+exercised in tests/.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _r(col, n=6):
+    return F.round(col, n)
+
+
+# ---------------------------------------------------------------------------
+# Tier rollups over events (engine operators rollup.py on the events shape)
+# ---------------------------------------------------------------------------
+
+
+def _event_signals(spark, sf_dir):
+    """events as a per-user series with the engine's signal shape."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumnRenamed("user_id", "conv_id")
+        .withColumn("latency_s", F.lit(None).cast("double"))
+        .withColumn("n_chars", F.lit(0).cast("long"))
+        .withColumn("n_tokens", F.lit(0).cast("long"))
+        .withColumn("is_tool_call", F.lit(False))
+    )
+
+
+def _rollup_events(spark, sf_dir, trunc_unit: str):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("user_id"), F.date_trunc(trunc_unit, "ts").alias("bucket_ts")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r(F.sum("value")).alias("sum_value"),
+            _r(F.avg("value")).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+def q_rollup_1m(spark, sf_dir):
+    """S1+A1-A2 analog: 1-minute continuous aggregate (SURVEY §2.4)."""
+    return _rollup_events(spark, sf_dir, "minute")
+
+
+_ROLLUP_SQL = """
+SELECT user_id,
+       date_trunc('{unit}', ts)              AS bucket_ts,
+       CAST(count(*) AS BIGINT)              AS n_events,
+       round(sum(value), 6)                  AS sum_value,
+       round(avg(value), 6)                  AS avg_value,
+       min(value)                            AS min_value,
+       max(value)                            AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_rollup_1h_cascade(spark, sf_dir):
+    """Cascade: 1h derived from 1m state (exact reaggregation), oracle goes
+    straight to raw — proves coarser tiers derive exactly from finer ones
+    (rollup_from_finer; SURVEY §5.2.4)."""
+    ev = load(spark, sf_dir, "events")
+    t1m = ev.groupBy(
+        "user_id", F.date_trunc("minute", "ts").alias("bucket_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return (
+        t1m.groupBy("user_id", F.date_trunc("hour", "bucket_ts").alias("bucket_ts"))
+        .agg(
+            F.sum("n").alias("n_events"),
+            _r(F.sum("s")).alias("sum_value"),
+            _r(F.sum("s") / F.sum("n")).alias("avg_value"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        )
+    )
+
+
+def q_rollup_1d(spark, sf_dir):
+    """Daily tier + event-type rate (tool-call-rate analog)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("bucket_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+        _r(F.avg((F.col("event_type") == "error").cast("double"))).alias("error_rate"),
+        _r(F.sum("value")).alias("sum_value"),
+    )
+
+
+def q_latency(spark, sf_dir):
+    """W1/W4: inter-event gap via lag window, aggregated per user."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tsc = F.col("ts").cast("timestamp")  # parquet reads as TIMESTAMP_NTZ
+    gap = ev.withColumn(
+        "gap_s",
+        (F.unix_micros(tsc) - F.unix_micros(F.lag(tsc).over(w))).cast("double") / 1e6,
+    )
+    return gap.groupBy("user_id").agg(
+        _r(F.avg("gap_s")).alias("avg_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+        F.count("gap_s").alias("n_gaps"),
+    )
+
+
+def q_scaler_fit(spark, sf_dir):
+    """A1: per-series StandardScaler fit (population std, SURVEY §4.3.7)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        _r(F.avg("value")).alias("mean_value"),
+        _r(F.stddev_pop("value")).alias("std_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_zscore_roundtrip(spark, sf_dir):
+    """F11: scale → inverse-scale reconstruction, counted per user. Spark path
+    uses the broadcast-registry Arrow UDFs (functions/scaling.py); the oracle
+    recomputes in SQL — both must report zero bad reconstructions."""
+    from .functions.scaling import fit_scalers, make_scale_udf, scalers_to_registry
+
+    ev = load(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("string"))
+    reg = scalers_to_registry(fit_scalers(ev, "uid", "value"))
+    sc = make_scale_udf(spark, reg)
+    inv = make_scale_udf(spark, reg, inverse=True)
+    out = ev.withColumn("z", sc("uid", "value")).withColumn("recon", inv("uid", "z"))
+    return out.groupBy("user_id").agg(
+        F.sum((F.abs(F.col("recon") - F.col("value")) > 1e-9).cast("long")).alias("n_bad"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_chron_split(spark, sf_dir):
+    """W6: chronological 70/10/20 split via percent_rank per user."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pr = ev.withColumn("pr", F.percent_rank().over(w))
+    split = (
+        F.when(F.col("pr") < 0.7, "train")
+        .when(F.col("pr") < 0.8, "val")
+        .otherwise("test")
+    )
+    return pr.withColumn("split", split).groupBy("user_id", "split").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_event_pairs(spark, sf_dir):
+    """A7/W1: consecutive event-type bigram counts (get_stats as a lag window
+    + groupBy, utils/base.py:13-22)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("curr_type"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def q_top_users(spark, sf_dir):
+    """O3: ranking + top-k with deterministic tie-break."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(_r(F.sum("value"), 4).alias("total_value"))
+        .orderBy(F.desc("total_value"), "user_id")
+        .limit(5)
+    )
+
+
+def q_dedup_events(spark, sf_dir):
+    """A14: keep-first dedup by (user_id, second) with explicit order."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", F.date_trunc("second", "ts")).orderBy("event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.date_trunc("second", "ts").alias("sec_ts"),
+            F.col("event_id").alias("keeper_event_id"),
+        )
+    )
+
+
+def q_constant_check(spark, sf_dir):
+    """P10: constant-column predicate via countDistinct + extent."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.countDistinct("value").alias("n_distinct"),
+        ((F.max("value") - F.min("value")) < 1e-10).alias("is_constant"),
+    )
+
+
+def q_zero_ratio(spark, sf_dir):
+    """P6: zero-ratio chunk predicate (reference: reject if >30% zeros,
+    process_chronos_dataset.py:59-70); near-zero threshold keeps it
+    non-degenerate on this data."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        _r(F.avg((F.col("value") < 5.0).cast("double"))).alias("near_zero_ratio"),
+        (F.avg((F.col("value") < 5.0).cast("double")) <= 0.3).alias("kept"),
+    )
+
+
+def q_union_align(spark, sf_dir):
+    """J1/U2: column-axis outer align via unionByName(allowMissingColumns)."""
+    ev = load(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+        .withColumn("src", F.lit("clicks"))
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            _r(F.sum("value")).alias("sum_spend"),
+        )
+        .withColumn("src", F.lit("purchases"))
+    )
+    return clicks.unionByName(buys, allowMissingColumns=True)
+
+
+def q_sliding_window(spark, sf_dir):
+    """W5-style sliding frame: 5-event trailing mean per user."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    return ev.select(
+        "event_id", _r(F.avg("value").over(w)).alias("trailing_avg")
+    )
+
+
+def q_persistence_metrics(spark, sf_dir):
+    """A11: MSE/RMSE/MAE/R2 of a lag-1 persistence forecast per user
+    (calculate_metrics semantics incl. NaN-pair masking — the first event of
+    each user has no prediction and is masked out)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    d = (
+        ev.withColumn("pred", F.lag("value").over(w))
+        .filter(F.col("pred").isNotNull())
+        .withColumn("err", F.col("value") - F.col("pred"))
+    )
+    g = d.groupBy("user_id").agg(
+        F.avg(F.col("err") * F.col("err")).alias("_mse"),
+        F.avg(F.abs("err")).alias("_mae"),
+        F.sum(F.col("err") * F.col("err")).alias("_ss_res"),
+        F.sum(F.col("value")).alias("_sv"),
+        F.sum(F.col("value") * F.col("value")).alias("_svv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ss_tot = F.col("_svv") - F.col("_sv") * F.col("_sv") / F.col("n")
+    return g.select(
+        "user_id",
+        _r(F.col("_mse")).alias("mse"),
+        _r(F.sqrt("_mse")).alias("rmse"),
+        _r(F.col("_mae")).alias("mae"),
+        _r(F.lit(1) - F.col("_ss_res") / ss_tot, 4).alias("r2"),
+        "n",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational / join coverage (Catalyst-native; SURVEY §2.3 notes these come
+# free — the queries prove broadcast/semi/anti plans over the star schema)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary over lineitem (A12 grid analog)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r(F.sum("l_quantity"), 2).alias("sum_qty"),
+            _r(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            _r(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            _r(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """Multi-join with broadcast dims: lineitem ⋈ orders ⋈ customer ⋈ nation."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def q_top_part_per_brand(spark, sf_dir):
+    """Window ranking: priciest part per brand, deterministic tie-break."""
+    p = load(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_brand", "p_partkey", F.col("p_retailprice").alias("top_price"))
+    )
+
+
+def q_semi_anti_join(spark, sf_dir):
+    """left_semi + left_anti: customers with and without orders."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.lit("with_orders").alias("grp"), "c_custkey"
+    )
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("no_orders").alias("grp"), "c_custkey"
+    )
+    return with_orders.unionByName(without)
+
+
+# ---------------------------------------------------------------------------
+# Quantize / dequantize / gap-fill / EBOS (engine core over the events shape)
+# ---------------------------------------------------------------------------
+
+N_BINS = 50
+
+
+def q_quantize_tokens(spark, sf_dir):
+    """F1: equal-width quantization into token bins via the broadcast-edges
+    Arrow UDF (np.digitize(..., right=True)+1, utils/discretisize.py:26); the
+    oracle counts edges strictly below x — provably the same function."""
+    from .functions.quantize import fit_edges, make_quantize_udf
+
+    ev = load(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("string"))
+    edges = fit_edges(ev, "uid", "value", N_BINS)
+    q = make_quantize_udf(spark, edges)
+    return ev.select(
+        "event_id", q("uid", "value").cast("long").alias("token")
+    )
+
+
+def q_dequantize_recon(spark, sf_dir):
+    """F3: token -> bin-center reconstruction (decode_with_float_vocab
+    semantics), exact float equality with the SQL oracle."""
+    from .functions.quantize import fit_edges, make_dequantize_udf, make_quantize_udf
+
+    ev = load(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("string"))
+    edges = fit_edges(ev, "uid", "value", N_BINS)
+    q = make_quantize_udf(spark, edges)
+    dq = make_dequantize_udf(spark, edges)
+    return ev.withColumn("token", q("uid", "value")).select(
+        "event_id", dq("uid", "token").alias("recon")
+    )
+
+
+_EDGE_K = (
+    "CASE WHEN k = {n1} THEN vmax ELSE vmin + k * ((vmax - vmin) / {n1}) END"
+)
+
+_QUANTIZE_SQL = f"""
+WITH ext AS (
+  SELECT user_id, min(value) AS vmin, max(value) AS vmax FROM events GROUP BY 1),
+tok AS (
+  SELECT e.event_id,
+         1 + len(list_filter(
+               [{_EDGE_K.format(n1=N_BINS - 1)} for k in range(1, {N_BINS})],
+               edge -> edge < e.value)) AS token
+  FROM events e JOIN ext ON e.user_id = ext.user_id)
+SELECT event_id, CAST(token AS BIGINT) AS token FROM tok
+"""
+
+_DEQUANTIZE_SQL = f"""
+WITH ext AS (
+  SELECT user_id, min(value) AS vmin, max(value) AS vmax FROM events GROUP BY 1),
+edges AS (
+  SELECT user_id, vmin, vmax,
+         [CASE WHEN k = {N_BINS - 1} THEN vmax
+               WHEN k = 0 THEN vmin
+               ELSE vmin + k * ((vmax - vmin) / {N_BINS - 1}) END
+          for k in range(0, {N_BINS})] AS e
+  FROM ext),
+tok AS (
+  SELECT ev.event_id, ed.e,
+         1 + len(list_filter(ed.e[2:], edge -> edge < ev.value)) AS s
+  FROM events ev JOIN edges ed ON ev.user_id = ed.user_id)
+SELECT event_id, 0.5 * (e[s] + e[s + 1]) AS recon FROM tok
+"""
+
+
+def q_gapfill_locf(spark, sf_dir):
+    """W2/J6: hourly calendar spine per user + <PAD> flag + LOCF
+    (operators/gapfill.py; sequence()+explode, last(ignorenulls) window)."""
+    from .operators.gapfill import gap_fill
+
+    ev = load(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id", F.date_trunc("hour", "ts")).orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    hourly = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").cast("string").alias("uid"),
+            F.date_trunc("hour", "ts").alias("hts"),
+            F.col("value").alias("v"),
+        )
+    )
+    out = gap_fill(hourly, "uid", "hts", ["v"], 3600)
+    return out.select(
+        F.col("uid").cast("long").alias("user_id"),
+        F.col("slot_ts"),
+        F.col("v").alias("locf_value"),
+        F.col("is_pad"),
+    )
+
+
+_GAPFILL_SQL = """
+WITH ranked AS (
+  SELECT user_id, date_trunc('hour', ts) AS hts, value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+hourly AS (
+  SELECT user_id, hts, value AS v FROM ranked WHERE rn = 1),
+ext AS (
+  SELECT user_id, min(hts) AS mn, max(hts) AS mx FROM hourly GROUP BY 1),
+spine AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS slot_ts
+  FROM ext),
+joined AS (
+  SELECT s.user_id, s.slot_ts, h.v, h.v IS NULL AS is_pad
+  FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.slot_ts = h.hts)
+SELECT user_id, slot_ts,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY slot_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value,
+       is_pad
+FROM joined
+"""
+
+
+def q_ebos_marks(spark, sf_dir):
+    """W3/F4: periodic <EBOS> markers anchored at first midnight, every 24h,
+    overwriting <PAD> (mark_special_tokens, utils/discretisize.py:282-319)."""
+    from .operators.gapfill import gap_fill_with_markers
+
+    ev = load(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id", F.date_trunc("hour", "ts")).orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    hourly = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").cast("string").alias("uid"),
+            F.date_trunc("hour", "ts").alias("hts"),
+            F.col("value").alias("v"),
+        )
+    )
+    out = gap_fill_with_markers(hourly, "uid", "hts", ["v"], 3600, hour_toks=24)
+    return out.groupBy(F.col("uid").cast("long").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_slots"),
+        F.sum(F.col("is_pad").cast("long")).alias("n_pad"),
+        F.sum(F.col("is_ebos").cast("long")).alias("n_ebos"),
+    )
+
+
+_EBOS_SQL = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hts FROM events GROUP BY 1, 2),
+ext AS (
+  SELECT user_id, min(hts) AS mn, max(hts) AS mx FROM hourly GROUP BY 1),
+spine AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS slot_ts
+  FROM ext),
+flags AS (
+  SELECT s.user_id, s.slot_ts, h.hts IS NULL AS is_pad_raw,
+         min(CASE WHEN extract(hour FROM s.slot_ts) = 0
+                   AND extract(minute FROM s.slot_ts) = 0
+                  THEN s.slot_ts END)
+           OVER (PARTITION BY s.user_id) AS anchor
+  FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.slot_ts = h.hts),
+marked AS (
+  SELECT user_id, slot_ts,
+         anchor IS NOT NULL AND slot_ts >= anchor
+           AND (CAST(epoch(slot_ts) - epoch(anchor) AS BIGINT) // 3600) % 24 = 0 AS is_ebos,
+         is_pad_raw
+  FROM flags)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_slots,
+       CAST(sum(CASE WHEN is_pad_raw AND NOT is_ebos THEN 1 ELSE 0 END) AS BIGINT) AS n_pad,
+       CAST(sum(CASE WHEN is_ebos THEN 1 ELSE 0 END) AS BIGINT) AS n_ebos
+FROM marked GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (non-SQL-expressible: TPE, Gorilla — driver records a
+# weaker rows-only check; exact semantics are pytest-verified vs the oracle)
+# ---------------------------------------------------------------------------
+
+
+def q_tpe_compression(spark, sf_dir):
+    """B2/B3/B4: per-series TPE train→encode→decode over quantized event
+    values; reports compression and roundtrip correctness per user."""
+    from .functions.quantize import fit_edges, make_quantize_udf
+    from .operators.tpe import models_to_registry, tpe_decode, tpe_encode, tpe_train
+
+    ev = load(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("string"))
+    edges = fit_edges(ev, "uid", "value", N_BINS)
+    q = make_quantize_udf(spark, edges)
+    tok = ev.select(
+        "uid", F.col("event_id").alias("pos"), q("uid", "value").alias("token")
+    )
+    models = tpe_train(tok, "uid", "token", "pos", N_BINS + 30, N_BINS)
+    reg = models_to_registry(models)
+    enc = tpe_encode(spark, tok, "uid", "token", "pos", registry=reg)
+    dec = tpe_decode(spark, enc, registry=reg)
+    orig = tok.groupBy("uid").agg(
+        F.count(F.lit(1)).alias("in_len"),
+        F.expr("transform(array_sort(collect_list(struct(pos, token))), x -> x.token)").alias("orig"),
+    )
+    return (
+        enc.select("series_id", F.col("n_tokens").alias("out_len"))
+        .join(dec.select("series_id", "tokens"), "series_id")
+        .join(orig.withColumnRenamed("uid", "series_id"), "series_id")
+        .select(
+            F.col("series_id").cast("long").alias("user_id"),
+            "in_len",
+            "out_len",
+            F.round(F.col("in_len") / F.col("out_len"), 4).alias("compression"),
+            (F.col("tokens") == F.col("orig")).alias("roundtrip_ok"),
+        )
+    )
+
+
+def q_gorilla_roundtrip(spark, sf_dir):
+    """Cold-tier Gorilla pack/unpack per user: compression stats + exactness."""
+    from .operators.gorilla import gorilla_pack, gorilla_unpack
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("uid"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    )
+    packed = gorilla_pack(ev, "uid", "ts", "value").cache()
+    unpacked = gorilla_unpack(packed)
+    orig_h = ev.groupBy("uid").agg(
+        F.sum(F.hash("ts", "value").cast("long")).alias("h_orig")
+    )
+    back_h = unpacked.groupBy("series_id").agg(
+        F.sum(F.hash("ts", "value").cast("long")).alias("h_back")
+    )
+    return (
+        packed.select("series_id", "n_points", "raw_bytes", "packed_bytes")
+        .join(back_h, "series_id")
+        .join(orig_h.withColumnRenamed("uid", "series_id"), "series_id")
+        .select(
+            F.col("series_id").cast("long").alias("user_id"),
+            "n_points",
+            "raw_bytes",
+            "packed_bytes",
+            (F.col("h_back") == F.col("h_orig")).alias("roundtrip_ok"),
+        )
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "quantize_tokens": _QUANTIZE_SQL,
+    "dequantize_recon": _DEQUANTIZE_SQL,
+    "gapfill_locf": _GAPFILL_SQL,
+    "ebos_marks": _EBOS_SQL,
+    "rollup_1m": _ROLLUP_SQL.format(unit="minute"),
+    "rollup_1h_cascade": _ROLLUP_SQL.format(unit="hour"),
+    "rollup_1d": """
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_errors,
+               round(avg(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END), 6) AS error_rate,
+               round(sum(value), 6) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "latency": """
+        WITH g AS (
+          SELECT user_id,
+                 (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) / 1e6 AS gap_s
+          FROM events)
+        SELECT user_id, round(avg(gap_s), 6) AS avg_gap_s,
+               max(gap_s) AS max_gap_s,
+               CAST(count(gap_s) AS BIGINT) AS n_gaps
+        FROM g GROUP BY 1
+    """,
+    "scaler_fit": """
+        SELECT user_id, round(avg(value), 6) AS mean_value,
+               round(stddev_pop(value), 6) AS std_value,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    """,
+    "zscore_roundtrip": """
+        WITH s AS (
+          SELECT user_id, value,
+                 avg(value) OVER (PARTITION BY user_id) AS mu,
+                 stddev_pop(value) OVER (PARTITION BY user_id) AS sd
+          FROM events),
+        r AS (
+          SELECT user_id, value,
+                 ((value - mu) / (CASE WHEN sd = 0 THEN 1.0 ELSE sd END))
+                   * (CASE WHEN sd = 0 THEN 1.0 ELSE sd END) + mu AS recon
+          FROM s)
+        SELECT user_id,
+               CAST(sum(CASE WHEN abs(recon - value) > 1e-9 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+               CAST(count(*) AS BIGINT) AS n
+        FROM r GROUP BY 1
+    """,
+    "chron_split": """
+        WITH p AS (
+          SELECT user_id,
+                 percent_rank() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pr
+          FROM events)
+        SELECT user_id,
+               CASE WHEN pr < 0.7 THEN 'train' WHEN pr < 0.8 THEN 'val' ELSE 'test' END AS split,
+               CAST(count(*) AS BIGINT) AS n
+        FROM p GROUP BY 1, 2
+    """,
+    "event_pairs": """
+        WITH p AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+          FROM events)
+        SELECT prev_type, event_type AS curr_type, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    """,
+    "top_users": """
+        SELECT user_id, round(sum(value), 4) AS total_value
+        FROM events GROUP BY 1
+        ORDER BY total_value DESC, user_id LIMIT 5
+    """,
+    "dedup_events": """
+        WITH d AS (
+          SELECT user_id, date_trunc('second', ts) AS sec_ts, event_id,
+                 row_number() OVER (PARTITION BY user_id, date_trunc('second', ts)
+                                    ORDER BY event_id) AS rn
+          FROM events)
+        SELECT user_id, sec_ts, event_id AS keeper_event_id FROM d WHERE rn = 1
+    """,
+    "constant_check": """
+        SELECT user_id, CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
+               (max(value) - min(value)) < 1e-10 AS is_constant
+        FROM events GROUP BY 1
+    """,
+    "zero_ratio": """
+        SELECT user_id,
+               round(avg(CASE WHEN value < 5.0 THEN 1.0 ELSE 0.0 END), 6) AS near_zero_ratio,
+               avg(CASE WHEN value < 5.0 THEN 1.0 ELSE 0.0 END) <= 0.3 AS kept
+        FROM events GROUP BY 1
+    """,
+    "union_align": """
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks,
+               'clicks' AS src, CAST(NULL AS BIGINT) AS n_purchases,
+               CAST(NULL AS DOUBLE) AS sum_spend
+        FROM events WHERE event_type = 'click' GROUP BY user_id
+        UNION ALL
+        SELECT user_id, CAST(NULL AS BIGINT) AS n_clicks,
+               'purchases' AS src, CAST(count(*) AS BIGINT) AS n_purchases,
+               round(sum(value), 6) AS sum_spend
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    """,
+    "sliding_window": """
+        SELECT event_id,
+               round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS trailing_avg
+        FROM events
+    """,
+    "persistence_metrics": """
+        WITH d AS (
+          SELECT user_id, value,
+                 lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pred
+          FROM events),
+        e AS (SELECT user_id, value, value - pred AS err FROM d WHERE pred IS NOT NULL),
+        g AS (
+          SELECT user_id, avg(err*err) AS _mse, avg(abs(err)) AS _mae,
+                 sum(err*err) AS _ss_res, sum(value) AS _sv, sum(value*value) AS _svv,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM e GROUP BY 1)
+        SELECT user_id, round(_mse, 6) AS mse, round(sqrt(_mse), 6) AS rmse,
+               round(_mae, 6) AS mae,
+               round(1 - _ss_res / (_svv - _sv*_sv/n), 4) AS r2, n
+        FROM g
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 6) AS avg_qty,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY 1, 2
+    """,
+    "revenue_by_nation": """
+        SELECT n.n_name AS nation,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1
+    """,
+    "top_part_per_brand": """
+        WITH r AS (
+          SELECT p_brand, p_partkey, p_retailprice,
+                 row_number() OVER (PARTITION BY p_brand
+                                    ORDER BY p_retailprice DESC, p_partkey) AS rn
+          FROM part)
+        SELECT p_brand, p_partkey, p_retailprice AS top_price FROM r WHERE rn = 1
+    """,
+    "semi_anti_join": """
+        SELECT 'with_orders' AS grp, c_custkey FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        UNION ALL
+        SELECT 'no_orders' AS grp, c_custkey FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+}
+
+QUERIES = {
+    "quantize_tokens": q_quantize_tokens,
+    "dequantize_recon": q_dequantize_recon,
+    "gapfill_locf": q_gapfill_locf,
+    "ebos_marks": q_ebos_marks,
+    "tpe_compression": q_tpe_compression,
+    "gorilla_roundtrip": q_gorilla_roundtrip,
+    "rollup_1m": q_rollup_1m,
+    "rollup_1h_cascade": q_rollup_1h_cascade,
+    "rollup_1d": q_rollup_1d,
+    "latency": q_latency,
+    "scaler_fit": q_scaler_fit,
+    "zscore_roundtrip": q_zscore_roundtrip,
+    "chron_split": q_chron_split,
+    "event_pairs": q_event_pairs,
+    "top_users": q_top_users,
+    "dedup_events": q_dedup_events,
+    "constant_check": q_constant_check,
+    "zero_ratio": q_zero_ratio,
+    "union_align": q_union_align,
+    "sliding_window": q_sliding_window,
+    "persistence_metrics": q_persistence_metrics,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_part_per_brand": q_top_part_per_brand,
+    "semi_anti_join": q_semi_anti_join,
+}
