@@ -1,0 +1,129 @@
+"""Dedup family + similarity search engine paths not covered by the
+contract oracles (recall vs brute force, simhash near-pairs, IVF)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from timeseriestokenizer_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_verified_pairs,
+    simhash_near_pairs,
+)
+from timeseriestokenizer_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_buckets,
+    lsh_topk,
+    train_centroids,
+    with_norm,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs away fast",
+        "a completely different document about spark query engines and shuffles",
+        "numbers and words mixed 123 456 foo bar baz qux quux corge grault",
+    ]
+    rows = []
+    for i, b in enumerate(base):
+        rows.append((i * 10, b))
+        rows.append((i * 10 + 1, b))  # exact dup
+        words = b.split()
+        words[-1] = "CHANGED"
+        rows.append((i * 10 + 2, " ".join(words)))  # near dup
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs, "doc_id").toPandas()
+    dups = out[out.n_copies > 1]
+    assert len(dups) == 3
+    assert set(dups["keeper_doc_id"]) == {0, 10, 20}  # keep-first = min id
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    pairs = jaccard_verified_pairs(docs, "doc_id", threshold=0.5).toPandas()
+    got = {tuple(r) for r in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    # exact dups always collide in every band
+    assert {(0, 1), (10, 11), (20, 21)} <= got
+    # near dups share most shingles
+    assert (0, 2) in got or (1, 2) in got
+    # no cross-document pairs
+    assert all(a // 10 == b // 10 for a, b in got)
+
+
+def test_simhash_near_pairs(spark, docs):
+    out = simhash_near_pairs(docs, "doc_id", max_hamming=3).toPandas()
+    got = {tuple(r) for r in out[["id_a", "id_b"]].itertuples(index=False)}
+    assert {(0, 1), (10, 11), (20, 21)} <= got  # identical texts → hamming 0
+    ham0 = out[out.hamming == 0]
+    assert len(ham0) >= 3
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(5)
+    # 8 clusters of 30 vectors each, 16-dim
+    centers = rng.standard_normal((8, 16)) * 3
+    rows = []
+    vid = 0
+    for c in range(8):
+        for _ in range(30):
+            v = centers[c] + rng.standard_normal(16) * 0.3
+            rows.append((vid, v.astype(np.float32).tolist(), c))
+            vid += 1
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    ).cache()
+
+
+def test_bruteforce_topk_same_cluster(spark, vectors):
+    queries = vectors.filter(F.col("vec_id").isin([0, 30, 60]))
+    out = brute_force_topk(vectors, queries, k=5).toPandas()
+    assert len(out) == 15
+    labels = {r["vec_id"]: r["label"] for r in vectors.collect()}
+    # clustered data → top neighbors share the query's cluster
+    for _, r in out.iterrows():
+        assert labels[r["cand_id"]] == labels[r["query_id"]]
+
+
+def test_lsh_topk_recall(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(vectors, queries, k=5).toPandas()
+    approx = lsh_topk(vectors, queries, k=5, n_planes=6).toPandas()
+    eset = {(r.query_id, r.cand_id) for r in exact.itertuples()}
+    aset = {(r.query_id, r.cand_id) for r in approx.itertuples()}
+    recall = len(eset & aset) / len(eset)
+    assert recall >= 0.6  # same-cluster vectors share sign buckets
+
+
+def test_lsh_buckets_cluster_coherence(spark, vectors):
+    b = lsh_buckets(vectors, n_planes=8).toPandas()
+    # vectors in the same tight cluster mostly share a bucket
+    top_share = (
+        b.assign(label=lambda d: d.vec_id // 30)
+        .groupby("label")["bucket"]
+        .agg(lambda s: s.value_counts().iloc[0] / len(s))
+    )
+    assert (top_share > 0.5).mean() >= 0.75
+
+
+def test_ivf_topk(spark, vectors):
+    cents = train_centroids(vectors, n_cells=8, sample_n=240)
+    assert cents.shape == (8, 16)
+    queries = vectors.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(vectors, queries, k=5).toPandas()
+    approx = ivf_topk(vectors, queries, cents, k=5).toPandas()
+    eset = {(r.query_id, r.cand_id) for r in exact.itertuples()}
+    aset = {(r.query_id, r.cand_id) for r in approx.itertuples()}
+    assert len(eset & aset) / len(eset) >= 0.6
+
+
+def test_with_norm(spark, vectors):
+    out = with_norm(vectors).toPandas()
+    v0 = np.array(out.iloc[0]["embedding"], dtype=np.float64)
+    assert np.isclose(out.iloc[0]["l2_norm"], np.sqrt((v0 * v0).sum()), atol=1e-9)

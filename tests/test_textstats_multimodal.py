@@ -1,0 +1,101 @@
+"""Text analysis + multimodal plumbing engine tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from timeseriestokenizer_spark.functions.textstats import (
+    md5_fingerprint,
+    rolling_fingerprint_oracle,
+    rolling_fingerprint_udf,
+    with_lang_guess,
+    with_quality,
+    with_token_counts,
+)
+from timeseriestokenizer_spark.multimodal.binary_ops import (
+    decode_media,
+    extract_features,
+    synth_media_from_documents,
+)
+
+
+@pytest.fixture(scope="module")
+def texts(spark):
+    rows = [
+        (0, "the cat sat on the mat and it is a good day to be alive"),
+        (1, "der hund ist nicht zu haus und ich bin mit dem rad"),
+        (2, "el perro es un animal que no se puede ver en la casa"),
+        (3, "le chat est dans la maison et ce pour le moment"),
+        (4, "这是一段中文文本没有空格"),
+        (5, "xyzzy plugh frobnicate"),
+        (6, "hello, world! 123 foo-bar."),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_lang_guess(spark, texts):
+    out = {r["doc_id"]: r["lang_guess"] for r in with_lang_guess(texts).collect()}
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[2] == "es"
+    assert out[3] == "fr"
+    assert out[4] == "zh"
+    assert out[5] == "und"
+
+
+def test_token_counts(spark, texts):
+    out = {r["doc_id"]: r for r in with_token_counts(texts).collect()}
+    assert out[6]["n_ws_tokens"] == 4
+    # hello , world ! 123 foo - bar .  → 9 BPE-ish tokens
+    assert out[6]["n_bpe_tokens"] == 9
+
+
+def test_quality_bounds(spark, texts):
+    out = with_quality(texts).toPandas()
+    assert ((out["quality_score"] >= 0) & (out["quality_score"] <= 1)).all()
+    scores = dict(zip(out["doc_id"], out["quality_score"]))
+    assert scores[0] > scores[5]  # stopword-rich English beats gibberish
+
+
+def test_rolling_fingerprint_parity(spark, texts):
+    udf = rolling_fingerprint_udf()
+    out = {r["doc_id"]: r["fp"] for r in texts.select("doc_id", udf("text").alias("fp")).collect()}
+    for r in texts.collect():
+        assert out[r["doc_id"]] == rolling_fingerprint_oracle(r["text"])
+
+
+def test_md5_fingerprint_deterministic(spark, texts):
+    a = texts.select("doc_id", md5_fingerprint("text").alias("fp")).toPandas()
+    b = texts.select("doc_id", md5_fingerprint("text").alias("fp")).toPandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert a["fp"].nunique() == len(a)
+
+
+def test_multimodal_pipeline(spark, texts):
+    media = synth_media_from_documents(texts)
+    m = media.toPandas()
+    assert set(m.columns) == {"media_id", "kind", "payload", "meta"}
+    feats = extract_features(media, feature_dim=8).toPandas()
+    assert len(feats) == len(m)
+    for _, r in feats.iterrows():
+        assert len(r["feature"]) == 8
+        assert abs(sum(r["feature"]) - 1.0) < 1e-9  # normalized histogram
+    # payload bytes are the UTF-8 text (metadata real even though decode fake)
+    row4 = m[m.media_id == 4].iloc[0]
+    assert bytes(row4["payload"]) == "这是一段中文文本没有空格".encode()
+    assert row4["meta"]["n_bytes"] == len(bytes(row4["payload"]))
+
+
+def test_decode_media_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00\x01", "image/png", fake=False)
+    arr = decode_media(b"\x00\x01\x02\x03\x04", "image/fake", fake=True)
+    assert arr.shape == (1, 4)
+
+
+def test_feature_determinism(spark, texts):
+    media = synth_media_from_documents(texts)
+    a = extract_features(media).toPandas().sort_values("media_id").reset_index(drop=True)
+    b = extract_features(media).toPandas().sort_values("media_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -611,7 +611,290 @@ def q_gorilla_roundtrip(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Documents: dedup family + text analysis (training-data pipeline operators)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_exact_dedup(spark, sf_dir):
+    """Exact dedup by content hash, keep-first (operators/dedup.py)."""
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(load(spark, sf_dir, "documents"), "doc_id")
+
+
+def q_doc_token_stats(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex (functions/textstats.py)."""
+    from .functions.textstats import with_token_counts
+
+    return with_token_counts(load(spark, sf_dir, "documents")).select(
+        "doc_id", "n_ws_tokens", "n_bpe_tokens"
+    )
+
+
+def q_doc_quality(spark, sf_dir):
+    """Quality scoring: stopword/punct ratios, mean word length, composite."""
+    from .functions.textstats import with_quality
+
+    d = with_quality(load(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        "n_words",
+        _r(F.col("stopword_ratio")).alias("stopword_ratio"),
+        _r(F.col("mean_word_len")).alias("mean_word_len"),
+        _r(F.col("quality_score")).alias("quality_score"),
+    )
+
+
+def q_doc_lang_guess(spark, sf_dir):
+    """Language-ID heuristic (stopword hits + CJK share)."""
+    from .functions.textstats import with_lang_guess
+
+    return with_lang_guess(load(spark, sf_dir, "documents")).select(
+        "doc_id", "lang_guess"
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting (md5-derived 60-bit content id)."""
+    from .functions.textstats import md5_fingerprint
+
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", md5_fingerprint("text").alias("fingerprint")
+    )
+
+
+def q_doc_simhash(spark, sf_dir):
+    """SimHash (32-bit, md5-derived token hashes, majority bits)."""
+    from .operators.dedup import simhash32
+
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", simhash32("text").alias("simhash")
+    )
+
+
+def q_minhash_dedup_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup candidates verified with exact 3-word-shingle
+    Jaccard ≥ 0.5 (operators/dedup.py; md5-based so the oracle reproduces
+    the signatures exactly)."""
+    from .operators.dedup import jaccard_verified_pairs
+
+    return jaccard_verified_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", threshold=0.5
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: synth binary payloads → mapInPandas feature
+    extraction (decode stubbed; metadata/bytes real)."""
+    from .multimodal.binary_ops import extract_features, synth_media_from_documents
+
+    media = synth_media_from_documents(load(spark, sf_dir, "documents"))
+    return extract_features(media).select(
+        F.col("media_id").alias("doc_id"), "n_bytes", "payload_md5"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_embed_norms(spark, sf_dir):
+    """Per-label embedding L2-norm stats (vector column hygiene check)."""
+    from .operators.similarity import with_norm
+
+    e = with_norm(load(spark, sf_dir, "embeddings"))
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"), _r(F.avg("l2_norm")).alias("avg_norm")
+    )
+
+
+def q_ann_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 neighbors for query vectors vec_id < 10
+    (operators/similarity.py brute-force baseline)."""
+    from .operators.similarity import brute_force_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucket assignment (seeded plane literals shared
+    with the oracle; the scale path for similarity search)."""
+    from .operators.similarity import lsh_buckets
+
+    return lsh_buckets(load(spark, sf_dir, "embeddings")).select("vec_id", "bucket")
+
+
+_SHINGLES_SQL = """
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents
+"""
+
+_MINHASH_SQL = """
+WITH w AS ({shingles}),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3
+              THEN [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
+              ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w),
+sig AS (
+  SELECT doc_id, shingles,
+         [list_aggregate(list_transform(shingles,
+              s -> md5(s || '#' || CAST(j AS VARCHAR))), 'min')
+          for j in range(1, 7)] AS sigs
+  FROM sh),
+bands AS (
+  SELECT doc_id, b, sigs[2*b + 1] || '|' || sigs[2*b + 2] AS band_sig
+  FROM sig, (SELECT unnest(range(0, 3)) AS b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+sets_ AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(sa.sh, sb.sh)) AS inter,
+         len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS uni
+  FROM cand c
+  JOIN sets_ sa ON c.id_a = sa.doc_id
+  JOIN sets_ sb ON c.id_b = sb.doc_id)
+SELECT id_a, id_b, round(inter / CAST(uni AS DOUBLE), 6) AS jaccard
+FROM scored WHERE inter / CAST(uni AS DOUBLE) >= 0.5
+""".format(shingles=_SHINGLES_SQL)
+
+_SIMHASH_SQL = """
+WITH w AS ({shingles}),
+h AS (
+  SELECT doc_id,
+         list_transform(words,
+            t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)) AS hs
+  FROM w)
+SELECT doc_id,
+       list_sum([CASE WHEN list_sum(list_transform(hs,
+                     x -> CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                      THEN CAST(1 AS BIGINT) << b ELSE 0 END
+                 for b in range(0, 32)]) AS simhash
+FROM h
+""".format(shingles=_SHINGLES_SQL)
+
+_QUALITY_SQL = r"""
+WITH q AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS words,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS n_punct
+  FROM documents),
+s AS (
+  SELECT doc_id, len(words) AS n_words, n_chars, n_punct,
+         len(list_filter(words, w -> list_contains(
+             ['the','a','of','to','and','in','is','it','you','that'], w)))
+           / CAST(greatest(len(words), 1) AS DOUBLE) AS stopword_ratio,
+         (n_chars - (len(words) - 1)) / CAST(greatest(len(words), 1) AS DOUBLE) AS mean_word_len,
+         n_punct / CAST(greatest(n_chars, 1) AS DOUBLE) AS punct_ratio
+  FROM q)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(least(n_words / 50.0, 1.0) * 0.4
+             + least(stopword_ratio * 5.0, 1.0) * 0.3
+             + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.3, 6) AS quality_score
+FROM s
+"""
+
+_LANG_SQL = r"""
+WITH q AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS words,
+         length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk
+  FROM documents),
+s AS (
+  SELECT doc_id, text, cjk,
+         len(list_filter(words, w -> list_contains(['the','a','of','to','and','in','is','it','you','that'], w))) AS h_en,
+         len(list_filter(words, w -> list_contains(['der','die','das','und','ist','nicht','ein','zu','ich','mit'], w))) AS h_de,
+         len(list_filter(words, w -> list_contains(['el','la','de','que','y','en','un','es','se','no'], w))) AS h_es,
+         len(list_filter(words, w -> list_contains(['le','la','de','et','un','est','que','pour','dans','ce'], w))) AS h_fr
+  FROM q)
+SELECT doc_id,
+       CASE WHEN cjk * 2 > length(text) THEN 'zh'
+            WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+            WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+            WHEN h_de >= h_es AND h_de >= h_fr THEN 'de'
+            WHEN h_es >= h_fr THEN 'es'
+            ELSE 'fr' END AS lang_guess
+FROM s
+"""
+
+
+def _ann_planes_literal():
+    from .operators.similarity import random_planes
+
+    planes = random_planes(64, 8, 42)
+    terms = []
+    for j, p in enumerate(planes):
+        lit = "[" + ",".join(f"{x:.6f}" for x in p) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_ANN_BRUTE_SQL = """
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+         list_dot_product(c.v, q.qv)
+           / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos_raw
+  FROM vecs c CROSS JOIN q WHERE c.vec_id != q.query_id),
+ranked AS (
+  SELECT query_id, cand_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, cand_id) AS rank
+  FROM scored)
+SELECT query_id, cand_id, round(cos_raw, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
+    "doc_exact_dedup": """
+        SELECT min(doc_id) AS keeper_doc_id, CAST(count(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "doc_token_stats": r"""
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+        FROM documents
+    """,
+    "doc_quality": _QUALITY_SQL,
+    "doc_lang_guess": _LANG_SQL,
+    "doc_fingerprint": """
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS fingerprint
+        FROM documents
+    """,
+    "doc_simhash": _SIMHASH_SQL,
+    "minhash_dedup_pairs": _MINHASH_SQL,
+    "multimodal_features": """
+        SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS payload_md5
+        FROM documents
+    """,
+    "embed_norms": """
+        SELECT label, CAST(count(*) AS BIGINT) AS n,
+               round(avg(sqrt(list_dot_product(
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(embedding, x -> CAST(x AS DOUBLE))))), 6) AS avg_norm
+        FROM embeddings GROUP BY 1
+    """,
+    "ann_bruteforce": _ANN_BRUTE_SQL,
+    "ann_lsh_buckets": None,  # filled below (needs plane literals)
     "quantize_tokens": _QUANTIZE_SQL,
     "dequantize_recon": _DEQUANTIZE_SQL,
     "gapfill_locf": _GAPFILL_SQL,
@@ -769,7 +1052,25 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+ORACLE_SQL["ann_lsh_buckets"] = f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings)
+SELECT vec_id, {_ann_planes_literal()} AS bucket FROM vecs
+"""
+
 QUERIES = {
+    "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_quality": q_doc_quality,
+    "doc_lang_guess": q_doc_lang_guess,
+    "doc_fingerprint": q_doc_fingerprint,
+    "doc_simhash": q_doc_simhash,
+    "minhash_dedup_pairs": q_minhash_dedup_pairs,
+    "multimodal_features": q_multimodal_features,
+    "embed_norms": q_embed_norms,
+    "ann_bruteforce": q_ann_bruteforce,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
     "quantize_tokens": q_quantize_tokens,
     "dequantize_recon": q_dequantize_recon,
     "gapfill_locf": q_gapfill_locf,

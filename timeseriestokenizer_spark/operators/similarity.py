@@ -1,0 +1,181 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute_force_topk — exact cosine top-k: broadcast the (small) query set,
+  JVM-side dot products via zip_with + aggregate, window top-k. The baseline.
+* lsh_buckets / lsh_topk — random-hyperplane LSH: sign-bit bucket from
+  seeded plane literals; candidates only within the same bucket. The scale
+  path: the self-join keys on bucket id, so the shuffle is linear and the
+  quadratic work is confined to buckets.
+* ivf_assign / ivf_topk — IVF-style: centroids trained driver-side on a
+  sample (deterministic k-means-lite), vectors assigned to nearest centroid
+  (broadcast), search probes only the query's cell.
+
+Embedding-cosine near-dup = brute_force/lsh with threshold instead of top-k.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a):
+    return F.sqrt(dot(a, a))
+
+
+def with_norm(df: DataFrame, vec_col="embedding") -> DataFrame:
+    return df.withColumn("l2_norm", norm(_as_double(vec_col)))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector (excluding self).
+    Deterministic rank tie-break by candidate id."""
+    cand = df.select(
+        F.col(id_col).alias("cand_id"), _as_double(vec_col).alias("cv")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    joined = cand.crossJoin(F.broadcast(q)).filter(F.col("cand_id") != F.col("query_id"))
+    scored = joined.withColumn(
+        "cosine", dot("cv", "qv") / (norm(F.col("cv")) * norm(F.col("qv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def random_planes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    """Seeded hyperplanes, rounded to 6dp so they embed exactly in SQL
+    literals (oracle portability)."""
+    rng = np.random.RandomState(seed)
+    return np.round(rng.standard_normal((n_planes, dim)), 6).tolist()
+
+
+def lsh_bucket_expr(vec_col, planes: list[list[float]]):
+    """Bucket id = sum over planes of (dot >= 0) << j."""
+    v = _as_double(vec_col)
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(dot(v, p) >= 0, F.lit(1 << j).cast("long")).otherwise(0)
+    return bucket
+
+
+def lsh_buckets(df: DataFrame, vec_col="embedding", n_planes=8, seed=42) -> DataFrame:
+    dim = len(df.select(vec_col).first()[0])
+    planes = random_planes(dim, n_planes, seed)
+    return df.withColumn("bucket", lsh_bucket_expr(vec_col, planes))
+
+
+def lsh_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col="vec_id",
+    vec_col="embedding",
+    k=5,
+    n_planes=8,
+    seed=42,
+) -> DataFrame:
+    """Approximate top-k: exact cosine among same-bucket candidates only."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = random_planes(dim, n_planes, seed)
+    cand = df.select(
+        F.col(id_col).alias("cand_id"),
+        _as_double(vec_col).alias("cv"),
+        lsh_bucket_expr(vec_col, planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+        lsh_bucket_expr(vec_col, planes).alias("bucket"),
+    )
+    joined = cand.join(F.broadcast(q), "bucket").filter(
+        F.col("cand_id") != F.col("query_id")
+    )
+    scored = joined.withColumn(
+        "cosine", dot("cv", "qv") / (norm(F.col("cv")) * norm(F.col("qv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def train_centroids(
+    df: DataFrame, vec_col="embedding", n_cells=8, n_iter=5, sample_n=2000, seed=42
+) -> np.ndarray:
+    """Deterministic driver-side k-means-lite on a size-capped sample (the
+    IVF coarse quantizer; at 100TB the sample is still driver-sized)."""
+    rows = df.select(vec_col).limit(sample_n).collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    cent = X[rng.choice(len(X), n_cells, replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(X @ cent.T, axis=1)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / (np.linalg.norm(m) or 1.0)
+    return cent
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray, vec_col="embedding") -> DataFrame:
+    """Assign each vector to its max-dot-product centroid (broadcast dims)."""
+    v = _as_double(vec_col)
+    best = F.struct(F.lit(-1e18).alias("score"), F.lit(-1).alias("cell"))
+    for c, cent in enumerate(centroids):
+        p = F.array(*[F.lit(float(x)) for x in cent])
+        s = dot(v, p) / norm(v)
+        best = F.when(s > best["score"], F.struct(s.alias("score"), F.lit(c).alias("cell"))).otherwise(best)
+    return df.withColumn("cell", best["cell"])
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    id_col="vec_id",
+    vec_col="embedding",
+    k=5,
+) -> DataFrame:
+    """IVF search: probe only the query's cell (n_probe=1)."""
+    cand = ivf_assign(df, centroids, vec_col).select(
+        F.col(id_col).alias("cand_id"), _as_double(vec_col).alias("cv"), "cell"
+    )
+    q = ivf_assign(queries, centroids, vec_col).select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"), "cell"
+    )
+    joined = cand.join(F.broadcast(q), "cell").filter(F.col("cand_id") != F.col("query_id"))
+    scored = joined.withColumn(
+        "cosine", dot("cv", "qv") / (norm(F.col("cv")) * norm(F.col("qv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
