@@ -1,0 +1,100 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is end-to-end seconds over the query set; the dict also
+carries rollup throughput in turns/sec (the BASELINE.md target metric),
+measured on a deterministic synthetic transcript table (datagen.py) pushed
+through the full signal→1m/5m/1h/1d cascade.
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+tools/bench_scaling.py and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from timeseriestokenizer_spark import contract  # noqa: E402
+from timeseriestokenizer_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "rollup_1m",
+    "rollup_1h_cascade",
+    "rollup_1d",
+    "latency",
+    "gapfill_locf",
+    "quantize_tokens",
+    "dequantize_recon",
+    "tpe_compression",
+    "gorilla_roundtrip",
+    "minhash_dedup_pairs",
+    "doc_simhash",
+    "ann_bruteforce",
+    "pricing_summary",
+    "revenue_by_nation",
+]
+
+BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "1500"))
+BENCH_AVG_LEN = int(os.environ.get("BENCH_AVG_LEN", "200"))
+
+
+def rollup_throughput(spark) -> tuple[float, int]:
+    """turns/sec through signals + full 1m/5m/1h/1d cascade on a synthetic
+    transcript table (count() forces each tier)."""
+    from timeseriestokenizer_spark.datagen import transcripts_df
+    from timeseriestokenizer_spark.functions.signals import derive_signals
+    from timeseriestokenizer_spark.operators.rollup import rollup_cascade
+
+    t = transcripts_df(spark, C=BENCH_CONVS, seed=42, avg_len=BENCH_AVG_LEN).cache()
+    n_turns = t.count()  # materialize input outside the timed region
+    t0 = time.time()
+    tiers = rollup_cascade(derive_signals(t))
+    for df in tiers.values():
+        df.count()
+    wall = time.time() - t0
+    t.unpersist()
+    return n_turns / wall, n_turns
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+
+    queries = {}
+    total = 0.0
+    qs = contract.QUERIES
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        dt = round(time.time() - t0, 3)
+        queries[name] = dt
+        total += dt
+
+    tps, n_turns = rollup_throughput(spark)
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_e2e",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "rollup_turns_per_sec": round(tps),
+                "rollup_bench_turns": n_turns,
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

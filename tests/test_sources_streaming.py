@@ -1,0 +1,113 @@
+"""Artifact IO parity (.fvocab / minbpe model), streaming rollup twin,
+chronological split."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from timeseriestokenizer_spark.oracle import numpy_oracle as O
+from timeseriestokenizer_spark.oracle.numpy_oracle import TpeModel
+from timeseriestokenizer_spark.sources.bpe_model_io import (
+    load_model,
+    save_model,
+    train_or_load,
+)
+from timeseriestokenizer_spark.sources.fvocab import (
+    load_float_vocab,
+    save_float_vocab,
+    vocab_registry,
+    vocab_table,
+)
+
+
+def test_fvocab_roundtrip(tmp_path):
+    edges = np.linspace(-3.14159265, 2.71828182, 48)
+    p = str(tmp_path / "e.fvocab")
+    save_float_vocab(edges, p)
+    loaded = load_float_vocab(p)
+    # 5-decimal quantization is the format's precision (discretisize.py:187)
+    assert np.array_equal(loaded, O.fvocab_quantize(edges))
+    with open(p) as f:
+        assert f.readline().strip() == "N=49"  # header = len(edges)+1
+
+
+def test_vocab_table_roundtrip(spark):
+    reg = {"a": np.linspace(0, 1, 10), "b": np.linspace(-5, 5, 20)}
+    df = vocab_table(spark, reg)
+    back = vocab_registry(df)
+    for k in reg:
+        assert np.array_equal(back[k], reg[k])
+
+
+def test_bpe_model_text_roundtrip(tmp_path):
+    seq = [10, 15, 10, 15, 10, 15, 20, 25, 20, 25]
+    m = TpeModel(200)
+    m.train(seq, 203)
+    p = str(tmp_path / "m.model")
+    save_model(m, p, special_tokens={"<PAD>": 199, "<EBOS>": 200})
+    loaded, specials = load_model(p, 200)
+    assert loaded.merges == m.merges  # implicit ids reconstructed by order
+    assert specials == {"<PAD>": 199, "<EBOS>": 200}
+    assert loaded.encode(seq) == m.encode(seq)
+
+
+def test_train_or_load_memoization(tmp_path):
+    p = str(tmp_path / "memo.model")
+    calls = []
+
+    def _train():
+        calls.append(1)
+        m = TpeModel(50)
+        m.train([1, 2, 1, 2, 1, 2], 52)
+        return m
+
+    m1, loaded1 = train_or_load(p, 50, _train)
+    m2, loaded2 = train_or_load(p, 50, _train)
+    assert not loaded1 and loaded2  # second call hits the artifact
+    assert len(calls) == 1
+    assert m1.merges == m2.merges
+
+
+def test_streaming_rollup_matches_batch(spark, tmp_path):
+    """availableNow streaming pass over a parquet dir == batch 1m rollup for
+    the streaming-computable signals."""
+    from timeseriestokenizer_spark.datagen import transcripts_df
+    from timeseriestokenizer_spark.functions.signals import derive_signals
+    from timeseriestokenizer_spark.operators.rollup import rollup_tier
+    from timeseriestokenizer_spark.streaming.rollup_stream import run_stream_over_dir
+
+    t = transcripts_df(spark, C=10, seed=11)
+    src = str(tmp_path / "stream_src")
+    t.write.parquet(src)
+
+    got = (
+        run_stream_over_dir(
+            spark, src, t.schema, str(tmp_path / "ckpt"), "t_stream_1m"
+        )
+        .toPandas()
+        .sort_values(["conv_id", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        rollup_tier(derive_signals(t), "1m")
+        .select("conv_id", "bucket_ts", "n_turns", "sum_chars", "sum_tokens", "n_tool_calls")
+        .toPandas()
+        .sort_values(["conv_id", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+
+
+def test_chronological_split(spark):
+    from timeseriestokenizer_spark.datagen import transcripts_df
+    from timeseriestokenizer_spark.operators.split import chronological_split
+
+    t = transcripts_df(spark, C=5, seed=3)
+    s = chronological_split(t, "conv_id", ["turn_idx"]).toPandas()
+    for _, grp in s.groupby("conv_id"):
+        grp = grp.sort_values("turn_idx")
+        labels = grp["split"].tolist()
+        # ordered: train block, then val, then test
+        assert labels == sorted(labels, key=["train", "val", "test"].index)
+        frac_train = labels.count("train") / len(labels)
+        assert 0.5 <= frac_train <= 0.9

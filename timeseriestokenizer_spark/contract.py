@@ -352,6 +352,37 @@ def q_top_part_per_brand(spark, sf_dir):
     )
 
 
+def q_cube_counts(spark, sf_dir):
+    """Grouping sets: cube(event_type, day-of-month) counts (the reference's
+    manual comparison-table grid as a native cube, SURVEY §2.4 note)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("dom", F.dayofmonth("ts"))
+        .cube("event_type", "dom")
+        .agg(F.count(F.lit(1)).alias("n"), _r(F.sum("value")).alias("sum_value"))
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """Relational set ops: INTERSECT / EXCEPT over per-type user sets."""
+    ev = load(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = clickers.intersect(buyers).withColumn("op", F.lit("both"))
+    only_click = clickers.exceptAll(buyers).withColumn("op", F.lit("click_only"))
+    return both.unionByName(only_click)
+
+
+def q_distinct_counts(spark, sf_dir):
+    """A13: exact distinct counts per group (approx_count_distinct is the
+    scale path, tested engine-side — approximations have no exact oracle)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("value").alias("n_values"),
+    )
+
+
 def q_semi_anti_join(spark, sf_dir):
     """left_semi + left_anti: customers with and without orders."""
     c = load(spark, sf_dir, "customer")
@@ -1043,6 +1074,23 @@ ORACLE_SQL: dict[str, str] = {
           FROM part)
         SELECT p_brand, p_partkey, p_retailprice AS top_price FROM r WHERE rn = 1
     """,
+    "cube_counts": """
+        SELECT event_type, extract(day FROM ts) AS dom,
+               CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS sum_value
+        FROM events GROUP BY CUBE (event_type, extract(day FROM ts))
+    """,
+    "set_ops": """
+        WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+             b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        SELECT user_id, 'both' AS op FROM (SELECT * FROM c INTERSECT SELECT * FROM b)
+        UNION ALL
+        SELECT user_id, 'click_only' AS op FROM (SELECT * FROM c EXCEPT SELECT * FROM b)
+    """,
+    "distinct_counts": """
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(count(DISTINCT value) AS BIGINT) AS n_values
+        FROM events GROUP BY 1
+    """,
     "semi_anti_join": """
         SELECT 'with_orders' AS grp, c_custkey FROM customer
         WHERE c_custkey IN (SELECT o_custkey FROM orders)
@@ -1096,4 +1144,7 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "top_part_per_brand": q_top_part_per_brand,
     "semi_anti_join": q_semi_anti_join,
+    "cube_counts": q_cube_counts,
+    "set_ops": q_set_ops,
+    "distinct_counts": q_distinct_counts,
 }

@@ -111,6 +111,23 @@ def md5_fingerprint(text_col="text"):
     return F.conv(F.substring(F.md5(text_col), 1, 15), 16, 10).cast("long")
 
 
+_SANITIZE_MAP = {
+    "°": "deg", "/": "_per_", "%": "pct", "(": "", ")": "", "*": "x",
+    " ": "_", ".": "_",
+}
+
+
+def sanitize_name(col):
+    """Filename/identifier sanitizer (F5 twin of the reference's char map at
+    transform_files_into_tokens.py:94-123): special-char replacement, invalid
+    char strip, underscore collapse."""
+    out = col if not isinstance(col, str) else F.col(col)
+    for src, dst in _SANITIZE_MAP.items():
+        out = F.replace(out, F.lit(src), F.lit(dst))
+    out = F.regexp_replace(out, r"[^A-Za-z0-9_\-]", "")
+    return F.regexp_replace(out, r"_+", "_")
+
+
 ROLL_BASE = 1000003
 ROLL_MOD = (1 << 61) - 1
 

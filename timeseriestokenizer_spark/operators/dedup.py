@@ -59,21 +59,21 @@ def minhash_signature(shingles_col, n_hashes: int = 6):
     )
 
 
-def lsh_candidate_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str = "text",
-    k: int = 3,
-    n_hashes: int = 6,
-    n_bands: int = 3,
-) -> DataFrame:
-    """Banded-LSH candidate pairs (id_a < id_b), deduplicated across bands.
-    rows_per_band = n_hashes / n_bands."""
-    rows_per_band = n_hashes // n_bands
-    sig = df.select(
+def shingle_sets(df: DataFrame, id_col: str, text_col: str = "text", k: int = 3) -> DataFrame:
+    """(id, sh) with distinct k-word shingles. Cached: every downstream stage
+    (signatures, banding self-join, Jaccard verify) reuses it — without this,
+    Catalyst re-evaluates the md5/shingle expressions on BOTH sides of the
+    self-join (4x the hashing at scale)."""
+    return df.select(
         F.col(id_col).alias("id"),
-        minhash_signature(word_shingles(text_col, k), n_hashes).alias("sig"),
-    )
+        F.array_distinct(word_shingles(text_col, k)).alias("sh"),
+    ).cache()
+
+
+def _bands_from_sets(sets_: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
+    """Candidate pairs (id_a < id_b) from banded minhash signatures."""
+    rows_per_band = n_hashes // n_bands
+    sig = sets_.select("id", minhash_signature(F.col("sh"), n_hashes).alias("sig"))
     bands = sig.select(
         "id",
         F.explode(
@@ -87,7 +87,7 @@ def lsh_candidate_pairs(
                 ),
             )
         ).alias("band"),
-    ).select("id", "band.band_id", "band.band_sig")
+    ).select("id", "band.band_id", "band.band_sig").cache()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -102,6 +102,19 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 6,
+    n_bands: int = 3,
+) -> DataFrame:
+    """Banded-LSH candidate pairs (id_a < id_b), deduplicated across bands.
+    rows_per_band = n_hashes / n_bands."""
+    return _bands_from_sets(shingle_sets(df, id_col, text_col, k), n_hashes, n_bands)
+
+
 def jaccard_verified_pairs(
     df: DataFrame,
     id_col: str,
@@ -113,11 +126,8 @@ def jaccard_verified_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact shingle-set Jaccard
     (near-dup detection; only candidates pay the exact computation)."""
-    cands = lsh_candidate_pairs(df, id_col, text_col, k, n_hashes, n_bands)
-    sets_ = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(text_col, k)).alias("sh"),
-    )
+    sets_ = shingle_sets(df, id_col, text_col, k)
+    cands = _bands_from_sets(sets_, n_hashes, n_bands)
     return (
         cands.join(sets_.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sets_.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

@@ -96,7 +96,15 @@ def resumable_rollup(
     """
     from ..operators.rollup import rollup_tier
 
-    with_day = signals.withColumn("day", F.to_date("ts"))
+    # reuse a source partition column if present (days(ts) layout → the
+    # filter below prunes at the scan); otherwise derive and cache so the
+    # per-day loop doesn't rescan + re-derive signals 31 times
+    cached = False
+    if "day" in signals.columns:
+        with_day = signals
+    else:
+        with_day = signals.withColumn("day", F.to_date("ts")).persist()
+        cached = True
     days = [str(r["day"]) for r in with_day.select("day").distinct().orderBy("day").collect()]
     done = done_partitions(spark, manifest_path, run_id, tier)
     computed = []
@@ -119,4 +127,6 @@ def resumable_rollup(
             wall_s=time.time() - t0,
         )
         computed.append(day)
+    if cached:
+        with_day.unpersist()
     return computed

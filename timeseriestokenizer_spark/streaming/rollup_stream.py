@@ -1,0 +1,74 @@
+"""Structured Streaming twin of the batch 1m rollup (SURVEY §2.11 — optional
+per the north rule; included so the engine covers streaming ingestion).
+
+readStream(parquet dir) → watermark → window(ts, '1 minute') groupBy → sink.
+Late rows beyond the watermark are dropped by the state store; the batch
+cascade remains the source of truth (streaming tier feeds the hot end).
+
+The per-turn signals that need lag() (latency) are not computable in a pure
+streaming aggregation — the streaming tier carries the lag-free signals
+(counts, chars, tool-calls); latency back-fills from the batch tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_signals(stream_df: DataFrame) -> DataFrame:
+    """Per-turn streaming signals (no cross-row windows)."""
+    return (
+        stream_df.withColumn("n_chars", F.length("text").cast("long"))
+        .withColumn("n_tokens", F.size(F.split(F.trim("text"), r"\s+")).cast("long"))
+        .withColumn("is_tool_call", F.col("tool").isNotNull())
+    )
+
+
+def streaming_rollup_1m(
+    stream_df: DataFrame, watermark: str = "2 minutes"
+) -> DataFrame:
+    """Tumbling 1-minute rollup with late-data watermark."""
+    sig = stream_signals(stream_df)
+    return (
+        sig.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 minute").alias("w"), "conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum(F.col("is_tool_call").cast("long")).alias("n_tool_calls"),
+        )
+        .select(
+            "conv_id",
+            F.col("w.start").alias("bucket_ts"),
+            "n_turns",
+            "sum_chars",
+            "sum_tokens",
+            "n_tool_calls",
+        )
+    )
+
+
+def run_stream_over_dir(
+    spark,
+    input_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_table: str = "stream_rollup_1m",
+):
+    """Drive the streaming rollup over a parquet directory with
+    availableNow (bounded catch-up — processes what exists, then stops);
+    results land in an in-memory sink table for inspection/tests."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    rollup = streaming_rollup_1m(stream)
+    q = (
+        rollup.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(out_table)

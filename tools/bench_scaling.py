@@ -1,0 +1,104 @@
+"""Scaling-efficiency evidence: run the identical rollup job at two
+parallelism levels (local[8] vs local[32] — the sandbox stand-in for N and 4N
+executors, per BASELINE.json north_rule) on the same on-disk input and report
+throughput at both plus efficiency = tput(4N) / (4 * tput(N)).
+
+Protocol:
+* input: Spark-native deterministic transcripts (datagen_spark.py), written
+  to parquet ONCE — both levels scan the same files.
+* each level runs in a fresh subprocess (one JVM per level).
+* job: parquet scan → per-turn signals (lag latency, char/token counts) →
+  full 1m/5m/1h/1d rollup cascade, all tiers materialized.
+* warm-up pass then best-of-3 timing; result row-counts compared across
+  levels (determinism check: identical buckets at any parallelism).
+
+Results go to stdout as JSON and are recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+GEN = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from timeseriestokenizer_spark.session import get_spark
+from timeseriestokenizer_spark.datagen_spark import transcripts_spark
+path, convs, avg_len = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+spark = get_spark("scaling-gen", master="local[32]", shuffle_partitions=32)
+df = transcripts_spark(spark, C=convs, avg_len=avg_len, n_partitions=64)
+df.write.mode("overwrite").parquet(path)
+print("GEN", spark.read.parquet(path).count())
+"""
+
+CHILD = r"""
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+from timeseriestokenizer_spark.session import get_spark
+from timeseriestokenizer_spark.functions.signals import derive_signals
+from timeseriestokenizer_spark.operators.rollup import rollup_cascade
+
+path, cores = sys.argv[1], int(sys.argv[2])
+spark = get_spark(f"scaling-{cores}", master=f"local[{cores}]", shuffle_partitions=cores)
+
+def job():
+    t = spark.read.parquet(path)
+    tiers = rollup_cascade(derive_signals(t))
+    counts = {k: df.count() for k, df in tiers.items()}
+    return counts
+
+counts = job()  # warm-up (JIT, codegen, file listing)
+n = spark.read.parquet(path).count()
+best = None
+for _ in range(3):
+    t0 = time.time()
+    counts = job()
+    dt = time.time() - t0
+    best = dt if best is None or dt < best else best
+print(json.dumps({"cores": cores, "turns": n, "wall_s": round(best, 3),
+                  "turns_per_sec": round(n / best), "tier_buckets": counts}))
+"""
+
+
+def main():
+    convs = int(os.environ.get("SCALING_CONVS", "60000"))
+    avg_len = int(os.environ.get("SCALING_AVG_LEN", "200"))
+    path = os.environ.get("SCALING_PATH", "/tmp/scaling_transcripts")
+
+    gen = subprocess.run(
+        [sys.executable, "-c", GEN, path, str(convs), str(avg_len)],
+        capture_output=True, text=True, timeout=1800,
+    )
+    assert "GEN" in gen.stdout, gen.stderr[-2000:]
+
+    results = {}
+    for cores in (8, 32):
+        out = subprocess.run(
+            [sys.executable, "-c", CHILD, path, str(cores)],
+            capture_output=True, text=True, timeout=1800,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+
+    lo, hi = results[8], results[32]
+    eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4.0
+    print(
+        json.dumps(
+            {
+                "job": "parquet scan → signals → 1m/5m/1h/1d rollup cascade",
+                "input_turns": lo["turns"],
+                "local8": lo,
+                "local32": hi,
+                "speedup_8_to_32": round(hi["turns_per_sec"] / lo["turns_per_sec"], 3),
+                "scaling_efficiency": round(eff, 3),
+                "identical_results": lo["tier_buckets"] == hi["tier_buckets"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
