@@ -49,15 +49,17 @@ def rollup_throughput(spark) -> tuple[float, int]:
     """turns/sec through signals + full 1m/5m/1h/1d cascade on a synthetic
     transcript table (count() forces each tier)."""
     from timeseriestokenizer_spark.datagen import transcripts_df
-    from timeseriestokenizer_spark.functions.signals import derive_signals
+    from timeseriestokenizer_spark.functions.signals import signals_narrow
     from timeseriestokenizer_spark.operators.rollup import rollup_cascade
 
     t = transcripts_df(spark, C=BENCH_CONVS, seed=42, avg_len=BENCH_AVG_LEN).cache()
     n_turns = t.count()  # materialize input outside the timed region
     t0 = time.time()
-    tiers = rollup_cascade(derive_signals(t))
+    tiers = rollup_cascade(signals_narrow(t))
     for df in tiers.values():
-        df.count()
+        # noop write = full materialization (count() would let Catalyst prune
+        # the aggregate expressions and under-measure)
+        df.write.format("noop").mode("overwrite").save()
     wall = time.time() - t0
     t.unpersist()
     return n_turns / wall, n_turns

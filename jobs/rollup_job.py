@@ -31,7 +31,7 @@ def main(argv=None):
 
     from pyspark.sql import SparkSession
 
-    from timeseriestokenizer_spark.functions.signals import derive_signals
+    from timeseriestokenizer_spark.functions.signals import signals_narrow
     from timeseriestokenizer_spark.plans.manifest import resumable_rollup
 
     spark = SparkSession.builder.appName("tts-rollup").getOrCreate()
@@ -39,7 +39,7 @@ def main(argv=None):
 
     t0 = time.time()
     transcripts = spark.read.parquet(args.input)
-    signals = derive_signals(transcripts)
+    signals = signals_narrow(transcripts)
     n_turns = transcripts.count()
 
     computed = {}

@@ -20,6 +20,10 @@ from pyspark.sql import functions as F
 
 
 def derive_signals(transcripts: DataFrame) -> DataFrame:
+    """Full-fidelity signals: keeps every transcript column (incl. text, for
+    the per-turn text-equality invariant). The lag window shuffles whole rows
+    — for rollup-only pipelines use signals_narrow, which projects the text
+    down to its counts BEFORE the shuffle."""
     w = W.partitionBy("conv_id").orderBy("turn_idx")
     return (
         transcripts.withColumn(
@@ -32,4 +36,28 @@ def derive_signals(transcripts: DataFrame) -> DataFrame:
         .withColumn("n_chars", F.length("text").cast("long"))
         .withColumn("n_tokens", F.size(F.split(F.trim("text"), r"\s+")).cast("long"))
         .withColumn("is_tool_call", F.col("tool").isNotNull())
+    )
+
+
+def signals_narrow(transcripts: DataFrame) -> DataFrame:
+    """Shuffle-lean signals for rollups: text reduces to (n_chars, n_tokens)
+    row-locally BEFORE the lag window, so the per-conv shuffle carries ~40B
+    rows instead of full transcripts (~10-20x less shuffle IO at 100TB —
+    the text column never leaves the scan stage).
+
+    n_tokens counts whitespace runs (regexp_count) instead of materializing
+    a split array — same value as size(split(trim(text))), no allocation.
+    """
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    narrow = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        F.length("text").cast("long").alias("n_chars"),
+        (F.regexp_count(F.trim("text"), F.lit(r"\s+")) + 1).cast("long").alias("n_tokens"),
+        F.col("tool").isNotNull().alias("is_tool_call"),
+    )
+    return narrow.withColumn(
+        "latency_s",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).cast("double") / 1e6,
     )

@@ -35,27 +35,35 @@ print("GEN", spark.read.parquet(path).count())
 """
 
 CHILD = r"""
-import json, sys, time
+import json, shutil, sys, time
 sys.path.insert(0, "/root/repo")
 from timeseriestokenizer_spark.session import get_spark
-from timeseriestokenizer_spark.functions.signals import derive_signals
-from timeseriestokenizer_spark.operators.rollup import rollup_cascade
+from timeseriestokenizer_spark.functions.signals import signals_narrow
+from timeseriestokenizer_spark.operators.rollup import rollup_from_finer, rollup_tier
 
 path, cores = sys.argv[1], int(sys.argv[2])
 spark = get_spark(f"scaling-{cores}", master=f"local[{cores}]", shuffle_partitions=cores)
+work = f"/tmp/scaling_tiers_{cores}"
 
 def job():
+    # production shape: each tier PERSISTS and the next derives from storage —
+    # raw data is scanned exactly once (writing also defeats Catalyst's
+    # aggregate pruning, so the full rollup state is really computed)
+    shutil.rmtree(work, ignore_errors=True)
     t = spark.read.parquet(path)
-    tiers = rollup_cascade(derive_signals(t))
-    counts = {k: df.count() for k, df in tiers.items()}
-    return counts
+    rollup_tier(signals_narrow(t), "1m").write.parquet(f"{work}/1m")
+    prev = spark.read.parquet(f"{work}/1m")
+    for tier in ["5m", "1h", "1d"]:
+        rollup_from_finer(prev, tier).write.parquet(f"{work}/{tier}")
+        prev = spark.read.parquet(f"{work}/{tier}")
 
-counts = job()  # warm-up (JIT, codegen, file listing)
+job()  # warm-up (JIT, codegen, file listing)
+counts = {k: spark.read.parquet(f"{work}/{k}").count() for k in ["1m", "5m", "1h", "1d"]}
 n = spark.read.parquet(path).count()
 best = None
 for _ in range(3):
     t0 = time.time()
-    counts = job()
+    job()
     dt = time.time() - t0
     best = dt if best is None or dt < best else best
 print(json.dumps({"cores": cores, "turns": n, "wall_s": round(best, 3),
@@ -68,11 +76,12 @@ def main():
     avg_len = int(os.environ.get("SCALING_AVG_LEN", "200"))
     path = os.environ.get("SCALING_PATH", "/tmp/scaling_transcripts")
 
-    gen = subprocess.run(
-        [sys.executable, "-c", GEN, path, str(convs), str(avg_len)],
-        capture_output=True, text=True, timeout=1800,
-    )
-    assert "GEN" in gen.stdout, gen.stderr[-2000:]
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        gen = subprocess.run(
+            [sys.executable, "-c", GEN, path, str(convs), str(avg_len)],
+            capture_output=True, text=True, timeout=1800,
+        )
+        assert "GEN" in gen.stdout, gen.stderr[-2000:]
 
     results = {}
     for cores in (8, 32):
