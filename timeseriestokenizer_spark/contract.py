@@ -352,6 +352,22 @@ def q_top_part_per_brand(spark, sf_dir):
     )
 
 
+def q_pivot_counts(spark, sf_dir):
+    """Pivot: per-user event-type count matrix (the reference's 60-table
+    comparison grid is a pivot, generate_comparison_tables.py:342-366)."""
+    ev = load(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .select(
+            "user_id", *[F.col(t).cast("long").alias(f"n_{t}") for t in types]
+        )
+    )
+
+
 def q_cube_counts(spark, sf_dir):
     """Grouping sets: cube(event_type, day-of-month) counts (the reference's
     manual comparison-table grid as a native cube, SURVEY §2.4 note)."""
@@ -1074,6 +1090,15 @@ ORACLE_SQL: dict[str, str] = {
           FROM part)
         SELECT p_brand, p_partkey, p_retailprice AS top_price FROM r WHERE rn = 1
     """,
+    "pivot_counts": """
+        SELECT user_id,
+               CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+               CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+               CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+               CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+               CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error
+        FROM events GROUP BY 1
+    """,
     "cube_counts": """
         SELECT event_type, extract(day FROM ts) AS dom,
                CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS sum_value
@@ -1144,6 +1169,7 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "top_part_per_brand": q_top_part_per_brand,
     "semi_anti_join": q_semi_anti_join,
+    "pivot_counts": q_pivot_counts,
     "cube_counts": q_cube_counts,
     "set_ops": q_set_ops,
     "distinct_counts": q_distinct_counts,

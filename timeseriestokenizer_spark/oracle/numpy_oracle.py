@@ -214,6 +214,19 @@ def chronos_rebin(x: np.ndarray, edges: np.ndarray) -> np.ndarray:
     return np.clip(sym, 0, len(edges) - 1)
 
 
+def insert_special_tokens(symbols, special_at: dict[int, int]) -> list[int]:
+    """Reference-verbatim special-token insertion
+    (utils/discretisize.py:28-31): loop data_st indices ASCENDING and
+    np.insert at the RAW index each time. Because earlier inserts shift the
+    array, later specials land `#prior-specials` positions before their
+    nominal slot — that drift is the reference's actual behavior and parity
+    requires reproducing it exactly (SURVEY §4.3.5)."""
+    out = [int(s) for s in symbols]
+    for index in sorted(special_at):
+        out.insert(index, int(special_at[index]))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Scaling (StandardScaler semantics)
 # ---------------------------------------------------------------------------
