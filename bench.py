@@ -41,27 +41,33 @@ HEADLINE = [
     "revenue_by_nation",
 ]
 
-BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "1500"))
+BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "20000"))
 BENCH_AVG_LEN = int(os.environ.get("BENCH_AVG_LEN", "200"))
 
 
 def rollup_throughput(spark) -> tuple[float, int]:
-    """turns/sec through signals + full 1m/5m/1h/1d cascade on a synthetic
-    transcript table (count() forces each tier)."""
-    from timeseriestokenizer_spark.datagen import transcripts_df
-    from timeseriestokenizer_spark.functions.signals import signals_narrow
-    from timeseriestokenizer_spark.operators.rollup import rollup_cascade
+    """turns/sec through signals + the persisted 1m/5m/1h/1d cascade (same
+    protocol as tools/bench_scaling.py: each tier WRITES and the next derives
+    from storage — raw data scanned once, full state really materialized)."""
+    import shutil
+    import tempfile
 
-    t = transcripts_df(spark, C=BENCH_CONVS, seed=42, avg_len=BENCH_AVG_LEN).cache()
+    from timeseriestokenizer_spark.datagen_spark import transcripts_spark
+    from timeseriestokenizer_spark.functions.signals import signals_narrow
+    from timeseriestokenizer_spark.operators.rollup import rollup_from_finer, rollup_tier
+
+    t = transcripts_spark(spark, C=BENCH_CONVS, avg_len=BENCH_AVG_LEN, seed=42).cache()
     n_turns = t.count()  # materialize input outside the timed region
+    work = tempfile.mkdtemp(prefix="bench_tiers_")
     t0 = time.time()
-    tiers = rollup_cascade(signals_narrow(t))
-    for df in tiers.values():
-        # noop write = full materialization (count() would let Catalyst prune
-        # the aggregate expressions and under-measure)
-        df.write.format("noop").mode("overwrite").save()
+    rollup_tier(signals_narrow(t), "1m").write.parquet(f"{work}/1m")
+    prev = spark.read.parquet(f"{work}/1m")
+    for tier in ["5m", "1h", "1d"]:
+        rollup_from_finer(prev, tier).write.parquet(f"{work}/{tier}")
+        prev = spark.read.parquet(f"{work}/{tier}")
     wall = time.time() - t0
     t.unpersist()
+    shutil.rmtree(work, ignore_errors=True)
     return n_turns / wall, n_turns
 
 

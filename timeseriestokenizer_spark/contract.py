@@ -597,7 +597,7 @@ def q_tpe_compression(spark, sf_dir):
     """B2/B3/B4: per-series TPE train→encode→decode over quantized event
     values; reports compression and roundtrip correctness per user."""
     from .functions.quantize import fit_edges, make_quantize_udf
-    from .operators.tpe import models_to_registry, tpe_decode, tpe_encode, tpe_train
+    from .operators.tpe import tpe_roundtrip_stats
 
     ev = load(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("string"))
     edges = fit_edges(ev, "uid", "value", N_BINS)
@@ -605,25 +605,12 @@ def q_tpe_compression(spark, sf_dir):
     tok = ev.select(
         "uid", F.col("event_id").alias("pos"), q("uid", "value").alias("token")
     )
-    models = tpe_train(tok, "uid", "token", "pos", N_BINS + 30, N_BINS)
-    reg = models_to_registry(models)
-    enc = tpe_encode(spark, tok, "uid", "token", "pos", registry=reg)
-    dec = tpe_decode(spark, enc, registry=reg)
-    orig = tok.groupBy("uid").agg(
-        F.count(F.lit(1)).alias("in_len"),
-        F.expr("transform(array_sort(collect_list(struct(pos, token))), x -> x.token)").alias("orig"),
-    )
-    return (
-        enc.select("series_id", F.col("n_tokens").alias("out_len"))
-        .join(dec.select("series_id", "tokens"), "series_id")
-        .join(orig.withColumnRenamed("uid", "series_id"), "series_id")
-        .select(
-            F.col("series_id").cast("long").alias("user_id"),
-            "in_len",
-            "out_len",
-            F.round(F.col("in_len") / F.col("out_len"), 4).alias("compression"),
-            (F.col("tokens") == F.col("orig")).alias("roundtrip_ok"),
-        )
+    return tpe_roundtrip_stats(tok, "uid", "token", "pos", N_BINS + 30, N_BINS).select(
+        F.col("series_id").cast("long").alias("user_id"),
+        "in_len",
+        "out_len",
+        F.round("compression", 4).alias("compression"),
+        "roundtrip_ok",
     )
 
 

@@ -195,6 +195,53 @@ def train_universal(
     return model
 
 
+STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("series_id", T.StringType()),
+        T.StructField("in_len", T.LongType()),
+        T.StructField("out_len", T.LongType()),
+        T.StructField("n_merges", T.IntegerType()),
+        T.StructField("compression", T.DoubleType()),
+        T.StructField("roundtrip_ok", T.BooleanType()),
+    ]
+)
+
+
+def tpe_roundtrip_stats(
+    df: DataFrame,
+    key: str,
+    token_col: str,
+    order_col: str,
+    target_vocab_size: int,
+    actual_vocab_size: int,
+) -> DataFrame:
+    """Fused train→encode→decode→verify in ONE grouped pass (one shuffle).
+
+    The separate tpe_train/tpe_encode/tpe_decode operators exist for
+    pipelines that persist/broadcast models; when the goal is per-series
+    compression stats + roundtrip verification, fusing avoids two extra
+    exchanges and the driver-side models collect (BENCH/PLANS.md §6)."""
+
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="stable")
+        toks = pdf[token_col].to_numpy(dtype=np.int64).tolist()
+        model = TpeModel(actual_vocab_size)
+        out = model.train(toks, target_vocab_size)
+        ok = model.decode(model.encode(toks)) == toks
+        return pd.DataFrame(
+            {
+                "series_id": [pdf[key].iloc[0]],
+                "in_len": [len(toks)],
+                "out_len": [len(out)],
+                "n_merges": [len(model.merges)],
+                "compression": [len(toks) / len(out) if out else 0.0],
+                "roundtrip_ok": [ok],
+            }
+        )
+
+    return df.select(key, order_col, token_col).groupBy(key).applyInPandas(_run, STATS_SCHEMA)
+
+
 def tokens_to_rows(tokens_df: DataFrame) -> DataFrame:
     """(series_id, tokens array) -> exploded (series_id, pos, token)."""
     return tokens_df.select(
