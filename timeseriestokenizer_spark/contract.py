@@ -614,6 +614,60 @@ def q_tpe_compression(spark, sf_dir):
     )
 
 
+def q_universal_vocab(spark, sf_dir):
+    """B2 universal mode (process_chronos_dataset.py:330-353): one global
+    merge order trained driver-side on a canonical capped sample, broadcast,
+    applied to every series. Rows-only (BPE is not SQL-expressible)."""
+    from .functions.quantize import fit_edges, make_quantize_udf
+    from .operators.tpe import tpe_decode, tpe_encode, train_universal
+
+    ev = load(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("string"))
+    edges = fit_edges(ev, "uid", "value", N_BINS)
+    q = make_quantize_udf(spark, edges)
+    tok = ev.select("uid", F.col("event_id").alias("pos"), q("uid", "value").alias("token"))
+    model = train_universal(tok, "uid", "token", "pos", N_BINS + 40, N_BINS, max_rows=20000)
+    enc = tpe_encode(spark, tok, "uid", "token", "pos", model=model)
+    dec = tpe_decode(spark, enc, model=model)
+    orig = tok.groupBy("uid").agg(
+        F.count(F.lit(1)).alias("in_len"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, token))), x -> x.token)"
+        ).alias("orig"),
+    )
+    return (
+        enc.select("series_id", F.col("n_tokens").alias("out_len"))
+        .join(dec.select("series_id", "tokens"), "series_id")
+        .join(orig.withColumnRenamed("uid", "series_id"), "series_id")
+        .select(
+            F.col("series_id").cast("long").alias("user_id"),
+            "in_len",
+            "out_len",
+            (F.col("tokens") == F.col("orig")).alias("roundtrip_ok"),
+            F.lit(len(model.merges)).alias("n_universal_merges"),
+        )
+    )
+
+
+def q_adaptive_quantize(spark, sf_dir):
+    """A6: adaptive (density-proportional) binning per series — rows-only
+    (the allocation/repair loop is not SQL-expressible; oracle parity is
+    pytest-verified against the vendored algorithm)."""
+    from .functions.quantize import fit_edges, make_quantize_udf
+
+    ev = load(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("string"))
+    edges = fit_edges(ev, "uid", "value", 32, kind="adaptive")
+    q = make_quantize_udf(spark, edges)
+    return (
+        ev.withColumn("token", q("uid", "value"))
+        .groupBy("user_id")
+        .agg(
+            F.min("token").alias("min_token"),
+            F.max("token").alias("max_token"),
+            F.countDistinct("token").alias("n_distinct_tokens"),
+        )
+    )
+
+
 def q_gorilla_roundtrip(spark, sf_dir):
     """Cold-tier Gorilla pack/unpack per user: compression stats + exactness."""
     from .operators.gorilla import gorilla_pack, gorilla_unpack
@@ -1136,6 +1190,8 @@ QUERIES = {
     "gapfill_locf": q_gapfill_locf,
     "ebos_marks": q_ebos_marks,
     "tpe_compression": q_tpe_compression,
+    "universal_vocab": q_universal_vocab,
+    "adaptive_quantize": q_adaptive_quantize,
     "gorilla_roundtrip": q_gorilla_roundtrip,
     "rollup_1m": q_rollup_1m,
     "rollup_1h_cascade": q_rollup_1h_cascade,
