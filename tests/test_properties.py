@@ -96,6 +96,9 @@ def test_scale_inverse_property(values):
 )
 def test_adaptive_bins_edge_count_property(values, n_bins, k):
     edges, sym, alloc = O.adaptive_bins_discretize(np.array(values), N=n_bins, K=k)
+    # the reference guarantees the EDGE count after the repair loop; the
+    # allocation itself may overshoot n_bins (the zero-bump at
+    # utils/discretisize.py:99 can push rem negative — repair trims edges)
     assert len(edges) == n_bins
-    assert int(alloc.sum()) == n_bins
+    assert int(alloc.sum()) >= n_bins
     assert np.all(np.diff(edges) >= 0)

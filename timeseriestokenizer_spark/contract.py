@@ -26,6 +26,10 @@ from pyspark.sql import functions as F
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # queries that cast TIMESTAMP_NTZ → TIMESTAMP depend on the session
+    # timezone; pin UTC so results match the (timezone-naive) DuckDB oracle
+    # regardless of how the calling session was built
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

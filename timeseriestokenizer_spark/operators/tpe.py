@@ -222,24 +222,35 @@ def tpe_roundtrip_stats(
     compression stats + roundtrip verification, fusing avoids two extra
     exchanges and the driver-side models collect (BENCH/PLANS.md §6)."""
 
-    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col, kind="stable")
-        toks = pdf[token_col].to_numpy(dtype=np.int64).tolist()
-        model = TpeModel(actual_vocab_size)
-        out = model.train(toks, target_vocab_size)
-        ok = model.decode(model.encode(toks)) == toks
-        return pd.DataFrame(
-            {
-                "series_id": [pdf[key].iloc[0]],
-                "in_len": [len(toks)],
-                "out_len": [len(out)],
-                "n_merges": [len(model.merges)],
-                "compression": [len(toks) / len(out) if out else 0.0],
-                "roundtrip_ok": [ok],
-            }
-        )
+    # collapse each series to an ordered token array JVM-side, then run the
+    # Python BPE over BATCHES of series (mapInPandas) — per-group grouped-map
+    # dispatch costs ~5ms/group, which dominates when series are short
+    # (1500 groups: 12s grouped-map → ~1s batched)
+    seqs = df.groupBy(F.col(key).alias("series_id")).agg(
+        F.expr(
+            f"transform(array_sort(collect_list(struct({order_col} as o, {token_col} as t))), x -> x.t)"
+        ).alias("toks")
+    )
 
-    return df.select(key, order_col, token_col).groupBy(key).applyInPandas(_run, STATS_SCHEMA)
+    def _run(batches):
+        for pdf in batches:
+            rows = []
+            for sid, toks in zip(pdf["series_id"], pdf["toks"]):
+                toks = [int(t) for t in toks]
+                model = TpeModel(actual_vocab_size)
+                out = model.train(toks, target_vocab_size)
+                ok = model.decode(model.encode(toks)) == toks
+                rows.append(
+                    (sid, len(toks), len(out), len(model.merges),
+                     len(toks) / len(out) if out else 0.0, ok)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["series_id", "in_len", "out_len", "n_merges",
+                         "compression", "roundtrip_ok"],
+            )
+
+    return seqs.mapInPandas(_run, STATS_SCHEMA)
 
 
 def tokens_to_rows(tokens_df: DataFrame) -> DataFrame:
