@@ -1,0 +1,100 @@
+"""Streaming semantics: watermark drops late rows; composite-key Gorilla
+packing bounds groups; approx_count_distinct sanity (scale path of A13)."""
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.types as T
+from pyspark.sql import functions as F
+
+from timeseriestokenizer_spark.operators.gorilla import gorilla_pack, gorilla_unpack
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """Two micro-batches: the second contains a row far older than the
+    watermark — in append mode its window is already finalized/expired and
+    the late row must not create or update a bucket."""
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    base = pd.Timestamp("2026-01-01 00:00:00")
+
+    def write_batch(rows, name):
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        spark.createDataFrame(pdf, schema=schema).write.mode("append").parquet(src)
+
+    # batch 1: on-time rows spanning 90 minutes (watermark = max_ts - 2m)
+    write_batch(
+        [("c", i, "user", "hello world", None, base + pd.Timedelta(minutes=i)) for i in range(90)],
+        "b1",
+    )
+
+    from timeseriestokenizer_spark.streaming.rollup_stream import streaming_rollup_1m
+
+    sink = str(tmp_path / "sink")
+
+    def run_pass():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .transform(lambda df: streaming_rollup_1m(df, watermark="2 minutes"))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_pass()
+    n1 = spark.read.parquet(sink).count()
+
+    # batch 2: one very-late row (t=+5m, an hour behind the watermark)
+    write_batch([("c", 999, "user", "late row", None, base + pd.Timedelta(minutes=5))], "b2")
+    run_pass()
+    out = spark.read.parquet(sink).toPandas()
+    bucket5 = out[out.bucket_ts == base + pd.Timedelta(minutes=5)]
+    # the late row was dropped: its bucket still reports the on-time count
+    assert (bucket5["n_turns"] == 1).all()
+    assert len(out) >= n1
+
+
+def test_gorilla_composite_key(spark):
+    rng = np.random.RandomState(3)
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["a"] * 100 + ["a"] * 100,
+            "day": ["d1"] * 100 + ["d2"] * 100,
+            "ts": pd.to_datetime(np.arange(200) * 10**6, unit="us"),
+            "value": np.floor(rng.standard_normal(200) * 10),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    packed = gorilla_pack(df, ["conv_id", "day"], "ts", "value")
+    rows = {r["series_id"]: r for r in packed.collect()}
+    assert set(rows) == {"a|d1", "a|d2"}  # one bounded group per (conv, day)
+    assert all(r["n_points"] == 100 for r in rows.values())
+    back = gorilla_unpack(packed).toPandas()
+    assert len(back) == 200
+    assert np.array_equal(
+        np.sort(back["value"].to_numpy()), np.sort(pdf["value"].to_numpy())
+    )
+
+
+def test_approx_count_distinct_sanity(spark):
+    df = spark.range(100000).select((F.col("id") % 5000).alias("v"))
+    exact = df.select(F.countDistinct("v")).first()[0]
+    approx = df.select(F.approx_count_distinct("v", 0.02)).first()[0]
+    assert exact == 5000
+    assert abs(approx - exact) / exact < 0.05

@@ -61,8 +61,17 @@ def make_scale_udf(spark, registry: dict[str, tuple[float, float]], inverse: boo
     @pandas_udf("double")
     def _udf(keys: pd.Series, values: pd.Series) -> pd.Series:
         reg = bc.value
-        means = keys.map(lambda k: reg.get(k, (0.0, 1.0))[0]).to_numpy(dtype=np.float64)
-        stds = keys.map(lambda k: reg.get(k, (0.0, 1.0))[1]).to_numpy(dtype=np.float64)
+
+        def _lookup(k):
+            if k not in reg:
+                raise KeyError(
+                    f"series {k!r} has no fitted scaler — fit_scalers must "
+                    "cover every series before scaling"
+                )
+            return reg[k]
+
+        means = keys.map(lambda k: _lookup(k)[0]).to_numpy(dtype=np.float64)
+        stds = keys.map(lambda k: _lookup(k)[1]).to_numpy(dtype=np.float64)
         x = values.to_numpy(dtype=np.float64)
         out = x * stds + means if inverse else (x - means) / stds
         return pd.Series(out)

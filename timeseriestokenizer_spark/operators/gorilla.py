@@ -185,18 +185,25 @@ PACKED_SCHEMA = T.StructType(
 )
 
 
-def gorilla_pack(df: DataFrame, key: str, ts_col: str, val_col: str) -> DataFrame:
-    """Pack each series' (ts, value) stream. At scale, key should be
-    (conv_id, day-bucket) so groups stay bounded; sort is local per group."""
+def gorilla_pack(
+    df: DataFrame, key: str | list[str], ts_col: str, val_col: str
+) -> DataFrame:
+    """Pack each series' (ts, value) stream. Pass a composite key like
+    ``["conv_id", "day"]`` to bound groups at scale (an unbounded hot
+    conversation otherwise concentrates in one task — the grouped-map analog
+    of the salting note in operators/salting.py); series_id in the output is
+    the '|'-joined key."""
+    keys = [key] if isinstance(key, str) else list(key)
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col, kind="stable")
         ts = pdf[ts_col].astype("datetime64[us]").astype(np.int64).to_numpy()
         vals = pdf[val_col].to_numpy(dtype=np.float64)
         blob = pack_series(ts, vals)
+        sid = "|".join(str(pdf[k].iloc[0]) for k in keys)
         return pd.DataFrame(
             {
-                "series_id": [pdf[key].iloc[0]],
+                "series_id": [sid],
                 "n_points": [len(ts)],
                 "raw_bytes": [len(ts) * 16],
                 "packed_bytes": [len(blob)],
@@ -204,7 +211,9 @@ def gorilla_pack(df: DataFrame, key: str, ts_col: str, val_col: str) -> DataFram
             }
         )
 
-    return df.select(key, ts_col, val_col).groupBy(key).applyInPandas(_pack, PACKED_SCHEMA)
+    return df.select(*keys, ts_col, val_col).groupBy(*keys).applyInPandas(
+        _pack, PACKED_SCHEMA
+    )
 
 
 UNPACKED_SCHEMA = T.StructType(
