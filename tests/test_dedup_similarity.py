@@ -123,6 +123,18 @@ def test_ivf_topk(spark, vectors):
     assert len(eset & aset) / len(eset) >= 0.6
 
 
+def test_cosine_near_dup_lsh_vs_exact(spark, vectors):
+    from timeseriestokenizer_spark.operators.similarity import cosine_near_dup_pairs
+
+    exact = cosine_near_dup_pairs(vectors, threshold=0.97, use_lsh=False).toPandas()
+    lsh = cosine_near_dup_pairs(vectors, threshold=0.97, use_lsh=True, n_planes=6).toPandas()
+    eset = {(r.id_a, r.id_b) for r in exact.itertuples()}
+    aset = {(r.id_a, r.id_b) for r in lsh.itertuples()}
+    assert aset <= eset  # LSH never invents pairs (exact verify)
+    assert len(eset) > 0
+    assert len(eset & aset) / len(eset) >= 0.5  # same-bucket recall on clusters
+
+
 def test_with_norm(spark, vectors):
     out = with_norm(vectors).toPandas()
     v0 = np.array(out.iloc[0]["embedding"], dtype=np.float64)

@@ -811,6 +811,17 @@ def q_ann_bruteforce(spark, sf_dir):
     return brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=5)
 
 
+def q_cosine_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exhaustive variant so the O(n²)
+    DuckDB oracle is an exact twin; the LSH-bucketed scale path of the same
+    operator is engine-tested in test_dedup_similarity)."""
+    from .operators.similarity import cosine_near_dup_pairs
+
+    return cosine_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.35, use_lsh=False
+    )
+
+
 def q_ann_lsh_buckets(spark, sf_dir):
     """Random-hyperplane LSH bucket assignment (seeded plane literals shared
     with the oracle; the scale path for similarity search)."""
@@ -986,6 +997,17 @@ ORACLE_SQL: dict[str, str] = {
         FROM embeddings GROUP BY 1
     """,
     "ann_bruteforce": _ANN_BRUTE_SQL,
+    "cosine_near_dup": """
+        WITH vecs AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+        FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+    """,
     "ann_lsh_buckets": None,  # filled below (needs plane literals)
     "quantize_tokens": _QUANTIZE_SQL,
     "dequantize_recon": _DEQUANTIZE_SQL,
@@ -1188,6 +1210,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "embed_norms": q_embed_norms,
     "ann_bruteforce": q_ann_bruteforce,
+    "cosine_near_dup": q_cosine_near_dup,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "quantize_tokens": q_quantize_tokens,
     "dequantize_recon": q_dequantize_recon,

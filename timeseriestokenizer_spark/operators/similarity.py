@@ -123,6 +123,48 @@ def lsh_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    use_lsh: bool = True,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ threshold).
+
+    use_lsh=True (the scale path) generates candidates only within a
+    random-hyperplane bucket before the exact cosine verify — linear shuffle,
+    quadratic work confined to buckets, at the cost of recall < 1 for pairs
+    straddling a hyperplane. use_lsh=False is the exhaustive baseline
+    (exact recall; only for dimension-sized inputs or within-bucket use).
+    """
+    v = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    if use_lsh:
+        dim = len(df.select(vec_col).first()[0])
+        planes = random_planes(dim, n_planes, seed)
+        v = v.withColumn("bucket", lsh_bucket_expr("v", planes))
+        a, b = v.alias("a"), v.alias("b")
+        cand = a.join(
+            b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+        )
+    else:
+        a, b = v.alias("a"), v.alias("b")
+        cand = a.join(b, F.col("a.id") < F.col("b.id"))
+    scored = cand.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        (
+            dot(F.col("a.v"), F.col("b.v"))
+            / (norm(F.col("a.v")) * norm(F.col("b.v")))
+        ).alias("cos_raw"),
+    )
+    return scored.filter(F.col("cos_raw") >= threshold).select(
+        "id_a", "id_b", F.round("cos_raw", 6).alias("cosine")
+    )
+
+
 def train_centroids(
     df: DataFrame, vec_col="embedding", n_cells=8, n_iter=5, sample_n=2000, seed=42
 ) -> np.ndarray:
