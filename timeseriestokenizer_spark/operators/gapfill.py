@@ -22,20 +22,49 @@ from pyspark.sql import functions as F
 
 
 def calendar_spine(
-    df: DataFrame, key: str, ts_col: str, freq_seconds: int
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    freq_seconds: int,
+    max_slots_per_series: int | None = 10_000_000,
 ) -> DataFrame:
-    """Per-key dense spine: one row per freq-aligned slot in [min, max]."""
-    return (
-        df.groupBy(key)
-        .agg(F.min(ts_col).alias("_min_ts"), F.max(ts_col).alias("_max_ts"))
-        .select(
-            key,
-            F.explode(
-                F.sequence(
-                    "_min_ts", "_max_ts", F.expr(f"interval {freq_seconds} seconds")
-                )
-            ).alias("slot_ts"),
+    """Per-key dense spine: one row per freq-aligned slot in [min, max].
+
+    max_slots_per_series guards the explode at scale: a series whose span /
+    freq exceeds it (e.g. a year-long conversation gap-filled at 1s) fails
+    fast with a named error instead of materializing billions of rows in one
+    task — pick the tier frequency that matches the span, or pass None to
+    disable."""
+    ext = df.groupBy(key).agg(
+        F.min(ts_col).alias("_min_ts"), F.max(ts_col).alias("_max_ts")
+    )
+    start = F.col("_min_ts")
+    if max_slots_per_series is not None:
+        n_slots = (
+            F.unix_timestamp(F.col("_max_ts").cast("timestamp"))
+            - F.unix_timestamp(F.col("_min_ts").cast("timestamp"))
+        ) / freq_seconds
+        msg = F.concat(
+            F.lit("gap-fill spine for series "),
+            F.col(key).cast("string"),
+            F.lit(
+                f" exceeds {max_slots_per_series} slots at freq={freq_seconds}s"
+                " — use a coarser tier frequency or raise max_slots_per_series"
+            ),
         )
+        # the assertion rides the sequence's start argument so Catalyst can't
+        # prune it (assert_true returns NULL on success)
+        start = F.when(
+            F.assert_true(n_slots <= max_slots_per_series, msg).isNull(),
+            F.col("_min_ts"),
+        )
+    return ext.select(
+        key,
+        F.explode(
+            F.sequence(
+                start, F.col("_max_ts"), F.expr(f"interval {freq_seconds} seconds")
+            )
+        ).alias("slot_ts"),
     )
 
 
