@@ -597,6 +597,24 @@ FROM marked GROUP BY 1
 # ---------------------------------------------------------------------------
 
 
+def q_retention_split(spark, sf_dir):
+    """Retention TTL split over the hourly tier (operators/retention.py):
+    buckets within 10 days of the dataset's max ts stay hot; the rest expire
+    toward the Gorilla cold tier."""
+    from .operators.retention import split_expired
+
+    ev = load(spark, sf_dir, "events")
+    t1h = ev.groupBy(
+        F.col("user_id").alias("conv_id"),
+        F.date_trunc("hour", "ts").alias("bucket_ts"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    now = ev.agg(F.max("ts")).first()[0]
+    hot, expired = split_expired(t1h, now, keep_seconds=10 * 86400)
+    return hot.withColumn("state", F.lit("hot")).unionByName(
+        expired.withColumn("state", F.lit("expired"))
+    ).select(F.col("conv_id").alias("user_id"), "bucket_ts", "n_events", "state")
+
+
 def q_tpe_compression(spark, sf_dir):
     """B2/B3/B4: per-series TPE train→encode→decode over quantized event
     values; reports compression and roundtrip correctness per user."""
@@ -1011,6 +1029,17 @@ ORACLE_SQL: dict[str, str] = {
     "ann_lsh_buckets": None,  # filled below (needs plane literals)
     "quantize_tokens": _QUANTIZE_SQL,
     "dequantize_recon": _DEQUANTIZE_SQL,
+    "retention_split": """
+        WITH t1h AS (
+          SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1, 2),
+        mx AS (SELECT max(ts) AS now_ts FROM events)
+        SELECT user_id, bucket_ts, n_events,
+               CASE WHEN bucket_ts >= now_ts - INTERVAL 10 DAY
+                    THEN 'hot' ELSE 'expired' END AS state
+        FROM t1h, mx
+    """,
     "gapfill_locf": _GAPFILL_SQL,
     "ebos_marks": _EBOS_SQL,
     "rollup_1m": _ROLLUP_SQL.format(unit="minute"),
@@ -1216,6 +1245,7 @@ QUERIES = {
     "dequantize_recon": q_dequantize_recon,
     "gapfill_locf": q_gapfill_locf,
     "ebos_marks": q_ebos_marks,
+    "retention_split": q_retention_split,
     "tpe_compression": q_tpe_compression,
     "universal_vocab": q_universal_vocab,
     "adaptive_quantize": q_adaptive_quantize,
