@@ -94,6 +94,40 @@ def tpe_train(
     )
 
 
+def tpe_train_resumable(
+    df: DataFrame,
+    key: str,
+    token_col: str,
+    order_col: str,
+    target_vocab_size: int,
+    actual_vocab_size: int,
+    models_path: str,
+) -> DataFrame:
+    """Distributed train-or-load (reference B8 memoization,
+    transform_files_into_tokens.py:294-300, generalized from one .model file
+    to a models table): series already present in the models table are
+    anti-joined away; only the remainder trains, and its models append. A
+    killed run resumes without retraining finished series.
+
+    Returns the complete models DataFrame (existing ∪ newly trained)."""
+    import os
+
+    spark = df.sparkSession
+    existing = None
+    if os.path.exists(models_path):
+        try:
+            existing = spark.read.parquet(models_path)
+        except Exception:
+            existing = None
+    todo = df
+    if existing is not None:
+        done_keys = existing.select(F.col("series_id").alias(key))
+        todo = df.join(F.broadcast(done_keys), key, "left_anti")
+    fresh = tpe_train(todo, key, token_col, order_col, target_vocab_size, actual_vocab_size)
+    fresh.write.mode("append").parquet(models_path)
+    return spark.read.parquet(models_path)
+
+
 def models_to_registry(models: DataFrame) -> dict[str, TpeModel]:
     """Collect the models table to {series: TpeModel} (broadcast side)."""
     reg: dict[str, TpeModel] = {}

@@ -88,76 +88,65 @@ def adaptive_bins_discretize(x, N=10, K=3):
     smallest-local-gap-merge repair until exactly ``n_bins`` edges, and
     symbols = digitize(x, edges, right=True) + 1.
     """
-    n_bins = N
     x = np.asarray(x, dtype=np.float64).ravel()
-    xmin, xmax = x.min(), x.max()
+    lo, hi = x.min(), x.max()
 
-    coarse_edges = np.linspace(xmin, xmax, K + 1)
-    counts, _ = np.histogram(x, bins=coarse_edges)
-    total = counts.sum()
-    if total == 0:
-        edges = np.linspace(xmin, xmax, n_bins + 1)[1:-1]
-        return edges, np.ones_like(x, int), np.zeros(K, int)
+    # K equal-width pre-divisions; per-region density weights
+    region_bounds = np.linspace(lo, hi, K + 1)
+    density, _ = np.histogram(x, bins=region_bounds)
+    if density.sum() == 0:
+        cuts = np.linspace(lo, hi, N + 1)[1:-1]
+        return cuts, np.ones_like(x, int), np.zeros(K, int)
 
-    desired = counts / total * n_bins
-    epsilon = 1e-10
-    base = np.floor(desired).astype(int)
-    base[(desired > epsilon) & (base == 0)] = 1
-    rem = n_bins - base.sum()
-    frac = desired - base
-    order = np.argsort(-frac)
-    for idx in order:
-        if rem == 0:
+    # proportional floor allocation; any region with even a trace of mass
+    # gets at least one bin; leftovers go to the largest fractional parts
+    # (never to empty regions)
+    want = density / density.sum() * N
+    quota = np.floor(want).astype(int)
+    quota[(want > 1e-10) & (quota == 0)] = 1
+    leftover = N - quota.sum()
+    for region in np.argsort(quota - want):  # ascending(quota-want) == desc frac
+        if leftover == 0:
             break
-        if counts[idx] > 0:
-            base[idx] += 1
-            rem -= 1
-    alloc = base
+        if density[region] > 0:
+            quota[region] += 1
+            leftover -= 1
 
-    edges: list[float] = []
-    for k in range(K):
-        m_k = alloc[k]
-        if m_k <= 1:
-            continue
-        a, b = coarse_edges[k], coarse_edges[k + 1]
-        inner = np.linspace(a, b, m_k + 1)[1:-1]
-        edges.extend(inner.tolist())
-    for k in range(1, K):
-        if alloc[k - 1] > 0 and alloc[k] > 0:
-            edges.append(coarse_edges[k - 1])
-    if len(edges) < n_bins:
-        edges.append(coarse_edges[K])
+    # equal-width interior cuts inside each region, plus shared boundaries
+    cut_list: list[float] = []
+    for region in range(K):
+        if quota[region] > 1:
+            interior = np.linspace(
+                region_bounds[region], region_bounds[region + 1], quota[region] + 1
+            )[1:-1]
+            cut_list.extend(interior.tolist())
+    for region in range(1, K):
+        if quota[region - 1] > 0 and quota[region] > 0:
+            cut_list.append(region_bounds[region - 1])
+    if len(cut_list) < N:
+        cut_list.append(region_bounds[K])
+    cuts = np.array(sorted(cut_list))
 
-    edges = np.array(sorted(edges))
-    target = n_bins
-
-    def _aug_and_diffs(ed):
-        aug = np.concatenate(([xmin], ed, [xmax]))
-        return aug, np.diff(aug)
-
-    safety = 10_000
-    while edges.size < target and safety > 0:
-        safety -= 1
-        aug, diffs = _aug_and_diffs(edges)
-        i = int(np.argmax(diffs))
-        a, b = aug[i], aug[i + 1]
-        mid = 0.5 * (a + b)
-        if not np.isfinite(mid) or mid <= a or mid >= b:
+    # repair to exactly N cuts: split the widest gap's midpoint while short,
+    # drop the cut with the smallest local gap while long (both capped)
+    for _ in range(10_000):
+        if cuts.size >= N:
             break
-        edges = np.sort(np.append(edges, mid))
+        bounds = np.concatenate(([lo], cuts, [hi]))
+        widest = int(np.argmax(np.diff(bounds)))
+        mid = 0.5 * (bounds[widest] + bounds[widest + 1])
+        if not np.isfinite(mid) or mid <= bounds[widest] or mid >= bounds[widest + 1]:
+            break
+        cuts = np.sort(np.append(cuts, mid))
+    for _ in range(10_000):
+        if cuts.size <= N or cuts.size == 0:
+            break
+        gap_left = cuts - np.concatenate(([lo], cuts[:-1]))
+        gap_right = np.concatenate((cuts[1:], [hi])) - cuts
+        cuts = np.delete(cuts, int(np.argmin(np.minimum(gap_left, gap_right))))
 
-    safety = 10_000
-    while edges.size > target and safety > 0 and edges.size > 0:
-        safety -= 1
-        lefts = np.concatenate(([xmin], edges[:-1]))
-        rights = np.concatenate((edges[1:], [xmax]))
-        local_min_gap = np.minimum(edges - lefts, rights - edges)
-        j = int(np.argmin(local_min_gap))
-        edges = np.delete(edges, j)
-
-    edges = np.clip(np.unique(np.sort(edges)), xmin, xmax)
-    symbols = np.digitize(x, edges, right=True) + 1
-    return edges, symbols, alloc
+    cuts = np.clip(np.unique(np.sort(cuts)), lo, hi)
+    return cuts, np.digitize(x, cuts, right=True) + 1, quota
 
 
 def bin_centers(edges: np.ndarray) -> np.ndarray:
