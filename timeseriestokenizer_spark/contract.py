@@ -451,6 +451,58 @@ def q_dequantize_recon(spark, sf_dir):
     )
 
 
+def q_quantize_catalyst(spark, sf_dir):
+    """F1+F3 on the SCALE path: edges as a TABLE (fit_edges_df) joined back
+    in, token and reconstruction as pure Catalyst expressions — no driver
+    collect, no Python in the plan (asserted in tests/test_plan_shapes.py).
+    This is the path that survives per-conversation series counts; the
+    broadcast-dict UDF twin is q_quantize_tokens/q_dequantize_recon."""
+    from .functions.quantize import (
+        dequantize_with_edges,
+        fit_edges_df,
+        quantize_with_edges,
+    )
+
+    ev = load(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("string"))
+    edges = fit_edges_df(ev, "uid", "value", N_BINS)
+    tokd = quantize_with_edges(ev, edges, "uid", "value")
+    recon = dequantize_with_edges(tokd, edges, "uid", "token")
+    return recon.select(
+        "event_id", F.col("token").cast("long").alias("token"), "recon"
+    )
+
+
+N_QBINS = 8
+
+
+def q_quantile_edges(spark, sf_dir):
+    """A4: quantile bin edges per series (equal-mass binning). Exact
+    percentile (linear interpolation) so the DuckDB quantile_cont oracle is
+    an arithmetic twin; both sides round to 6dp to absorb sub-ulp
+    interpolation-order differences. The engine's at-scale variant uses
+    percentile_approx (fit_edges kind='quantile'); exactness-vs-approx is
+    documented in COVERAGE.md and pytest-checked."""
+    ev = load(spark, sf_dir, "events")
+    probs = ",".join(str(k / N_QBINS) for k in range(N_QBINS + 1))
+    qs = ev.groupBy("user_id").agg(
+        F.expr(f"percentile(value, array({probs}))").alias("qs")
+    )
+    return qs.select(
+        "user_id", F.posexplode("qs").alias("k", "edge_raw")
+    ).select("user_id", "k", _r(F.col("edge_raw")).alias("edge"))
+
+
+_QUANTILE_EDGES_SQL = f"""
+WITH q AS (
+  SELECT user_id,
+         quantile_cont(value, [{",".join(str(k / N_QBINS) for k in range(N_QBINS + 1))}]) AS qs
+  FROM events GROUP BY 1),
+ks AS (SELECT unnest(range(0, {N_QBINS + 1})) AS k)
+SELECT q.user_id, ks.k, round(qs[ks.k + 1], 6) AS edge
+FROM q CROSS JOIN ks
+"""
+
+
 _EDGE_K = (
     "CASE WHEN k = {n1} THEN vmax ELSE vmin + k * ((vmax - vmin) / {n1}) END"
 )
@@ -482,6 +534,25 @@ tok AS (
          1 + len(list_filter(ed.e[2:], edge -> edge < ev.value)) AS s
   FROM events ev JOIN edges ed ON ev.user_id = ed.user_id)
 SELECT event_id, 0.5 * (e[s] + e[s + 1]) AS recon FROM tok
+"""
+
+
+_QUANT_DEQUANT_SQL = f"""
+WITH ext AS (
+  SELECT user_id, min(value) AS vmin, max(value) AS vmax FROM events GROUP BY 1),
+edges AS (
+  SELECT user_id,
+         [CASE WHEN k = {N_BINS - 1} THEN vmax
+               WHEN k = 0 THEN vmin
+               ELSE vmin + k * ((vmax - vmin) / {N_BINS - 1}) END
+          for k in range(0, {N_BINS})] AS e
+  FROM ext),
+tok AS (
+  SELECT ev.event_id, ed.e,
+         1 + len(list_filter(ed.e[2:], edge -> edge < ev.value)) AS s
+  FROM events ev JOIN edges ed ON ev.user_id = ed.user_id)
+SELECT event_id, CAST(s AS BIGINT) AS token, 0.5 * (e[s] + e[s + 1]) AS recon
+FROM tok
 """
 
 
@@ -615,83 +686,116 @@ def q_retention_split(spark, sf_dir):
     ).select(F.col("conv_id").alias("user_id"), "bucket_ts", "n_events", "state")
 
 
-def q_tpe_compression(spark, sf_dir):
-    """B2/B3/B4: per-series TPE train→encode→decode over quantized event
-    values; reports compression and roundtrip correctness per user."""
+def _quantized_event_tokens(spark, sf_dir):
+    """events quantized to N_BINS equal-width tokens per user (the shared
+    front of the TPE queries) — same function as _QUANTIZE_SQL."""
     from .functions.quantize import fit_edges, make_quantize_udf
-    from .operators.tpe import tpe_roundtrip_stats
 
     ev = load(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("string"))
     edges = fit_edges(ev, "uid", "value", N_BINS)
     q = make_quantize_udf(spark, edges)
-    tok = ev.select(
+    return ev.select(
         "uid", F.col("event_id").alias("pos"), q("uid", "value").alias("token")
     )
-    return tpe_roundtrip_stats(tok, "uid", "token", "pos", N_BINS + 30, N_BINS).select(
-        F.col("series_id").cast("long").alias("user_id"),
-        "in_len",
-        "out_len",
-        F.round("compression", 4).alias("compression"),
-        "roundtrip_ok",
+
+
+def q_tpe_compression(spark, sf_dir):
+    """B2/B3/B4 oracle-checked roundtrip: per-series TPE train→encode→decode
+    over quantized event values, emitting the DECODED (event_id, token)
+    stream. decode∘encode = identity (utils/token_based.py:279-302), so the
+    oracle is the plain quantize SQL — any train/encode/decode defect breaks
+    the hash. Compression ratios are asserted in tests/test_tpe.py and
+    reported by bench.py."""
+    from .operators.tpe import tpe_roundtrip_tokens
+
+    tok = _quantized_event_tokens(spark, sf_dir)
+    rt = tpe_roundtrip_tokens(tok, "uid", "token", "pos", N_BINS + 30, N_BINS)
+    return rt.select(
+        F.col("pos").alias("event_id"), F.col("token").cast("long").alias("token")
     )
 
 
 def q_universal_vocab(spark, sf_dir):
-    """B2 universal mode (process_chronos_dataset.py:330-353): one global
-    merge order trained driver-side on a canonical capped sample, broadcast,
-    applied to every series. Rows-only (BPE is not SQL-expressible)."""
-    from .functions.quantize import fit_edges, make_quantize_udf
-    from .operators.tpe import tpe_decode, tpe_encode, train_universal
+    """B2 universal mode (process_chronos_dataset.py:330-353): ONE global
+    merge order trained driver-side on a canonical capped sample (the
+    reference itself caps at 100k rows), applied to every series; the decoded
+    stream must still reproduce the per-event quantize tokens exactly."""
+    from .operators.tpe import tpe_roundtrip_tokens, train_universal
 
-    ev = load(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("string"))
-    edges = fit_edges(ev, "uid", "value", N_BINS)
-    q = make_quantize_udf(spark, edges)
-    tok = ev.select("uid", F.col("event_id").alias("pos"), q("uid", "value").alias("token"))
+    tok = _quantized_event_tokens(spark, sf_dir)
     model = train_universal(tok, "uid", "token", "pos", N_BINS + 40, N_BINS, max_rows=20000)
-    enc = tpe_encode(spark, tok, "uid", "token", "pos", model=model)
-    dec = tpe_decode(spark, enc, model=model)
-    orig = tok.groupBy("uid").agg(
-        F.count(F.lit(1)).alias("in_len"),
-        F.expr(
-            "transform(array_sort(collect_list(struct(pos, token))), x -> x.token)"
-        ).alias("orig"),
+    rt = tpe_roundtrip_tokens(tok, "uid", "token", "pos", 0, N_BINS, model=model)
+    return rt.select(
+        F.col("pos").alias("event_id"), F.col("token").cast("long").alias("token")
     )
-    return (
-        enc.select("series_id", F.col("n_tokens").alias("out_len"))
-        .join(dec.select("series_id", "tokens"), "series_id")
-        .join(orig.withColumnRenamed("uid", "series_id"), "series_id")
-        .select(
-            F.col("series_id").cast("long").alias("user_id"),
-            "in_len",
-            "out_len",
-            (F.col("tokens") == F.col("orig")).alias("roundtrip_ok"),
-            F.lit(len(model.merges)).alias("n_universal_merges"),
-        )
+
+
+def q_tpe_models_roundtrip(spark, sf_dir):
+    """B2/B3/B4 three-stage scale path: tpe_train → models TABLE →
+    cogroup-encode → cogroup-decode (no driver collect, no registry
+    broadcast) — the pipeline shape that persists models. Same roundtrip
+    oracle as q_tpe_compression."""
+    from .operators.tpe import (
+        tpe_decode_with_models,
+        tpe_encode_with_models,
+        tpe_train,
+        tokens_to_rows,
+    )
+
+    tok = _quantized_event_tokens(spark, sf_dir).cache()
+    models = tpe_train(tok, "uid", "token", "pos", N_BINS + 30, N_BINS)
+    enc = tpe_encode_with_models(tok, models, "uid", "token", "pos")
+    dec = tpe_decode_with_models(enc, models)
+    # decoded tokens are positional; rejoin event_ids by per-series rank
+    w = W.partitionBy("uid").orderBy("pos")
+    ranked = tok.select("uid", "pos", F.row_number().over(w).alias("rn"))
+    dec_rows = tokens_to_rows(dec).select(
+        F.col("series_id").alias("uid"),
+        (F.col("pos") + 1).alias("rn"),
+        F.col("token").cast("long").alias("token"),
+    )
+    return dec_rows.join(ranked, ["uid", "rn"]).select(
+        F.col("pos").alias("event_id"), "token"
     )
 
 
 def q_adaptive_quantize(spark, sf_dir):
-    """A6: adaptive (density-proportional) binning per series — rows-only
-    (the allocation/repair loop is not SQL-expressible; oracle parity is
-    pytest-verified against the vendored algorithm)."""
-    from .functions.quantize import fit_edges, make_quantize_udf
+    """A6: adaptive (density-proportional) binning per series, fully on the
+    scale path (fit_edges_df + Catalyst quantize_with_edges — no driver
+    collect). The allocation loop itself is not SQL-expressible (pytest
+    verifies it against the vendored algorithm); the oracle checks the
+    data-dependent invariants every correct binning must satisfy: exact row
+    counts and extents, every token inside [1, N], and token assignment
+    monotone in value (zero violations)."""
+    from .functions.quantize import fit_edges_df, quantize_with_edges
 
+    n_bins = 32
     ev = load(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("string"))
-    edges = fit_edges(ev, "uid", "value", 32, kind="adaptive")
-    q = make_quantize_udf(spark, edges)
-    return (
-        ev.withColumn("token", q("uid", "value"))
-        .groupBy("user_id")
-        .agg(
-            F.min("token").alias("min_token"),
-            F.max("token").alias("max_token"),
-            F.countDistinct("token").alias("n_distinct_tokens"),
-        )
+    edges = fit_edges_df(ev, "uid", "value", n_bins, kind="adaptive")
+    tokd = quantize_with_edges(ev, edges, "uid", "value")
+    per_tok = tokd.groupBy("user_id", "token").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+    w = W.partitionBy("user_id").orderBy("token")
+    mono = per_tok.withColumn("prev_max", F.lag("max_v").over(w))
+    return mono.groupBy("user_id").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        _r(F.min("min_v")).alias("vmin"),
+        _r(F.max("max_v")).alias("vmax"),
+        (F.min("token") >= 1).__and__(F.max("token") <= n_bins).alias("tokens_ok"),
+        F.sum(
+            F.when(F.col("prev_max") >= F.col("min_v"), 1).otherwise(0)
+        ).cast("long").alias("n_mono_viol"),
     )
 
 
 def q_gorilla_roundtrip(spark, sf_dir):
-    """Cold-tier Gorilla pack/unpack per user: compression stats + exactness."""
+    """Cold-tier Gorilla pack → unpack, emitting the UNPACKED rows: the
+    oracle is the identity SELECT over events, so the whole bitstream
+    codec (delta-of-delta timestamps, XOR floats) is hash-verified row by
+    row. Compression ratios are asserted in tests/test_gorilla.py."""
     from .operators.gorilla import gorilla_pack, gorilla_unpack
 
     ev = load(spark, sf_dir, "events").select(
@@ -699,25 +803,9 @@ def q_gorilla_roundtrip(spark, sf_dir):
         F.col("ts").cast("timestamp").alias("ts"),
         "value",
     )
-    packed = gorilla_pack(ev, "uid", "ts", "value").cache()
-    unpacked = gorilla_unpack(packed)
-    orig_h = ev.groupBy("uid").agg(
-        F.sum(F.hash("ts", "value").cast("long")).alias("h_orig")
-    )
-    back_h = unpacked.groupBy("series_id").agg(
-        F.sum(F.hash("ts", "value").cast("long")).alias("h_back")
-    )
-    return (
-        packed.select("series_id", "n_points", "raw_bytes", "packed_bytes")
-        .join(back_h, "series_id")
-        .join(orig_h.withColumnRenamed("uid", "series_id"), "series_id")
-        .select(
-            F.col("series_id").cast("long").alias("user_id"),
-            "n_points",
-            "raw_bytes",
-            "packed_bytes",
-            (F.col("h_back") == F.col("h_orig")).alias("roundtrip_ok"),
-        )
+    packed = gorilla_pack(ev, "uid", "ts", "value")
+    return gorilla_unpack(packed).select(
+        F.col("series_id").cast("long").alias("user_id"), "ts", "value"
     )
 
 
@@ -840,6 +928,18 @@ def q_cosine_near_dup(spark, sf_dir):
     )
 
 
+def q_cosine_near_dup_lsh(spark, sf_dir):
+    """Embedding-cosine near-dup pairs on the SCALE path (use_lsh=True):
+    candidates only within a random-hyperplane bucket, exact cosine verify
+    after. The oracle reproduces the bucketing from the same 6-dp plane
+    literals, so recall-vs-exhaustive is pinned, not hand-waved."""
+    from .operators.similarity import cosine_near_dup_pairs
+
+    return cosine_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.35, use_lsh=True, dim=64
+    )
+
+
 def q_ann_lsh_buckets(spark, sf_dir):
     """Random-hyperplane LSH bucket assignment (seeded plane literals shared
     with the oracle; the scale path for similarity search)."""
@@ -887,19 +987,27 @@ SELECT id_a, id_b, round(inter / CAST(uni AS DOUBLE), 6) AS jaccard
 FROM scored WHERE inter / CAST(uni AS DOUBLE) >= 0.5
 """.format(shingles=_SHINGLES_SQL)
 
+# deliberately boring SQL: no list comprehensions, no bit operators, no
+# '0x' string casts beyond the one construct already proven portable in the
+# green doc_fingerprint oracle — round-1 drivers diverged on the fancy forms
 _SIMHASH_SQL = """
 WITH w AS ({shingles}),
+tok AS (
+  SELECT doc_id, unnest(words) AS t FROM w),
 h AS (
-  SELECT doc_id,
-         list_transform(words,
-            t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)) AS hs
-  FROM w)
+  SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS x
+  FROM tok),
+bits AS (SELECT unnest(range(0, 32)) AS b),
+votes AS (
+  SELECT h.doc_id, bits.b,
+         sum(CASE WHEN CAST(floor(h.x / power(2, bits.b)) AS BIGINT) % 2 = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM h CROSS JOIN bits
+  GROUP BY 1, 2)
 SELECT doc_id,
-       list_sum([CASE WHEN list_sum(list_transform(hs,
-                     x -> CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-                      THEN CAST(1 AS BIGINT) << b ELSE 0 END
-                 for b in range(0, 32)]) AS simhash
-FROM h
+       CAST(sum(CASE WHEN vote > 0 THEN CAST(power(2, b) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY 1
 """.format(shingles=_SHINGLES_SQL)
 
 _QUALITY_SQL = r"""
@@ -1027,8 +1135,29 @@ ORACLE_SQL: dict[str, str] = {
                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
     """,
     "ann_lsh_buckets": None,  # filled below (needs plane literals)
+    "cosine_near_dup_lsh": None,  # filled below (needs plane literals)
     "quantize_tokens": _QUANTIZE_SQL,
     "dequantize_recon": _DEQUANTIZE_SQL,
+    "quantize_catalyst": _QUANT_DEQUANT_SQL,
+    "quantile_edges": _QUANTILE_EDGES_SQL,
+    # TPE roundtrips: decode∘encode = identity over the quantized stream, so
+    # the oracle for the whole train/encode/decode chain is the quantize SQL
+    "tpe_compression": _QUANTIZE_SQL,
+    "universal_vocab": _QUANTIZE_SQL,
+    "tpe_models_roundtrip": _QUANTIZE_SQL,
+    # Gorilla roundtrip: unpack(pack(events)) must be the identity
+    "gorilla_roundtrip": """
+        SELECT user_id, ts, value FROM events
+    """,
+    # adaptive binning: SQL-checkable invariants of any correct monotone
+    # binning — exact counts/extents, tokens in range, zero monotonicity
+    # violations (the allocation loop itself is pytest-verified)
+    "adaptive_quantize": """
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+               round(min(value), 6) AS vmin, round(max(value), 6) AS vmax,
+               TRUE AS tokens_ok, CAST(0 AS BIGINT) AS n_mono_viol
+        FROM events GROUP BY 1
+    """,
     "retention_split": """
         WITH t1h AS (
           SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
@@ -1228,6 +1357,19 @@ WITH vecs AS (
 SELECT vec_id, {_ann_planes_literal()} AS bucket FROM vecs
 """
 
+ORACLE_SQL["cosine_near_dup_lsh"] = f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+b AS (SELECT vec_id, v, {_ann_planes_literal()} AS bucket FROM vecs)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       round(list_dot_product(a.v, c.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE list_dot_product(a.v, c.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.35
+"""
+
 QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_token_stats": q_doc_token_stats,
@@ -1240,14 +1382,18 @@ QUERIES = {
     "embed_norms": q_embed_norms,
     "ann_bruteforce": q_ann_bruteforce,
     "cosine_near_dup": q_cosine_near_dup,
+    "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "quantize_tokens": q_quantize_tokens,
     "dequantize_recon": q_dequantize_recon,
+    "quantize_catalyst": q_quantize_catalyst,
+    "quantile_edges": q_quantile_edges,
     "gapfill_locf": q_gapfill_locf,
     "ebos_marks": q_ebos_marks,
     "retention_split": q_retention_split,
     "tpe_compression": q_tpe_compression,
     "universal_vocab": q_universal_vocab,
+    "tpe_models_roundtrip": q_tpe_models_roundtrip,
     "adaptive_quantize": q_adaptive_quantize,
     "gorilla_roundtrip": q_gorilla_roundtrip,
     "rollup_1m": q_rollup_1m,

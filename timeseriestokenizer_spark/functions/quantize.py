@@ -70,6 +70,100 @@ def fit_edges(
     raise ValueError(kind)
 
 
+def fit_edges_df(
+    df: DataFrame, key: str, value_col: str, n_bins: int, kind: str = "equal_width"
+) -> DataFrame:
+    """Per-series bin edges as a TABLE ``(series_id, edges array<double>)`` —
+    the scale path twin of fit_edges: no driver collect, so per-conversation
+    series counts (10^6+) never concentrate on the driver. equal_width edges
+    use the Catalyst linspace twin (bit-identical to np.linspace — the same
+    ``start + k*((stop-start)/div)`` with the last edge pinned to stop);
+    quantile uses percentile_approx; adaptive runs the allocation loop
+    distributed inside applyInPandas (one task per series, never collected).
+    """
+    n1 = n_bins - 1
+    if kind == "equal_width":
+        ext = df.groupBy(F.col(key).alias("series_id")).agg(
+            F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
+        )
+        return ext.select(
+            "series_id",
+            F.expr(
+                f"""
+                transform(sequence(0, {n1}),
+                          k -> CASE WHEN k = 0 THEN lo
+                                    WHEN k = {n1} THEN hi
+                                    ELSE lo + k * ((hi - lo) / {n1}) END)
+                """
+            ).alias("edges"),
+        )
+    if kind == "quantile":
+        probs = "array(" + ",".join(str(p) for p in np.linspace(0.0, 1.0, n_bins + 1)) + ")"
+        return df.groupBy(F.col(key).alias("series_id")).agg(
+            F.expr(f"percentile_approx({value_col}, {probs}, 100000)").alias("edges")
+        )
+    if kind == "adaptive":
+        import pyspark.sql.types as T
+
+        out_schema = T.StructType(
+            [
+                T.StructField("series_id", T.StringType()),
+                T.StructField("edges", T.ArrayType(T.DoubleType())),
+            ]
+        )
+
+        def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+            edges, _, _ = O.adaptive_bins_discretize(
+                pdf[value_col].to_numpy(dtype=np.float64), N=n_bins
+            )
+            return pd.DataFrame({"series_id": [pdf[key].iloc[0]], "edges": [list(edges)]})
+
+        return df.select(key, value_col).groupBy(key).applyInPandas(_fit, out_schema)
+    raise ValueError(kind)
+
+
+def quantize_with_edges(
+    df: DataFrame, edges_df: DataFrame, key: str, value_col: str, out_col: str = "token"
+) -> DataFrame:
+    """Scale-path quantize: join the edges table and compute the token as a
+    pure Catalyst expression — token = 1 + #{internal edges < x}, the same
+    function as np.digitize(..., edges[1:], right=True) + 1 (the equal-width
+    variant is hash-verified against the NumPy oracle; see quantize_sql_expr).
+
+    No broadcast hint: AQE broadcasts when the edges table is dimension-sized
+    and falls back to a co-partitioned shuffle join when it is not (the
+    per-conversation case the driver-dict path cannot survive)."""
+    j = df.join(edges_df.withColumnRenamed("series_id", key), key)
+    tok = F.expr(
+        f"""
+        1 + aggregate(slice(edges, 2, size(edges) - 1), 0,
+                      (acc, e) -> acc + CASE WHEN e < {value_col} THEN 1 ELSE 0 END)
+        """
+    )
+    return j.withColumn(out_col, tok.cast("int")).drop("edges")
+
+
+def dequantize_with_edges(
+    df: DataFrame, edges_df: DataFrame, key: str, token_col: str, out_col: str = "recon"
+) -> DataFrame:
+    """Scale-path dequantize: bin centers with the reference's extrapolation
+    rules (utils/discretisize.py:246-279) as Catalyst expressions over the
+    joined edges array (1-indexed element_at)."""
+    j = df.join(edges_df.withColumnRenamed("series_id", key), key)
+    recon = F.expr(
+        f"""
+        CASE WHEN {token_col} = 0
+               THEN element_at(edges, 1) - (element_at(edges, 2) - element_at(edges, 1)) / 2
+             WHEN {token_col} >= size(edges)
+               THEN element_at(edges, -1) + (element_at(edges, -1) - element_at(edges, -2)) / 2
+             WHEN {token_col} >= 1
+               THEN 0.5 * (element_at(edges, {token_col}) + element_at(edges, {token_col} + 1))
+             ELSE CAST(NULL AS DOUBLE) END
+        """
+    )
+    return j.withColumn(out_col, recon).drop("edges")
+
+
 def make_quantize_udf(spark, edges_by_series: dict[str, np.ndarray]):
     """(series_key, scaled_value) -> int token via broadcast edges."""
     bc = spark.sparkContext.broadcast(

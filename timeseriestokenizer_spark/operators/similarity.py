@@ -81,8 +81,10 @@ def lsh_bucket_expr(vec_col, planes: list[list[float]]):
     return bucket
 
 
-def lsh_buckets(df: DataFrame, vec_col="embedding", n_planes=8, seed=42) -> DataFrame:
-    dim = len(df.select(vec_col).first()[0])
+def lsh_buckets(df: DataFrame, vec_col="embedding", n_planes=8, seed=42,
+                dim: int | None = None) -> DataFrame:
+    if dim is None:  # dim sniff costs an extra action — pass it when known
+        dim = len(df.select(vec_col).first()[0])
     planes = random_planes(dim, n_planes, seed)
     return df.withColumn("bucket", lsh_bucket_expr(vec_col, planes))
 
@@ -95,9 +97,11 @@ def lsh_topk(
     k=5,
     n_planes=8,
     seed=42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine among same-bucket candidates only."""
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:  # dim sniff costs an extra action — pass it when known
+        dim = len(df.select(vec_col).first()[0])
     planes = random_planes(dim, n_planes, seed)
     cand = df.select(
         F.col(id_col).alias("cand_id"),
@@ -131,6 +135,7 @@ def cosine_near_dup_pairs(
     use_lsh: bool = True,
     n_planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ threshold).
 
@@ -142,7 +147,8 @@ def cosine_near_dup_pairs(
     """
     v = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
     if use_lsh:
-        dim = len(df.select(vec_col).first()[0])
+        if dim is None:  # dim sniff costs an extra action — pass it when known
+            dim = len(df.select(vec_col).first()[0])
         planes = random_planes(dim, n_planes, seed)
         v = v.withColumn("bucket", lsh_bucket_expr("v", planes))
         a, b = v.alias("a"), v.alias("b")

@@ -142,6 +142,11 @@ def _grouped_apply(df, key, token_col, order_col, fn, registry_bc, default_model
         pdf = pdf.sort_values(order_col, kind="stable")
         sid = pdf[key].iloc[0]
         model = registry_bc.value.get(sid, default_model) if registry_bc else default_model
+        if model is None:
+            raise KeyError(
+                f"series {sid!r} has no TPE model in the registry and no "
+                "default model was provided"
+            )
         toks = pdf[token_col].to_numpy(dtype=np.int64).tolist()
         out = fn(model, toks)
         return pd.DataFrame(
@@ -188,16 +193,15 @@ def tpe_decode(
     def _decode(pdf: pd.DataFrame) -> pd.DataFrame:
         reg, dflt = bc.value
         rows = []
-        for _, r in pdf.iterrows():
-            sid = r["series_id"]
-            avs, exp = reg.get(sid, dflt)
-            out: list[int] = []
-            for t in r["tokens"]:
-                t = int(t)
-                if t > avs and t in exp:
-                    out.extend(exp[t])
-                else:
-                    out.append(t)
+        for sid, toks in zip(pdf["series_id"], pdf["tokens"]):
+            entry = reg.get(sid, dflt)
+            if entry is None:
+                raise KeyError(
+                    f"series {sid!r} has no TPE model in the registry and no "
+                    "default model was provided"
+                )
+            avs, exp = entry
+            out = _expand_tokens(toks, avs, exp)
             rows.append({"series_id": sid, "tokens": out, "n_tokens": len(out)})
         return pd.DataFrame(rows, columns=["series_id", "tokens", "n_tokens"])
 
@@ -285,6 +289,140 @@ def tpe_roundtrip_stats(
             )
 
     return seqs.mapInPandas(_run, STATS_SCHEMA)
+
+
+ROUNDTRIP_ARR_SCHEMA = T.StructType(
+    [
+        T.StructField("series_id", T.StringType()),
+        T.StructField("pos", T.ArrayType(T.LongType())),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def tpe_roundtrip_tokens(
+    df: DataFrame,
+    key: str,
+    token_col: str,
+    order_col: str,
+    target_vocab_size: int,
+    actual_vocab_size: int,
+    model: TpeModel | None = None,
+) -> DataFrame:
+    """Fused train→encode→decode emitting the DECODED token stream keyed by
+    the original order values: ``(series_id, pos, token)``.
+
+    This is the oracle-checkable roundtrip projection of the TPE family
+    (decode∘encode = identity, reference utils/token_based.py:279-302): its
+    output must equal the input ``(order, token)`` rows exactly, so a plain
+    SQL quantize oracle verifies the whole chain. One shuffle (the groupBy),
+    no model collect; pass ``model`` to apply a pre-trained universal model
+    instead of training per series."""
+    seqs = df.groupBy(F.col(key).alias("series_id")).agg(
+        F.expr(
+            f"array_sort(collect_list(struct({order_col} as o, {token_col} as t)))"
+        ).alias("seq")
+    )
+
+    def _run(batches):
+        for pdf in batches:
+            rows = []
+            for sid, seq in zip(pdf["series_id"], pdf["seq"]):
+                pos = [int(s["o"]) for s in seq]
+                toks = [int(s["t"]) for s in seq]
+                if model is None:
+                    m = TpeModel(actual_vocab_size)
+                    m.train(toks, target_vocab_size)
+                else:
+                    m = model
+                dec = m.decode(m.encode(toks))
+                rows.append((sid, pos, dec))
+            yield pd.DataFrame(rows, columns=["series_id", "pos", "tokens"])
+
+    arr = seqs.mapInPandas(_run, ROUNDTRIP_ARR_SCHEMA)
+    # explode JVM-side; arrays_zip null-pads on length mismatch, so a broken
+    # roundtrip surfaces as null tokens (hash mismatch), never silently
+    return arr.select(
+        "series_id", F.explode(F.arrays_zip("pos", "tokens")).alias("z")
+    ).select(
+        "series_id", F.col("z.pos").alias("pos"), F.col("z.tokens").alias("token")
+    )
+
+
+def _model_from_row(avs: int, merges) -> TpeModel:
+    return TpeModel(int(avs), {(int(m["left"]), int(m["right"])): int(m["id"]) for m in merges})
+
+
+def tpe_encode_with_models(
+    df: DataFrame, models: DataFrame, key: str, token_col: str, order_col: str
+) -> DataFrame:
+    """Scale-path encode: cogroup the token stream with the models TABLE —
+    each series' model row meets its turns inside one task, so the models
+    never collect to the driver and never ride a session-wide broadcast
+    (per-conversation series counts would OOM both). The dict-registry path
+    (tpe_encode) remains for dimension-sized registries."""
+
+    def _enc(kdf: pd.DataFrame, mdf: pd.DataFrame) -> pd.DataFrame:
+        if kdf.empty:
+            return pd.DataFrame(columns=["series_id", "tokens", "n_tokens"])
+        sid = kdf[key].iloc[0]
+        if mdf.empty:
+            raise KeyError(
+                f"series {sid!r} has no trained TPE model in the models table"
+            )
+        m = _model_from_row(mdf["actual_vocab_size"].iloc[0], mdf["merges"].iloc[0])
+        kdf = kdf.sort_values(order_col, kind="stable")
+        out = m.encode(kdf[token_col].to_numpy(dtype=np.int64).tolist())
+        return pd.DataFrame(
+            {"series_id": [sid], "tokens": [[int(t) for t in out]], "n_tokens": [len(out)]}
+        )
+
+    return (
+        df.select(key, order_col, token_col)
+        .groupBy(key)
+        .cogroup(models.groupBy("series_id"))
+        .applyInPandas(_enc, TOKENS_SCHEMA)
+    )
+
+
+def tpe_decode_with_models(encoded: DataFrame, models: DataFrame) -> DataFrame:
+    """Scale-path decode: cogroup encoded sequences with the models table
+    (see tpe_encode_with_models); expansion is the vectorized O(1)-per-token
+    map, built once per series inside its task."""
+
+    def _dec(edf: pd.DataFrame, mdf: pd.DataFrame) -> pd.DataFrame:
+        if edf.empty:
+            return pd.DataFrame(columns=["series_id", "tokens", "n_tokens"])
+        sid = edf["series_id"].iloc[0]
+        if mdf.empty:
+            raise KeyError(
+                f"series {sid!r} has no trained TPE model in the models table"
+            )
+        m = _model_from_row(mdf["actual_vocab_size"].iloc[0], mdf["merges"].iloc[0])
+        rows = []
+        for toks in edf["tokens"]:
+            out = _expand_tokens(toks, m.actual_vocab_size, m.expansion_map())
+            rows.append((sid, out, len(out)))
+        return pd.DataFrame(rows, columns=["series_id", "tokens", "n_tokens"])
+
+    return (
+        encoded.groupBy("series_id")
+        .cogroup(models.groupBy("series_id"))
+        .applyInPandas(_dec, TOKENS_SCHEMA)
+    )
+
+
+def _expand_tokens(tokens, avs: int, exp: dict[int, list[int]]) -> list[int]:
+    """Vectorized-ish decode of one sequence via the expansion map."""
+    out: list[int] = []
+    for t in tokens:
+        t = int(t)
+        e = exp.get(t)
+        if t > avs and e is not None:
+            out.extend(e)
+        else:
+            out.append(t)
+    return out
 
 
 def tokens_to_rows(tokens_df: DataFrame) -> DataFrame:

@@ -320,14 +320,17 @@ class TpeModel:
 
     # -- training ----------------------------------------------------------
     def train(self, token_sequence, target_vocab_size: int) -> list[int]:
+        # reference order (utils/token_based.py:77-95): num_merges is fixed
+        # from the DECLARED vocab size, then actual_vocab_size auto-bumps to
+        # the data max — so minted ids start above the bumped size while the
+        # merge budget reflects the declared one
+        assert target_vocab_size >= self.actual_vocab_size
+        num_merges = target_vocab_size - self.actual_vocab_size
         ids = [int(t) for t in token_sequence]
         if ids:
             max_token = max(ids)
             if max_token > self.actual_vocab_size:
-                # reference auto-bumps (utils/token_based.py:90-95)
                 self.actual_vocab_size = max_token
-        assert target_vocab_size >= self.actual_vocab_size
-        num_merges = target_vocab_size - self.actual_vocab_size
         merges: dict[tuple[int, int], int] = {}
         for i in range(num_merges):
             stats = get_stats(ids)
