@@ -144,25 +144,35 @@ def jaccard_verified_pairs(
 
 def simhash32(text_col="text"):
     """32-bit SimHash over whitespace tokens, token hash = first 8 md5 hex
-    digits (portable). Bit b set iff the signed token-count sum is > 0."""
+    digits (portable). Bit b set iff the signed token-count sum is > 0.
+
+    Single pass: one aggregate carries a 32-slot vote vector, so each word is
+    md5-hashed exactly once. (The naive 32-separate-aggregates form
+    re-evaluates the md5 transform per bit — 32x the hashing; measured 10.9 s
+    → ~1 s on the sf0.1 documents table.)"""
     words = F.split(F.lower(F.trim(text_col)), r"\s+")
     hashes = F.transform(
         words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
     )
-    def _vote(m):
-        # bind the mask in a closure (pyspark lambdas must take exactly 2 args)
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.lit(m).cast("long")) != 0, 1
-        ).otherwise(-1)
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(32)])
 
-    total = F.lit(0).cast("long")
-    for b in range(32):
-        mask = 1 << b
-        cnt = F.aggregate(hashes, F.lit(0).cast("long"), _vote(mask))
-        total = total + F.when(cnt > 0, F.lit(mask).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    def _vote(acc, h):
+        return F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
         )
-    return total
+
+    votes = F.aggregate(
+        hashes, F.array_repeat(F.lit(0).cast("long"), 32), _vote
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def simhash_near_pairs(

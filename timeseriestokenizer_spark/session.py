@@ -38,6 +38,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces by BYTES; stages whose cost is per-row Python (Arrow
+        # grouped/batched UDFs: gorilla pack, TPE train) get starved of
+        # parallelism when a small shuffle collapses to one task. 64 KiB
+        # floors keep parallelismFirst effective on small shuffles and are
+        # inert at scale (real partitions are >=128 MiB).
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
