@@ -181,3 +181,41 @@ def test_tpe_roundtrip_tokens_identity(spark):
     got = {(r["series_id"], r["pos"]): r["token"] for r in rt.collect()}
     want = {(u, p): t for u, p, t in rows}
     assert got == want
+
+
+def test_exact_dedup_verified_matches_md5_path(spark):
+    from timeseriestokenizer_spark.operators.dedup import (
+        exact_dedup,
+        exact_dedup_verified,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa"), (4, "cc"), (5, "bb"), (6, "aa")],
+        "doc_id long, text string",
+    )
+    a = {(r["keeper_doc_id"], r["n_copies"]) for r in exact_dedup(docs, "doc_id").collect()}
+    b = {(r["keeper_doc_id"], r["n_copies"]) for r in exact_dedup_verified(docs, "doc_id").collect()}
+    assert a == b == {(1, 3), (2, 2), (4, 1)}
+
+
+def test_quantile_edges_approx_vs_exact(spark):
+    """fit_edges(kind='quantile') uses percentile_approx (the only form that
+    distributes at scale); document its delta against exact interpolated
+    percentiles: approx returns actual data values, so each edge is within
+    one inter-point gap of the exact quantile."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from timeseriestokenizer_spark.functions.quantize import fit_edges
+
+    rng = np.random.RandomState(2)
+    vals = rng.standard_normal(4000)
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in vals], "uid string, value double"
+    )
+    approx = fit_edges(df, "uid", "value", 8, kind="quantile")["a"]
+    exact = np.quantile(vals, np.linspace(0, 1, 9))
+    # max adjacent gap bounds the approx-vs-exact error for order-statistic
+    # approximations at this accuracy
+    gap = np.diff(np.sort(vals)).max()
+    assert np.all(np.abs(approx - exact) <= gap + 1e-12)

@@ -39,26 +39,16 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
         "b1",
     )
 
-    from timeseriestokenizer_spark.streaming.rollup_stream import streaming_rollup_1m
+    from timeseriestokenizer_spark.streaming.rollup_stream import run_stream_append
 
     sink = str(tmp_path / "sink")
 
     def run_pass():
-        q = (
-            spark.readStream.schema(schema)
-            .parquet(src)
-            .transform(lambda df: streaming_rollup_1m(df, watermark="2 minutes"))
-            .writeStream.format("parquet")
-            .option("path", sink)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+        return run_stream_append(
+            spark, src, schema, ckpt, sink, watermark="2 minutes"
         )
-        q.awaitTermination()
 
-    run_pass()
-    n1 = spark.read.parquet(sink).count()
+    n1 = run_pass().count()
 
     # batch 2: one very-late row (t=+5m, an hour behind the watermark)
     write_batch([("c", 999, "user", "late row", None, base + pd.Timedelta(minutes=5))], "b2")

@@ -403,6 +403,39 @@ def q_distinct_counts(spark, sf_dir):
     )
 
 
+def q_comparison_grid(spark, sf_dir):
+    """J5: config-grid × results lookup with first-match semantics + pivot —
+    the reference's comparison-table generator shape
+    (generate_comparison_tables.py:198-366; operators/report.py). Runs are
+    derived deterministically from events (cfg = event_id%22, dataset/column
+    from user buckets, folder order = event_id); "first matching folder"
+    becomes min-by-folder, then the per-dataset columns pivot wide."""
+    from .operators.report import first_match_lookup
+
+    ev = load(spark, sf_dir, "events")
+    runs = ev.select(
+        (F.col("event_id") % 22).cast("int").alias("cfg_id"),
+        F.concat(F.lit("ds"), (F.col("user_id") % 2).cast("string")).alias("dataset"),
+        F.col("event_type").alias("model"),
+        F.concat(F.lit("c"), (F.col("user_id") % 3).cast("string")).alias("target_column"),
+        F.col("event_id").alias("folder_name"),
+        F.col("value").alias("metric_value"),
+    )
+    grid = spark.range(22).select(F.col("id").cast("int").alias("cfg_id"))
+    long_df = first_match_lookup(
+        runs, grid,
+        match_cols=["cfg_id"],
+        cell_cols=["dataset", "model", "target_column"],
+        order_col="folder_name",
+        value_col="metric_value",
+    )
+    return (
+        long_df.groupBy("cfg_id", "dataset", "model")
+        .pivot("target_column", ["c0", "c1", "c2"])
+        .agg(F.first("value"))
+    )
+
+
 def q_semi_anti_join(spark, sf_dir):
     """left_semi + left_anti: customers with and without orders."""
     c = load(spark, sf_dir, "customer")
@@ -1341,6 +1374,25 @@ ORACLE_SQL: dict[str, str] = {
                CAST(count(DISTINCT value) AS BIGINT) AS n_values
         FROM events GROUP BY 1
     """,
+    "comparison_grid": """
+        WITH runs AS (
+          SELECT CAST(event_id % 22 AS INT) AS cfg_id,
+                 'ds' || CAST(user_id % 2 AS VARCHAR) AS dataset,
+                 event_type AS model,
+                 'c' || CAST(user_id % 3 AS VARCHAR) AS target_column,
+                 event_id AS folder_name,
+                 value AS metric_value
+          FROM events),
+        first_ AS (
+          SELECT cfg_id, dataset, model, target_column,
+                 arg_min(metric_value, folder_name) AS value
+          FROM runs GROUP BY 1, 2, 3, 4)
+        SELECT cfg_id, dataset, model,
+               min(CASE WHEN target_column = 'c0' THEN value END) AS c0,
+               min(CASE WHEN target_column = 'c1' THEN value END) AS c1,
+               min(CASE WHEN target_column = 'c2' THEN value END) AS c2
+        FROM first_ GROUP BY 1, 2, 3
+    """,
     "semi_anti_join": """
         SELECT 'with_orders' AS grp, c_custkey FROM customer
         WHERE c_custkey IN (SELECT o_custkey FROM orders)
@@ -1414,6 +1466,7 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_part_per_brand": q_top_part_per_brand,
+    "comparison_grid": q_comparison_grid,
     "semi_anti_join": q_semi_anti_join,
     "pivot_counts": q_pivot_counts,
     "cube_counts": q_cube_counts,

@@ -1,16 +1,19 @@
 """Multimodal columns: opaque binary payloads with typed metadata.
 
 Image/audio/video ride as BinaryType columns; decode/feature-extraction run
-as Arrow-batched pandas UDFs over mapInPandas. The media *decode* step is
-STUBBED (no image/audio libs in this container — `decode_media` raises
-NotImplementedError unless a deterministic fake is requested); everything
-Spark-side — schema, partitioning, UDF signature, batch shape — is real and
-tested.
+as Arrow-batched pandas UDFs over mapInPandas. Two containers decode for
+REAL with pure numpy/struct (no codec libraries needed): RIFF/WAVE PCM-16
+(`decode_wav`) and BMP BI_RGB-24 (`decode_bmp`) — byte-exact roundtrips
+asserted in tests. Compressed formats (JPEG/PNG/MP3) genuinely need
+PIL/ffmpeg, absent in this container — those kinds raise
+NotImplementedError; `fake=True` keeps the deterministic byte-derived
+stand-in for pipeline-shape tests.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pandas as pd
@@ -55,18 +58,91 @@ def synth_media_from_documents(docs: DataFrame, id_col="doc_id", text_col="text"
     )
 
 
-def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
-    """Decode media payload to a pixel/sample array.
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """PCM-16 mono RIFF/WAVE container (canonical 44-byte header)."""
+    data = np.asarray(samples).astype("<i2").tobytes()
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                sample_rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
 
-    STUB: real decoding needs PIL/ffmpeg (absent here). fake=True returns a
-    deterministic byte-derived array so the pipeline shape is testable."""
-    if not fake:
-        raise NotImplementedError(
-            "media decoding requires image/audio libraries not present in "
-            "this environment; pass fake=True for the deterministic stand-in"
-        )
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    return arr[: (len(arr) // 4) * 4].reshape(-1, 4)
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Parse RIFF/WAVE PCM-16: walks chunks (fmt , data), returns
+    (samples[n, channels], sample_rate). Pure numpy/struct."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt = 12, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("data chunk before fmt chunk")
+            audio_format, channels, rate, _, _, bits = fmt
+            if audio_format != 1 or bits != 16:
+                raise NotImplementedError("only PCM-16 WAV decodes here")
+            return np.frombuffer(body, dtype="<i2").reshape(-1, channels), rate
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("no data chunk")
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """24-bit BI_RGB BMP from an (h, w, 3) uint8 RGB array (bottom-up rows,
+    BGR byte order, rows padded to 4 bytes — the classic layout)."""
+    h, w, _ = pixels.shape
+    pad = (-w * 3) % 4
+    rows = b"".join(
+        pixels[y][:, ::-1].tobytes() + b"\x00" * pad for y in range(h - 1, -1, -1)
+    )
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows),
+                       2835, 2835, 0, 0)
+    return (
+        b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54) + info + rows
+    )
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Parse a 24-bit BI_RGB BMP to an (h, w, 3) uint8 RGB array."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack("<I", payload[10:14])[0]
+    _, w, h, _, bpp = struct.unpack("<IiiHH", payload[14:30])
+    comp = struct.unpack("<I", payload[30:34])[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only 24-bit BI_RGB BMP decodes here")
+    stride = w * 3 + ((-w * 3) % 4)
+    height = abs(h)
+    out = np.empty((height, w, 3), np.uint8)
+    for i in range(height):
+        line = np.frombuffer(payload, np.uint8, w * 3, off + i * stride).reshape(w, 3)
+        out[height - 1 - i if h > 0 else i] = line[:, ::-1]  # BGR → RGB
+    return out
+
+
+def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
+    """Decode a media payload to a pixel/sample array.
+
+    Real pure-numpy codecs: 'audio/wav' (PCM-16) and 'image/bmp' (BI_RGB
+    24-bit). Compressed kinds need PIL/ffmpeg (absent in this container) and
+    raise; fake=True returns the deterministic byte-derived stand-in so the
+    pipeline shape stays testable for any kind."""
+    if kind == "audio/wav":
+        return decode_wav(bytes(payload))[0]
+    if kind == "image/bmp":
+        return decode_bmp(bytes(payload))
+    if fake:
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        return arr[: (len(arr) // 4) * 4].reshape(-1, 4)
+    raise NotImplementedError(
+        f"no pure-numpy codec for {kind!r}; JPEG/PNG/MP3 require image/audio "
+        "libraries not present in this environment (fake=True for the stand-in)"
+    )
 
 
 FEATURE_SCHEMA = T.StructType(
@@ -88,12 +164,14 @@ def extract_features(media: DataFrame, feature_dim: int = 8, fake_decode: bool =
     def _extract(batches):
         for pdf in batches:
             feats, md5s, sizes = [], [], []
-            for payload in pdf["payload"]:
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 b = bytes(payload)
                 md5s.append(hashlib.md5(b).hexdigest())
                 sizes.append(len(b))
-                arr = decode_media(b, "image/fake", fake=fake_decode)
-                hist = np.bincount(arr.ravel() % feature_dim, minlength=feature_dim)
+                arr = decode_media(b, kind, fake=fake_decode)
+                hist = np.bincount(
+                    arr.ravel().astype(np.int64) % feature_dim, minlength=feature_dim
+                )
                 total = hist.sum() or 1
                 feats.append((hist / total).tolist())
             yield pd.DataFrame(
@@ -105,4 +183,37 @@ def extract_features(media: DataFrame, feature_dim: int = 8, fake_decode: bool =
                 }
             )
 
-    return media.select("media_id", "payload").mapInPandas(_extract, FEATURE_SCHEMA)
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        _extract, FEATURE_SCHEMA
+    )
+
+
+def synth_wav_media(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Media table whose payloads are REAL RIFF/WAVE PCM-16 files (decodable
+    by any audio tool), derived deterministically from document text."""
+
+    @F.pandas_udf("binary")  # defined here: UDFs need an active session
+    def _wav_from_text(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            b = np.frombuffer(str(t).encode("utf-8")[:512], dtype=np.uint8)
+            samples = (b.astype(np.int16) - 128) * 257
+            out.append(encode_wav(samples))
+        return pd.Series(out)
+
+    payload = _wav_from_text(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("audio/wav").alias("kind"),
+        payload.alias("payload"),
+    ).select(
+        "media_id",
+        "kind",
+        "payload",
+        F.struct(
+            F.lit("pcm16").alias("codec"),
+            F.lit(0).cast("int").alias("width"),
+            F.lit(0).cast("int").alias("height"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )

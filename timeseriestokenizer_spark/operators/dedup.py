@@ -20,8 +20,10 @@ from pyspark.sql import functions as F
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Keep-first exact dedup: one keeper (min id) per distinct text.
-    Returns (keeper id, n_copies). Groups by xxhash64 first so the wide text
-    column never rides the shuffle at scale; md5 confirms within group."""
+    Returns (keeper id, n_copies). Groups by md5(text) — a 32-char hex key
+    on the shuffle instead of the wide text column; md5 collisions are
+    treated as equality (probability ~n²/2^128, negligible below ~10^18
+    documents; use exact_dedup_verified when that is not acceptable)."""
     return (
         df.select(F.col(id_col), F.md5(text_col).alias("_h"))
         .groupBy("_h")
@@ -30,6 +32,24 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
             F.count(F.lit(1)).alias("n_copies"),
         )
         .drop("_h")
+    )
+
+
+def exact_dedup_verified(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Collision-proof exact dedup: group by (xxhash64, md5) of the text —
+    two independent hash families must BOTH collide to merge distinct
+    documents. The shuffle key is still fixed-width (8 bytes + 32 hex); the
+    text column never rides the shuffle."""
+    return (
+        df.select(
+            F.col(id_col), F.xxhash64(text_col).alias("_h1"), F.md5(text_col).alias("_h2")
+        )
+        .groupBy("_h1", "_h2")
+        .agg(
+            F.min(id_col).alias(f"keeper_{id_col}"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .drop("_h1", "_h2")
     )
 
 

@@ -2,8 +2,20 @@
 per the north rule; included so the engine covers streaming ingestion).
 
 readStream(parquet dir) → watermark → window(ts, '1 minute') groupBy → sink.
-Late rows beyond the watermark are dropped by the state store; the batch
-cascade remains the source of truth (streaming tier feeds the hot end).
+Two sink shapes with DIFFERENT late-data semantics:
+
+* run_stream_append — the production path: append mode + parquet sink.
+  Windows finalize once the watermark passes; late rows beyond it are
+  dropped by the state store and finalized buckets never change
+  (tests/test_streaming_late.py proves the drop).
+* run_stream_over_dir — bounded catch-up for inspection/tests: complete
+  mode + memory sink. Complete mode re-emits ALL windows every trigger and
+  never ages state out via the watermark (needed so the tail windows — the
+  last <watermark> of a finite directory — still appear); state is
+  unbounded, so this helper is only for bounded availableNow runs, never a
+  continuous query.
+
+The batch cascade remains the source of truth (streaming feeds the hot end).
 
 The per-turn signals that need lag() (latency) are not computable in a pure
 streaming aggregation — the streaming tier carries the lag-free signals
@@ -59,7 +71,12 @@ def run_stream_over_dir(
 ):
     """Drive the streaming rollup over a parquet directory with
     availableNow (bounded catch-up — processes what exists, then stops);
-    results land in an in-memory sink table for inspection/tests."""
+    results land in an in-memory sink table for inspection/tests.
+
+    Complete mode: every window emits, including those the watermark has
+    not passed yet — but the state store retains ALL windows and late rows
+    are never dropped. For the continuous, watermark-enforcing path use
+    run_stream_append."""
     stream = spark.readStream.schema(schema).parquet(input_dir)
     rollup = streaming_rollup_1m(stream)
     q = (
@@ -72,3 +89,31 @@ def run_stream_over_dir(
     )
     q.awaitTermination()
     return spark.table(out_table)
+
+
+def run_stream_append(
+    spark,
+    input_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_dir: str,
+    watermark: str = "2 minutes",
+):
+    """Production-shaped pass: append mode + parquet sink. A window writes
+    exactly once, after the watermark passes its end; rows later than the
+    watermark are dropped by the state store and state ages out (bounded).
+    Windows newer than max(ts) - watermark stay pending until a future
+    trigger advances the watermark — the hot tail lives in state, not in
+    the sink."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    rollup = streaming_rollup_1m(stream, watermark=watermark)
+    q = (
+        rollup.writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
