@@ -22,7 +22,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from timeseriestokenizer_spark import contract  # noqa: E402
-from timeseriestokenizer_spark.session import get_spark  # noqa: E402
+from timeseriestokenizer_spark.session import get_spark, python_stage_conf  # noqa: E402
 
 HEADLINE = [
     "rollup_1m",
@@ -74,7 +74,14 @@ def rollup_throughput(spark) -> tuple[float, int]:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    # headline set includes Python-stage queries (gorilla, TPE) — use the
+    # small-shuffle parallelism floor (see python_stage_conf docstring)
+    spark = get_spark(
+        "bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf=python_stage_conf(),
+    )
 
     # warm the session (codegen, file-listing, Arrow workers) so the first
     # timed query doesn't absorb one-time costs

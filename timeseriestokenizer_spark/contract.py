@@ -981,6 +981,31 @@ def q_ann_lsh_buckets(spark, sf_dir):
     return lsh_buckets(load(spark, sf_dir, "embeddings")).select("vec_id", "bucket")
 
 
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate top-k ON the scale path: exact cosine only among
+    same-bucket candidates (lsh_topk). The oracle reproduces buckets from
+    the shared plane literals, so the approximation itself is pinned."""
+    from .operators.similarity import lsh_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    return lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5, dim=64)
+
+
+def q_ann_ivf_assign(spark, sf_dir):
+    """IVF cell assignment with FIXED seeded centroids (the coarse-quantizer
+    apply step; training is a driver-side sampled k-means, pytest-verified —
+    assignment is the part that runs over 100 TB). First-max argmax ties
+    match the oracle's CASE order."""
+    import numpy as np
+
+    from .operators.similarity import ivf_assign, random_planes
+
+    cents = np.asarray(random_planes(64, 8, seed=7))
+    return ivf_assign(load(spark, sf_dir, "embeddings"), cents).select(
+        "vec_id", F.col("cell").cast("int").alias("cell")
+    )
+
+
 _SHINGLES_SQL = """
   SELECT doc_id,
          regexp_split_to_array(lower(trim(text)), '\\s+') AS words
@@ -1409,6 +1434,54 @@ WITH vecs AS (
 SELECT vec_id, {_ann_planes_literal()} AS bucket FROM vecs
 """
 
+ORACLE_SQL["ann_lsh_topk"] = f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+b AS (SELECT vec_id, v, {_ann_planes_literal()} AS bucket FROM vecs),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+         list_dot_product(c.v, q.qv)
+           / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos_raw
+  FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.query_id),
+ranked AS (
+  SELECT query_id, cand_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, cand_id) AS rank
+  FROM scored)
+SELECT query_id, cand_id, round(cos_raw, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def _ivf_cell_sql() -> str:
+    from .operators.similarity import random_planes
+
+    cents = random_planes(64, 8, seed=7)
+    score_defs = []
+    for j, c in enumerate(cents):
+        lit = "[" + ",".join(f"{x:.6f}" for x in c) + "]::DOUBLE[]"
+        score_defs.append(
+            f"list_dot_product(v, {lit}) / sqrt(list_dot_product(v, v)) AS s{j}"
+        )
+    names = [f"s{j}" for j in range(len(cents))]
+    m = "greatest(" + ",".join(names) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN s{j} >= {m} THEN {j}" for j in range(len(cents)))
+        + " END"
+    )
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+s AS (SELECT vec_id, {",".join(score_defs)} FROM vecs)
+SELECT vec_id, CAST({case} AS INT) AS cell FROM s
+"""
+
+
+ORACLE_SQL["ann_ivf_assign"] = _ivf_cell_sql()
+
 ORACLE_SQL["cosine_near_dup_lsh"] = f"""
 WITH vecs AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1436,6 +1509,8 @@ QUERIES = {
     "cosine_near_dup": q_cosine_near_dup,
     "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
     "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_assign": q_ann_ivf_assign,
     "quantize_tokens": q_quantize_tokens,
     "dequantize_recon": q_dequantize_recon,
     "quantize_catalyst": q_quantize_catalyst,

@@ -40,10 +40,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # AQE coalesces by BYTES; stages whose cost is per-row Python (Arrow
         # grouped/batched UDFs: gorilla pack, TPE train) get starved of
-        # parallelism when a small shuffle collapses to one task. 64 KiB
-        # floors keep parallelismFirst effective on small shuffles and are
-        # inert at scale (real partitions are >=128 MiB).
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        # parallelism when a small shuffle collapses to one task. A 64 KiB
+        # floor (see python_stage_conf) keeps small shuffles parallel; it is
+        # NOT a global default because byte-dense JVM aggregation pipelines
+        # measurably prefer the stock 1 MiB floor (scaling harness evidence
+        # in BENCH/BASELINE.md).
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -57,3 +58,13 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def python_stage_conf() -> dict:
+    """Extra conf for sessions dominated by Arrow/pandas (per-row Python)
+    stages: floor AQE's byte-based coalescing at 64 KiB so a small shuffle
+    feeding a Python stage keeps its parallelism (measured: Gorilla pack of
+    150 series in one coalesced task = 9 s vs 2 s spread). Inert at real
+    scale (partitions are >=128 MiB); skip it for byte-dense pure-JVM
+    aggregation jobs, which prefer the stock floor."""
+    return {"spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k"}
