@@ -721,14 +721,15 @@ def q_retention_split(spark, sf_dir):
 
 def _quantized_event_tokens(spark, sf_dir):
     """events quantized to N_BINS equal-width tokens per user (the shared
-    front of the TPE queries) — same function as _QUANTIZE_SQL."""
-    from .functions.quantize import fit_edges, make_quantize_udf
+    front of the TPE queries) — same function as _QUANTIZE_SQL. Uses the
+    scale-path Catalyst join (edges as a table, no driver collect) — the
+    default; the broadcast-dict UDF twin stays under q_quantize_tokens."""
+    from .functions.quantize import fit_edges_df, quantize_with_edges
 
     ev = load(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("string"))
-    edges = fit_edges(ev, "uid", "value", N_BINS)
-    q = make_quantize_udf(spark, edges)
-    return ev.select(
-        "uid", F.col("event_id").alias("pos"), q("uid", "value").alias("token")
+    edges = fit_edges_df(ev, "uid", "value", N_BINS)
+    return quantize_with_edges(ev, edges, "uid", "value").select(
+        "uid", F.col("event_id").alias("pos"), "token"
     )
 
 
@@ -910,8 +911,11 @@ def q_minhash_dedup_pairs(spark, sf_dir):
     the signatures exactly)."""
     from .operators.dedup import jaccard_verified_pairs
 
+    # documents.parquet is a single row group at bench sf — repartition so
+    # the md5/shingle expressions use every core (see shingle_sets docstring)
     return jaccard_verified_pairs(
-        load(spark, sf_dir, "documents"), "doc_id", threshold=0.5
+        load(spark, sf_dir, "documents"), "doc_id", threshold=0.5,
+        parallelism=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -1012,6 +1016,9 @@ _SHINGLES_SQL = """
   FROM documents
 """
 
+_MINHASH_A = [1103, 12289, 52361, 97843, 331337, 745499]
+_MINHASH_B = [7, 131, 2971, 40087, 524287, 1299709]
+
 _MINHASH_SQL = """
 WITH w AS ({shingles}),
 sh AS (
@@ -1020,20 +1027,26 @@ sh AS (
               THEN [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
               ELSE [array_to_string(words, ' ')] END AS shingles
   FROM w),
-sig AS (
-  SELECT doc_id, shingles,
-         [list_aggregate(list_transform(shingles,
-              s -> md5(s || '#' || CAST(j AS VARCHAR))), 'min')
-          for j in range(1, 7)] AS sigs
+hs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(shingles,
+             s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT))) AS h
   FROM sh),
+sig AS (
+  SELECT doc_id, h,
+         [list_aggregate(list_transform(h,
+              x -> ({a_list}[j] * (x % 2147483647) + {b_list}[j]) % 2147483647), 'min')
+          for j in range(1, 7)] AS sigs
+  FROM hs),
 bands AS (
-  SELECT doc_id, b, sigs[2*b + 1] || '|' || sigs[2*b + 2] AS band_sig
+  SELECT doc_id, b,
+         CAST(sigs[2*b + 1] AS VARCHAR) || '|' || CAST(sigs[2*b + 2] AS VARCHAR) AS band_sig
   FROM sig, (SELECT unnest(range(0, 3)) AS b)),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
     ON a.b = b.b AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
-sets_ AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh),
+sets_ AS (SELECT doc_id, h AS sh FROM hs),
 scored AS (
   SELECT c.id_a, c.id_b,
          len(list_intersect(sa.sh, sb.sh)) AS inter,
@@ -1043,7 +1056,11 @@ scored AS (
   JOIN sets_ sb ON c.id_b = sb.doc_id)
 SELECT id_a, id_b, round(inter / CAST(uni AS DOUBLE), 6) AS jaccard
 FROM scored WHERE inter / CAST(uni AS DOUBLE) >= 0.5
-""".format(shingles=_SHINGLES_SQL)
+""".format(
+    shingles=_SHINGLES_SQL,
+    a_list="[" + ",".join(str(a) for a in _MINHASH_A) + "]",
+    b_list="[" + ",".join(str(b) for b in _MINHASH_B) + "]",
+)
 
 # deliberately boring SQL: no list comprehensions, no bit operators, no
 # '0x' string casts beyond the one construct already proven portable in the

@@ -65,35 +65,88 @@ def word_shingles(text_col="text", k: int = 3):
     ).otherwise(F.array(F.concat_ws(" ", words)))
 
 
-def minhash_signature(shingles_col, n_hashes: int = 6):
-    """MinHash over md5(shingle + '#' + seed): array of n_hashes hex minima.
-    md5 is engine-portable (identical in Spark and DuckDB) so oracles can
-    reproduce signatures exactly."""
+MINHASH_P = 2147483647  # Mersenne prime 2^31 - 1
+MINHASH_A = [1103, 12289, 52361, 97843, 331337, 745499]
+MINHASH_B = [7, 131, 2971, 40087, 524287, 1299709]
+
+
+def shingle_hashes(shingles_col):
+    """One md5 per shingle → 60-bit prefix as int64 (the expensive hashing,
+    done exactly once — the cached shingle table materializes it). 60 bits
+    keep within-document collision odds ~1e-11; downstream everything (set
+    semantics, signatures, Jaccard) runs on these ints, never the strings —
+    at scale the cached int arrays are ~10x smaller than shingle strings."""
+    return F.transform(
+        shingles_col,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+
+
+def minhash_from_hashes(hs_col, n_hashes: int = 6):
+    """MinHash signatures from precomputed shingle hashes: n_hashes
+    universal-hash permutations h_j = (a_j*h + b_j) mod P, P = 2^31-1 —
+    pure int64 arithmetic, so extra seeds are ~free instead of a fresh md5
+    per (shingle, seed) as in the naive family (6x less hashing; a_j*h
+    stays < 2^62, no overflow). md5 + mod arithmetic are engine-portable,
+    so oracles reproduce the signatures exactly."""
+    assert n_hashes <= len(MINHASH_A)
+    a_arr = F.array(*[F.lit(a).cast("long") for a in MINHASH_A[:n_hashes]])
+    b_arr = F.array(*[F.lit(b).cast("long") for b in MINHASH_B[:n_hashes]])
+    p = F.lit(MINHASH_P).cast("long")
     return F.transform(
         F.sequence(F.lit(1), F.lit(n_hashes)),
         lambda j: F.array_min(
             F.transform(
-                shingles_col, lambda s: F.md5(F.concat(s, F.lit("#"), j.cast("string")))
+                hs_col,
+                lambda h: (
+                    F.element_at(a_arr, j.cast("int")) * (h % p)
+                    + F.element_at(b_arr, j.cast("int"))
+                )
+                % p,
             )
         ),
     )
 
 
-def shingle_sets(df: DataFrame, id_col: str, text_col: str = "text", k: int = 3) -> DataFrame:
-    """(id, sh) with distinct k-word shingles. Cached: every downstream stage
-    (signatures, banding self-join, Jaccard verify) reuses it — without this,
-    Catalyst re-evaluates the md5/shingle expressions on BOTH sides of the
-    self-join (4x the hashing at scale)."""
+def minhash_signature(shingles_col, n_hashes: int = 6):
+    """Signature straight from shingles (compatibility form; the pipeline
+    materializes shingle_hashes in the cached table instead so the md5 pass
+    is guaranteed single-evaluation)."""
+    return minhash_from_hashes(shingle_hashes(shingles_col), n_hashes)
+
+
+def shingle_sets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """(id, hs) with the DISTINCT 60-bit hashes of the k-word shingles.
+    Cached: every downstream stage (signatures, banding self-join, Jaccard
+    verify) reuses it — without this, Catalyst re-evaluates the md5/shingle
+    expressions on BOTH sides of the self-join (4x the hashing at scale).
+    Only the int hashes are kept: raw shingle strings never leave the one
+    projection that builds them (cache ~10x smaller, intersections on int64).
+
+    ``parallelism``: repartition before the (expensive) shingle/md5
+    expressions. The scan inherits the source's split count — a single-row-
+    group file (the classic small-files problem) pins ALL hashing to one
+    task (measured 23 s single-task vs ~1 s spread on 5k docs). The shuffle
+    moves only raw text once; leave None when the source already has enough
+    splits."""
+    if parallelism:
+        df = df.repartition(parallelism, id_col)
     return df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(text_col, k)).alias("sh"),
+        F.array_distinct(shingle_hashes(word_shingles(text_col, k))).alias("hs"),
     ).cache()
 
 
 def _bands_from_sets(sets_: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
     """Candidate pairs (id_a < id_b) from banded minhash signatures."""
     rows_per_band = n_hashes // n_bands
-    sig = sets_.select("id", minhash_signature(F.col("sh"), n_hashes).alias("sig"))
+    sig = sets_.select("id", minhash_from_hashes(F.col("hs"), n_hashes).alias("sig"))
     bands = sig.select(
         "id",
         F.explode(
@@ -102,7 +155,11 @@ def _bands_from_sets(sets_: DataFrame, n_hashes: int, n_bands: int) -> DataFrame
                 lambda b: F.struct(
                     b.alias("band_id"),
                     F.concat_ws(
-                        "|", F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                        "|",
+                        F.transform(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
                     ).alias("band_sig"),
                 ),
             )
@@ -129,10 +186,13 @@ def lsh_candidate_pairs(
     k: int = 3,
     n_hashes: int = 6,
     n_bands: int = 3,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs (id_a < id_b), deduplicated across bands.
     rows_per_band = n_hashes / n_bands."""
-    return _bands_from_sets(shingle_sets(df, id_col, text_col, k), n_hashes, n_bands)
+    return _bands_from_sets(
+        shingle_sets(df, id_col, text_col, k, parallelism), n_hashes, n_bands
+    )
 
 
 def jaccard_verified_pairs(
@@ -143,19 +203,22 @@ def jaccard_verified_pairs(
     n_hashes: int = 6,
     n_bands: int = 3,
     threshold: float = 0.5,
+    parallelism: int | None = None,
 ) -> DataFrame:
-    """MinHash-LSH candidates verified with exact shingle-set Jaccard
-    (near-dup detection; only candidates pay the exact computation)."""
-    sets_ = shingle_sets(df, id_col, text_col, k)
+    """MinHash-LSH candidates verified with exact Jaccard over the
+    60-bit-hashed shingle sets (only candidates pay the intersection;
+    hashing collisions perturb Jaccard by ~1e-11 — the standard trade at
+    scale, where raw shingle strings are never materialized twice)."""
+    sets_ = shingle_sets(df, id_col, text_col, k, parallelism)
     cands = _bands_from_sets(sets_, n_hashes, n_bands)
     return (
-        cands.join(sets_.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sets_.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        cands.join(sets_.withColumnRenamed("id", "id_a").withColumnRenamed("hs", "hs_a"), "id_a")
+        .join(sets_.withColumnRenamed("id", "id_b").withColumnRenamed("hs", "hs_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
         .withColumn(
             "jaccard",
             F.col("inter")
-            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
+            / (F.size("hs_a") + F.size("hs_b") - F.col("inter")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
