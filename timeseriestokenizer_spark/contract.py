@@ -403,6 +403,63 @@ def q_distinct_counts(spark, sf_dir):
     )
 
 
+def q_detokenize_score(spark, sf_dir):
+    """The reference's 3rd entry point end-to-end (process_all_results.py;
+    operators/results.py): predictions = per-series lagged tokens + 0.3
+    (exercising the ceil and the NaN→0 placeholder), then ceil → dequantize
+    BOTH sides → (series, pos) equi-join → per-series MSE/RMSE/MAE/MAPE/
+    MSPE/R2. The 0-token placeholder and the s=N_BINS overflow both take the
+    reference's extrapolation branches."""
+    from .functions.quantize import fit_edges, make_quantize_udf
+    from .operators.results import score_predictions
+
+    ev = load(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("string"))
+    edges = fit_edges(ev, "uid", "value", N_BINS)
+    q = make_quantize_udf(spark, edges)
+    tok = ev.select(
+        "uid",
+        F.col("event_id").alias("pos"),
+        q("uid", "value").cast("double").alias("token"),
+    )
+    w = W.partitionBy("uid").orderBy("pos")
+    preds = tok.select(
+        "uid", "pos", (F.lag("token").over(w) + F.lit(0.3)).alias("token")
+    )
+    out = score_predictions(spark, preds, tok, edges, key="uid")
+    return out.select(
+        F.col("uid").cast("long").alias("user_id"),
+        _r(F.col("MSE")).alias("mse"),
+        _r(F.col("RMSE")).alias("rmse"),
+        _r(F.col("MAE")).alias("mae"),
+        F.round("MAPE", 4).alias("mape"),
+        F.round("MSPE", 4).alias("mspe"),
+        F.round("R2", 4).alias("r2"),
+        "valid_samples",
+    )
+
+
+def q_wide_melt_stats(spark, sf_dir):
+    """Wide-table mode front (reference Experiment-1 shape, operators/wide.py
+    melt_wide): melt numeric columns into (series_id, value) long form via
+    stack — one scan, no UDF — then per-column stats."""
+    from .operators.wide import melt_wide
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    long_df = melt_wide(
+        li, id_col="l_orderkey",
+        value_cols=["l_quantity", "l_extendedprice", "l_discount"],
+    )
+    return long_df.groupBy(F.col("series_id").alias("col_name")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        _r(F.avg("value")).alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
 def q_comparison_grid(spark, sf_dir):
     """J5: config-grid × results lookup with first-match semantics + pivot —
     the reference's comparison-table generator shape
@@ -1416,6 +1473,71 @@ ORACLE_SQL: dict[str, str] = {
                CAST(count(DISTINCT value) AS BIGINT) AS n_values
         FROM events GROUP BY 1
     """,
+    "detokenize_score": f"""
+        WITH ext AS (
+          SELECT user_id, min(value) AS vmin, max(value) AS vmax FROM events GROUP BY 1),
+        edges AS (
+          SELECT user_id,
+                 [CASE WHEN k = {N_BINS - 1} THEN vmax WHEN k = 0 THEN vmin
+                       ELSE vmin + k * ((vmax - vmin) / {N_BINS - 1}) END
+                  for k in range(0, {N_BINS})] AS e
+          FROM ext),
+        tok AS (
+          SELECT ev.user_id, ev.event_id AS pos, ed.e,
+                 1 + len(list_filter(ed.e[2:], edge -> edge < ev.value)) AS s
+          FROM events ev JOIN edges ed ON ev.user_id = ed.user_id),
+        lagged AS (
+          SELECT user_id, e, s,
+                 lag(s) OVER (PARTITION BY user_id ORDER BY pos) AS sp
+          FROM tok),
+        pp AS (
+          SELECT user_id, e, 0.5 * (e[s] + e[s + 1]) AS tru,
+                 CASE WHEN sp IS NULL THEN 0
+                      ELSE CAST(ceil(sp + 0.3) AS BIGINT) END AS p
+          FROM lagged),
+        pd AS (
+          SELECT user_id, tru,
+                 CASE WHEN p = 0 THEN e[1] - (e[2] - e[1]) / 2
+                      WHEN p >= len(e) THEN e[len(e)] + (e[len(e)] - e[len(e) - 1]) / 2
+                      ELSE 0.5 * (e[p] + e[p + 1]) END AS pred
+          FROM pp),
+        er AS (
+          SELECT user_id, tru, pred, tru - pred AS err,
+                 CASE WHEN tru != 0 THEN tru ELSE 1.0 END AS den
+          FROM pd),
+        g AS (
+          SELECT user_id,
+                 avg(err * err) AS mse_, avg(abs(err)) AS mae_,
+                 avg(abs(err / den)) * 100 AS mape_,
+                 avg((err / den) * (err / den)) * 100 AS mspe_,
+                 sum(err * err) AS ssr, sum(tru) AS sv, sum(tru * tru) AS svv,
+                 CAST(count(*) AS BIGINT) AS valid_samples
+          FROM er GROUP BY 1)
+        SELECT user_id, round(mse_, 6) AS mse, round(sqrt(mse_), 6) AS rmse,
+               round(mae_, 6) AS mae, round(mape_, 4) AS mape,
+               round(mspe_, 4) AS mspe,
+               CASE WHEN svv - sv * sv / valid_samples != 0
+                    THEN round(1 - ssr / (svv - sv * sv / valid_samples), 4) END AS r2,
+               valid_samples
+        FROM g
+    """,
+    "wide_melt_stats": """
+        SELECT 'l_quantity' AS col_name, CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_quantity), 2) AS sum_value,
+               round(avg(l_quantity), 6) AS avg_value,
+               min(l_quantity) AS min_value, max(l_quantity) AS max_value
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+               round(sum(l_extendedprice), 2), round(avg(l_extendedprice), 6),
+               min(l_extendedprice), max(l_extendedprice)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', CAST(count(*) AS BIGINT),
+               round(sum(l_discount), 2), round(avg(l_discount), 6),
+               min(l_discount), max(l_discount)
+        FROM lineitem
+    """,
     "comparison_grid": """
         WITH runs AS (
           SELECT CAST(event_id % 22 AS INT) AS cfg_id,
@@ -1555,6 +1677,8 @@ QUERIES = {
     "union_align": q_union_align,
     "sliding_window": q_sliding_window,
     "persistence_metrics": q_persistence_metrics,
+    "detokenize_score": q_detokenize_score,
+    "wide_melt_stats": q_wide_melt_stats,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_part_per_brand": q_top_part_per_brand,

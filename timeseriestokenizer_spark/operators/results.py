@@ -53,7 +53,9 @@ def score_predictions(
         F.avg(err * err).alias("MSE"),
         F.avg(F.abs(err)).alias("MAE"),
         (F.avg(F.abs(err / denom)) * 100).alias("MAPE"),
-        (F.avg(F.pow(err / denom, 2)) * 100).alias("MSPE"),
+        # explicit multiply, not pow(x, 2): Math.pow is not guaranteed
+        # bit-equal to x*x, and oracle parity compares the rounded result
+        (F.avg((err / denom) * (err / denom)) * 100).alias("MSPE"),
         F.sum(err * err).alias("_ss_res"),
         F.sum("true").alias("_sv"),
         F.sum(F.col("true") * F.col("true")).alias("_svv"),
