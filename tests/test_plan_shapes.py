@@ -46,3 +46,44 @@ def test_broadcast_join_for_dims(spark):
     plan = _plan(j)
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_gorilla_pack_single_exchange(spark):
+    """Batched gorilla pack = collapse agg + mapInPandas: exactly ONE
+    Exchange (the groupBy), no FlatMapGroupsInPandas per-group dispatch."""
+    from timeseriestokenizer_spark.operators.gorilla import gorilla_pack
+
+    df = spark.createDataFrame(
+        [("a", "2026-01-01 00:00:00", 1.0)], "uid string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    plan = _plan(gorilla_pack(df, "uid", "ts", "value"))
+    assert plan.count("Exchange") == 1, plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_tpe_roundtrip_tokens_single_exchange(spark):
+    """Fused TPE roundtrip: one exchange, batched Python, no model collect
+    (the plan contains no broadcast of a collected registry)."""
+    from timeseriestokenizer_spark.operators.tpe import tpe_roundtrip_tokens
+
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 2)], "uid string, pos long, token int"
+    )
+    plan = _plan(tpe_roundtrip_tokens(df, "uid", "token", "pos", 10, 4))
+    assert plan.count("Exchange") == 1, plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_quantize_catalyst_stays_in_codegen(spark):
+    """Join-path quantize over an edges table: whole plan JVM-side."""
+    from timeseriestokenizer_spark.functions.quantize import (
+        fit_edges_df,
+        quantize_with_edges,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0)], "event_id long, uid string, value double"
+    )
+    plan = _plan(quantize_with_edges(ev, fit_edges_df(ev, "uid", "value", 8), "uid", "value"))
+    # JVM-side throughout: no Arrow/Python eval nodes, no Python UDF exec
+    assert "EvalPython" not in plan and "Python" not in plan, plan

@@ -66,32 +66,44 @@ def tpe_train(
     target_vocab_size: int,
     actual_vocab_size: int,
 ) -> DataFrame:
-    """Train one TPE model per series, in parallel across series."""
+    """Train one TPE model per series, in parallel across series.
 
-    def _train(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col, kind="stable")
-        toks = pdf[token_col].to_numpy(dtype=np.int64).tolist()
-        model = TpeModel(actual_vocab_size)
-        out = model.train(toks, target_vocab_size)
-        merges = [
-            {"left": int(l), "right": int(r), "id": int(i)}
-            for (l, r), i in model.merges.items()
-        ]
-        return pd.DataFrame(
-            {
-                "series_id": [pdf[key].iloc[0]],
-                "actual_vocab_size": [model.actual_vocab_size],
-                "merges": [merges],
-                "in_len": [len(toks)],
-                "out_len": [len(out)],
-            }
-        )
-
-    return (
-        df.select(key, order_col, token_col)
-        .groupBy(key)
-        .applyInPandas(_train, MODEL_SCHEMA)
+    Batched shape: series collapse to ordered token arrays JVM-side (one
+    exchange), then Python trains BATCHES of series via mapInPandas —
+    grouped-map dispatch costs ~25 ms/group in a coalesced task, which
+    dominates when series are short (see BENCH/PLANS.md §5)."""
+    seqs = df.groupBy(F.col(key).alias("series_id")).agg(
+        F.expr(
+            f"transform(array_sort(collect_list(struct({order_col} as o, {token_col} as t))), x -> x.t)"
+        ).alias("toks")
     )
+
+    def _train(batches):
+        for pdf in batches:
+            rows = []
+            for sid, toks in zip(pdf["series_id"], pdf["toks"]):
+                toks = [int(t) for t in toks]
+                model = TpeModel(actual_vocab_size)
+                out = model.train(toks, target_vocab_size)
+                merges = [
+                    {"left": int(l), "right": int(r), "id": int(i)}
+                    for (l, r), i in model.merges.items()
+                ]
+                rows.append(
+                    {
+                        "series_id": sid,
+                        "actual_vocab_size": model.actual_vocab_size,
+                        "merges": merges,
+                        "in_len": len(toks),
+                        "out_len": len(out),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["series_id", "actual_vocab_size", "merges", "in_len", "out_len"],
+            )
+
+    return seqs.mapInPandas(_train, MODEL_SCHEMA)
 
 
 def tpe_train_resumable(
