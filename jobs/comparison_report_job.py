@@ -50,8 +50,9 @@ def main(argv=None):
             r["target_column"]
             for r in runs.select("target_column").distinct().orderBy("target_column").collect()
         ]
-    long_df = comparison_long(runs, experiment_grid(spark))
-    tables = comparison_tables(long_df, columns)
+    grid = experiment_grid(spark)
+    long_df = comparison_long(runs, grid)
+    tables = comparison_tables(long_df, grid, columns)
     write_comparison_tables(tables, args.output)
     n_tables = tables.select("dataset", "model", "metric", "eval_type").distinct().count()
     print(json.dumps({"tables": n_tables, "columns": columns,

@@ -27,8 +27,9 @@ def runs(spark):
                 for ki, metric in enumerate(METRICS):
                     for ei, ev in enumerate(["metrics", "detokenized"]):
                         for xi, col in enumerate(COLUMNS):
-                            # leave one cell per table without a run (NaN fill)
-                            if ci == 3 and xi == 2:
+                            # config 5 has NO runs anywhere (all-NaN rows);
+                            # config 3 misses one column per table (NaN cell)
+                            if ci == 5 or (ci == 3 and xi == 2):
                                 continue
                             base = ci * 1000 + di * 100 + mi * 10 + ki + ei + xi
                             # two matching runs: folder 'a...' must win
@@ -57,8 +58,9 @@ def test_grid_has_reference_shape(spark):
 
 
 def test_sixty_tables_with_first_match_and_nan(spark, runs):
-    long_df = comparison_long(runs, experiment_grid(spark))
-    tables = comparison_tables(long_df, COLUMNS).cache()
+    grid = experiment_grid(spark)
+    long_df = comparison_long(runs, grid)
+    tables = comparison_tables(long_df, grid, COLUMNS).cache()
     # 60 tables × 22 experiment rows each
     assert tables.select("dataset", "model", "metric", "eval_type").distinct().count() == 60
     assert tables.count() == 60 * 22
@@ -74,6 +76,12 @@ def test_sixty_tables_with_first_match_and_nan(spark, runs):
         F.col("experiment") == EXPERIMENT_CONFIGS[3]["name"]
     ).select("MUFL").collect()
     assert all(r["MUFL"] is None for r in missing)
+    # a config with NO runs anywhere still appears in every table, all-NaN
+    ghost = tables.filter(F.col("experiment") == EXPERIMENT_CONFIGS[5]["name"])
+    assert ghost.count() == 60
+    assert ghost.filter(
+        F.col("HUFL").isNotNull() | F.col("HULL").isNotNull() | F.col("MUFL").isNotNull()
+    ).count() == 0
     tables.unpersist()
 
 

@@ -119,15 +119,29 @@ def comparison_long(
     )
 
 
-def comparison_tables(long_df: DataFrame, columns: list[str]) -> DataFrame:
+def comparison_tables(long_df: DataFrame, grid: DataFrame, columns: list[str]) -> DataFrame:
     """Pivot the long cell frame to the reference's table shape: one row per
     (dataset, model, metric, eval_type, experiment), one column per target
     column. ``columns`` pins the pivot values (no extra distinct pass, stable
-    column order)."""
-    return (
-        long_df.groupBy("dataset", "model", "metric", "eval_type", "experiment")
+    column order).
+
+    Every table carries ALL grid experiments — a config with no run at all
+    appears as an all-NaN row in each table (generate_comparison_tables.py
+    initializes the row then fills what it finds), via a skeleton
+    (table coords × grid experiments, both dimension-sized) left-joined to
+    the pivoted cells (broadcast — the pivot output is grid-sized)."""
+    cells = long_df.filter(F.col("dataset").isNotNull())
+    pivoted = (
+        cells.groupBy("dataset", "model", "metric", "eval_type", "experiment")
         .pivot("target_column", columns)
         .agg(F.first("value"))
+    )
+    coords = cells.select("dataset", "model", "metric", "eval_type").distinct()
+    skeleton = coords.crossJoin(F.broadcast(grid.select("experiment")))
+    return skeleton.join(
+        F.broadcast(pivoted),
+        ["dataset", "model", "metric", "eval_type", "experiment"],
+        "left",
     )
 
 
