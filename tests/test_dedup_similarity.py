@@ -139,3 +139,46 @@ def test_with_norm(spark, vectors):
     out = with_norm(vectors).toPandas()
     v0 = np.array(out.iloc[0]["embedding"], dtype=np.float64)
     assert np.isclose(out.iloc[0]["l2_norm"], np.sqrt((v0 * v0).sum()), atol=1e-9)
+
+
+def test_ivf_multiprobe_recall_and_exactness(spark):
+    """n_probe=all cells must reproduce brute-force top-k exactly; recall is
+    monotone in n_probe on this fixture."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from timeseriestokenizer_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_centroids,
+    )
+
+    rng = np.random.RandomState(4)
+    vecs = rng.standard_normal((300, 16)).round(4)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    q = df.filter(F.col("vec_id") < 5)
+    cents = train_centroids(df, n_cells=4, sample_n=300)
+
+    exact = {
+        (r["query_id"], r["rank"]): r["cand_id"]
+        for r in brute_force_topk(df, q, k=3).collect()
+    }
+    allprobe = {
+        (r["query_id"], r["rank"]): r["cand_id"]
+        for r in ivf_topk(df, q, cents, k=3, n_probe=4).collect()
+    }
+    assert allprobe == exact
+
+    def recall(n_probe):
+        got = {
+            (r["query_id"], r["rank"]): r["cand_id"]
+            for r in ivf_topk(df, q, cents, k=3, n_probe=n_probe).collect()
+        }
+        return sum(got.get(k2) == v for k2, v in exact.items()) / len(exact)
+
+    r1, r2 = recall(1), recall(2)
+    assert r1 <= r2 <= 1.0
+    df.unpersist()
