@@ -460,6 +460,30 @@ def q_wide_melt_stats(spark, sf_dir):
     )
 
 
+def q_regex_config_extract(spark, sf_dir):
+    """F6/P9: run-folder-name config parsing (the reference matches configs
+    by folder-name substrings and extracts fields with regexes,
+    generate_comparison_tables.py:88-140; functions/textstats.py F5/F6
+    twins). Folder names are built deterministically from part rows, then
+    the config fields are regex-extracted back — cross-engine regex
+    semantics under the gate."""
+    p = load(spark, sf_dir, "part")
+    name = F.concat(
+        F.lit("ETTh1_target_c"), (F.col("p_partkey") % 5).cast("string"),
+        F.lit("_sl192_N"), F.col("p_size").cast("string"),
+        F.lit("_vocab600_"), F.col("p_brand"),
+    )
+    named = p.select("p_partkey", name.alias("folder_name"))
+    return named.select(
+        "p_partkey",
+        "folder_name",
+        F.regexp_extract("folder_name", r"target_(c[0-9]+)_sl", 1).alias("target_col"),
+        F.regexp_extract("folder_name", r"_N([0-9]+)_vocab", 1).cast("int").alias("n_samples"),
+        F.regexp_extract("folder_name", r"_vocab([0-9]+)_", 1).cast("int").alias("vocab"),
+        F.regexp_extract("folder_name", r"^([A-Za-z0-9]+)_target", 1).alias("dataset"),
+    )
+
+
 def q_comparison_grid(spark, sf_dir):
     """J5: config-grid × results lookup with first-match semantics + pivot —
     the reference's comparison-table generator shape
@@ -1538,6 +1562,20 @@ ORACLE_SQL: dict[str, str] = {
                min(l_discount), max(l_discount)
         FROM lineitem
     """,
+    "regex_config_extract": """
+        WITH named AS (
+          SELECT p_partkey,
+                 'ETTh1_target_c' || CAST(p_partkey % 5 AS VARCHAR)
+                   || '_sl192_N' || CAST(p_size AS VARCHAR)
+                   || '_vocab600_' || p_brand AS folder_name
+          FROM part)
+        SELECT p_partkey, folder_name,
+               regexp_extract(folder_name, 'target_(c[0-9]+)_sl', 1) AS target_col,
+               CAST(regexp_extract(folder_name, '_N([0-9]+)_vocab', 1) AS INT) AS n_samples,
+               CAST(regexp_extract(folder_name, '_vocab([0-9]+)_', 1) AS INT) AS vocab,
+               regexp_extract(folder_name, '^([A-Za-z0-9]+)_target', 1) AS dataset
+        FROM named
+    """,
     "comparison_grid": """
         WITH runs AS (
           SELECT CAST(event_id % 22 AS INT) AS cfg_id,
@@ -1683,6 +1721,7 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "top_part_per_brand": q_top_part_per_brand,
     "comparison_grid": q_comparison_grid,
+    "regex_config_extract": q_regex_config_extract,
     "semi_anti_join": q_semi_anti_join,
     "pivot_counts": q_pivot_counts,
     "cube_counts": q_cube_counts,
