@@ -182,3 +182,55 @@ def test_ivf_multiprobe_recall_and_exactness(spark):
     r1, r2 = recall(1), recall(2)
     assert r1 <= r2 <= 1.0
     df.unpersist()
+
+
+def test_connected_components_chain_and_survivors(spark):
+    """A 5-node chain (diameter 4) exercises multi-round propagation; two
+    separate components resolve to their own minima; survivors keep exactly
+    one doc per cluster plus all unclustered docs."""
+    from pyspark.sql import functions as F
+
+    from timeseriestokenizer_spark.operators.dedup import (
+        connected_components,
+        dedup_survivors,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12)],
+        "id_a long, id_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in [1, 2, 3, 4, 5, 10, 11, 12, 99]],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup_survivors(docs, pairs, "doc_id").collect()
+    )
+    assert kept == [1, 10, 99]
+
+
+def test_ivf_assign_udf_matches_expression_path(spark):
+    """Matrix-multiply assignment (large-cell-count path) == per-centroid
+    expression chain, including first-max tie semantics."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from timeseriestokenizer_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_udf,
+        random_planes,
+    )
+
+    rng = np.random.RandomState(9)
+    vecs = rng.standard_normal((200, 12)).round(4)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = np.asarray(random_planes(12, 6, seed=3))
+    a = {r["vec_id"]: r["cell"] for r in ivf_assign(df, cents).collect()}
+    b = {r["vec_id"]: r["cell"] for r in ivf_assign_udf(df, cents).collect()}
+    assert a == b

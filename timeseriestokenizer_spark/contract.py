@@ -1000,6 +1000,20 @@ def q_minhash_dedup_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER RESOLUTION: verified pairs → connected components
+    (min-label propagation, operators/dedup.py) — the step between pair
+    generation and keep-first removal. The oracle is a recursive-CTE
+    transitive closure over the same pairs."""
+    from .operators.dedup import connected_components, jaccard_verified_pairs
+
+    pairs = jaccard_verified_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", threshold=0.5,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    return connected_components(pairs)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: synth binary payloads → mapInPandas feature
     extraction (decode stubbed; metadata/bytes real)."""
@@ -1143,6 +1157,26 @@ FROM scored WHERE inter / CAST(uni AS DOUBLE) >= 0.5
     b_list="[" + ",".join(str(b) for b in _MINHASH_B) + "]",
 )
 
+# clusters oracle: reuse the minhash CTE chain (everything between WITH and
+# the final SELECT), cap it with a recursive transitive closure — the
+# component id is the min id reachable through the verified-pair graph
+_MINHASH_CTE_BODY = _MINHASH_SQL.strip()[len("WITH "):].rsplit("SELECT id_a", 1)[0].rstrip().rstrip(",")
+
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_MINHASH_CTE_BODY},
+pairs AS (
+  SELECT id_a, id_b FROM scored WHERE inter / CAST(uni AS DOUBLE) >= 0.5),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+reach AS (
+  SELECT src, src AS lbl FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src)
+SELECT src AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1
+"""
+
 # deliberately boring SQL: no list comprehensions, no bit operators, no
 # '0x' string casts beyond the one construct already proven portable in the
 # green doc_fingerprint oracle — round-1 drivers diverged on the fancy forms
@@ -1266,6 +1300,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "doc_simhash": _SIMHASH_SQL,
     "minhash_dedup_pairs": _MINHASH_SQL,
+    "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "multimodal_features": """
         SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                md5(text) AS payload_md5
@@ -1680,6 +1715,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "doc_simhash": q_doc_simhash,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "multimodal_features": q_multimodal_features,
     "embed_norms": q_embed_norms,
     "ann_bruteforce": q_ann_bruteforce,

@@ -288,3 +288,67 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve near-dup pairs into clusters: (doc_id, cluster_id) where
+    cluster_id = the minimum id reachable through the pair graph — the step
+    a dedup pipeline needs between pair generation and keep-first removal.
+
+    Min-label propagation: each round every node takes the min of its own
+    label and its neighbors' labels; converges in <= graph-diameter rounds
+    (near-dup clusters are shallow — typically 2-4). Each round is one
+    join + one aggregate; the driver only runs the (bounded) loop and the
+    convergence count. For adversarially deep graphs swap in the
+    large-star/small-star variant (O(log n) rounds, same join shape)."""
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.unionByName(rev).distinct().cache()
+    labels = edges.select("src").distinct().withColumn("label", F.col("src")).cache()
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(
+                labels.select(F.col("src").alias("dst"), F.col("label").alias("nl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("ml"))
+        )
+        new_labels = (
+            labels.join(neigh, "src", "left")
+            .select(
+                "src",
+                F.least("label", F.coalesce("ml", "label")).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("src", F.col("label").alias("old")), "src"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("src").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_survivors(
+    docs: DataFrame, pairs: DataFrame, id_col: str, max_iter: int = 20
+) -> DataFrame:
+    """Keep-first near-dup removal: drop every clustered doc except its
+    cluster's min id (docs not in any pair survive untouched)."""
+    clusters = connected_components(pairs, max_iter=max_iter)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

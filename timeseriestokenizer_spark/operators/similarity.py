@@ -16,6 +16,7 @@ Embedding-cosine near-dup = brute_force/lsh with threshold instead of top-k.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -255,3 +256,31 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+def ivf_assign_udf(df: DataFrame, centroids: np.ndarray, vec_col="embedding") -> DataFrame:
+    """Vectorized IVF assignment for LARGE cell counts: the centroid matrix
+    rides a broadcast into an Arrow pandas_udf and each batch assigns via
+    one matrix multiply (argmax over X @ C.T). The expression form
+    (ivf_assign) compiles a per-centroid comparison chain — right for
+    dimension-sized cell counts, quadratic plan size beyond ~tens of cells;
+    this is the n_cells >= 64 path. First-max tie semantics match
+    (np.argmax keeps the first maximum)."""
+    from pyspark.sql.functions import pandas_udf
+
+    spark = df.sparkSession
+    C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    bc = spark.sparkContext.broadcast(C)
+
+    @pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        cents = bc.value
+        X = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(X) == 0:
+            return pd.Series([], dtype="int32")
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0] = 1.0
+        scores = (X @ cents.T) / norms[:, None]
+        return pd.Series(np.argmax(scores, axis=1).astype(np.int32))
+
+    return df.withColumn("cell", _assign(F.col(vec_col)))
