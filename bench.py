@@ -71,6 +71,36 @@ def rollup_throughput(spark) -> tuple[float, int]:
     return n_turns / wall, n_turns
 
 
+def tokenize_throughput(spark) -> tuple[float, int]:
+    """turns/sec through the NAMESAKE pipeline: per-series scale → Catalyst
+    quantize → fused TPE train/encode/decode roundtrip, fully materialized.
+    Bounded input (1M turns) so the bench stays fast; series count (5k)
+    matches the reference's many-small-series regime."""
+    from pyspark.sql import functions as F
+
+    from timeseriestokenizer_spark.datagen_spark import transcripts_spark
+    from timeseriestokenizer_spark.functions.quantize import (
+        fit_edges_df,
+        quantize_with_edges,
+    )
+    from timeseriestokenizer_spark.operators.tpe import tpe_roundtrip_tokens
+
+    t = transcripts_spark(spark, C=5000, avg_len=200, seed=7).select(
+        "conv_id", "turn_idx", F.length("text").cast("double").alias("value")
+    ).cache()
+    n = t.count()
+    t0 = time.time()
+    edges = fit_edges_df(t, "conv_id", "value", 50)
+    tok = quantize_with_edges(t, edges, "conv_id", "value").select(
+        "conv_id", F.col("turn_idx").cast("long").alias("pos"), "token"
+    )
+    rt = tpe_roundtrip_tokens(tok, "conv_id", "token", "pos", 80, 50)
+    rt.write.format("noop").mode("overwrite").save()
+    wall = time.time() - t0
+    t.unpersist()
+    return n / wall, n
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -102,6 +132,7 @@ def main():
         total += dt
 
     tps, n_turns = rollup_throughput(spark)
+    tok_tps, tok_turns = tokenize_throughput(spark)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     print(
         json.dumps(
@@ -113,6 +144,8 @@ def main():
                 "sf": sf,
                 "rollup_turns_per_sec": round(tps),
                 "rollup_bench_turns": n_turns,
+                "tokenize_turns_per_sec": round(tok_tps),
+                "tokenize_bench_turns": tok_turns,
                 "cpus": int(cpus),
                 # two-parallelism-level evidence (north rule): measured by
                 # tools/bench_scaling.py on the 80M-turn cascade, fresh JVM
