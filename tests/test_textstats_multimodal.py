@@ -160,3 +160,50 @@ def test_unknown_kind_raises_without_fake():
 
     with _pytest.raises(NotImplementedError, match="no pure-numpy codec"):
         decode_media(b"\xff\xd8\xff", "image/jpeg")
+
+
+def test_resize_and_frame_sampling(spark):
+    import numpy as np
+
+    from timeseriestokenizer_spark.multimodal.binary_ops import (
+        decode_bmp,
+        encode_bmp,
+        encode_video,
+        resize_media,
+        resize_pixels,
+        sample_frames,
+        sample_frames_media,
+    )
+
+    rng = np.random.RandomState(11)
+    # local resize semantics: nearest-neighbor, exact corner pixels
+    px = rng.randint(0, 256, (8, 6, 3), dtype=np.uint8)
+    small = resize_pixels(px, 3, 4)
+    assert small.shape == (4, 3, 3)
+    assert (small[0, 0] == px[0, 0]).all()
+
+    # distributed resize over real BMP payloads
+    frames = [rng.randint(0, 256, (10, 9, 3), dtype=np.uint8) for _ in range(5)]
+    media = spark.createDataFrame(
+        [(i, "image/bmp", bytearray(encode_bmp(f))) for i, f in enumerate(frames)],
+        "media_id long, kind string, payload binary",
+    )
+    resized = {r["media_id"]: bytes(r["payload"]) for r in resize_media(media, 4, 4).collect()}
+    for i, f in enumerate(frames):
+        assert np.array_equal(decode_bmp(resized[i]), resize_pixels(f, 4, 4))
+
+    # video frame sampling: every 2nd frame decoded, others seeked over
+    vid = encode_video(frames)
+    sampled = sample_frames(vid, every_k=2)
+    assert len(sampled) == 3
+    assert all(np.array_equal(s, frames[j * 2]) for j, s in enumerate(sampled))
+
+    vids = spark.createDataFrame(
+        [(1, bytearray(vid)), (2, bytearray(encode_video(frames[:2])))],
+        "media_id long, payload binary",
+    )
+    out = sample_frames_media(vids, every_k=2).toPandas()
+    assert sorted(out[out.media_id == 1]["frame_idx"]) == [0, 2, 4]
+    assert sorted(out[out.media_id == 2]["frame_idx"]) == [0]
+    assert (out["width"] == 9).all() and (out["height"] == 10).all()
+    assert all(abs(sum(f) - 1.0) < 1e-9 for f in out["feature"])

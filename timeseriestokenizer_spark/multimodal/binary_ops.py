@@ -217,3 +217,110 @@ def synth_wav_media(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFr
             F.octet_length("payload").cast("long").alias("n_bytes"),
         ).alias("meta"),
     )
+
+
+def resize_pixels(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w, 3) uint8 array — pure numpy
+    (index maps, no loops)."""
+    h, w, _ = pixels.shape
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return pixels[ys][:, xs]
+
+
+def resize_media(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Distributed image resize: decode (BMP real; other kinds raise) →
+    nearest-neighbor resize → re-encode, batched through mapInPandas so a
+    task holds one Arrow batch of payloads at a time."""
+
+    def _resize(batches):
+        for pdf in batches:
+            out = []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                px = decode_media(bytes(payload), kind)
+                out.append(encode_bmp(resize_pixels(px, out_w, out_h)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image/bmp",
+                    "payload": out,
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return media.select("media_id", "kind", "payload").mapInPandas(_resize, schema)
+
+
+# -- fake video container: u32 n_frames, then n_frames length-prefixed BMPs --
+
+
+def encode_video(frames: list[np.ndarray]) -> bytes:
+    """Deterministic toy video container (length-prefixed BMP frames) — the
+    honest stand-in for mp4 (real demuxing needs ffmpeg, absent here); the
+    per-frame codec is the REAL BMP path."""
+    import struct as _struct
+
+    body = b"".join(
+        _struct.pack("<I", len(b)) + b for b in (encode_bmp(f) for f in frames)
+    )
+    return _struct.pack("<I", len(frames)) + body
+
+
+def sample_frames(video_payload: bytes, every_k: int = 2) -> list[np.ndarray]:
+    """Frame-sample a toy video: decode every k-th frame (frames are
+    length-prefixed, so skipped frames are SEEKED over, never decoded —
+    the property that matters when a real demuxer replaces this)."""
+    import struct as _struct
+
+    n = _struct.unpack("<I", video_payload[:4])[0]
+    pos = 4
+    out = []
+    for i in range(n):
+        (flen,) = _struct.unpack("<I", video_payload[pos:pos + 4])
+        pos += 4
+        if i % every_k == 0:
+            out.append(decode_bmp(video_payload[pos:pos + flen]))
+        pos += flen
+    return out
+
+
+def sample_frames_media(media: DataFrame, every_k: int = 2, feature_dim: int = 8) -> DataFrame:
+    """Distributed frame sampling + per-frame features over video payloads:
+    one output row per SAMPLED frame (media_id, frame_idx, width, height,
+    feature) via mapInPandas."""
+
+    def _sample(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for j, frame in enumerate(sample_frames(bytes(payload), every_k)):
+                    hist = np.bincount(
+                        frame.ravel().astype(np.int64) % feature_dim,
+                        minlength=feature_dim,
+                    )
+                    total = hist.sum() or 1
+                    rows.append(
+                        (int(mid), j * every_k, frame.shape[1], frame.shape[0],
+                         (hist / total).tolist())
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "width", "height", "feature"],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("feature", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    return media.select("media_id", "payload").mapInPandas(_sample, schema)
