@@ -986,6 +986,18 @@ def q_doc_simhash(spark, sf_dir):
     )
 
 
+def q_simhash_near_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: half-band blocking (16-bit halves must match
+    for Hamming <= 3 somewhere) + exact Hamming verify. Oracle reproduces
+    the blocking and popcount with boring arithmetic only (mod/floor — the
+    round-1 driver diverged on >>/& bit operators)."""
+    from .operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", max_hamming=3
+    )
+
+
 def q_minhash_dedup_pairs(spark, sf_dir):
     """MinHash+LSH near-dup candidates verified with exact 3-word-shingle
     Jaccard ≥ 0.5 (operators/dedup.py; md5-based so the oracle reproduces
@@ -1200,6 +1212,33 @@ SELECT doc_id,
 FROM votes GROUP BY 1
 """.format(shingles=_SHINGLES_SQL)
 
+# simhash near-pairs oracle: reuse the simhash CTE chain, then half-band
+# blocking (mod / floor-div by 65536) and popcount-of-xor via per-bit
+# (floor(a/2^b) + floor(b/2^b)) % 2 — no bit operators anywhere
+_SIMHASH_CTE_BODY = _SIMHASH_SQL.strip()[len("WITH "):].rsplit("\nSELECT doc_id,", 1)[0].rstrip().rstrip(",")
+
+_SIMHASH_PAIRS_SQL = f"""
+WITH {_SIMHASH_CTE_BODY},
+sh_ AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN vote > 0 THEN CAST(power(2, b) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS s
+  FROM votes GROUP BY 1),
+blocked AS (
+  SELECT a.doc_id AS id_a, c.doc_id AS id_b, a.s AS sa, c.s AS sb
+  FROM sh_ a JOIN sh_ c
+    ON a.doc_id < c.doc_id
+   AND (a.s % 65536 = c.s % 65536
+        OR CAST(floor(a.s / 65536) AS BIGINT) = CAST(floor(c.s / 65536) AS BIGINT))),
+hb AS (
+  SELECT id_a, id_b,
+         CAST(sum(CASE WHEN (CAST(floor(sa / power(2, bits.b)) AS BIGINT)
+                             + CAST(floor(sb / power(2, bits.b)) AS BIGINT)) % 2 = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+  FROM blocked CROSS JOIN bits GROUP BY 1, 2)
+SELECT id_a, id_b, hamming FROM hb WHERE hamming <= 3
+"""
+
 _QUALITY_SQL = r"""
 WITH q AS (
   SELECT doc_id,
@@ -1299,6 +1338,7 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents
     """,
     "doc_simhash": _SIMHASH_SQL,
+    "simhash_near_pairs": _SIMHASH_PAIRS_SQL,
     "minhash_dedup_pairs": _MINHASH_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "multimodal_features": """
@@ -1714,6 +1754,7 @@ QUERIES = {
     "doc_lang_guess": q_doc_lang_guess,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_simhash": q_doc_simhash,
+    "simhash_near_pairs": q_simhash_near_pairs,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "dedup_clusters": q_dedup_clusters,
     "multimodal_features": q_multimodal_features,
