@@ -74,6 +74,51 @@ def test_tpe_roundtrip_tokens_single_exchange(spark):
     assert "FlatMapGroupsInPandas" not in plan
 
 
+def test_simhash_near_pairs_is_equi_join(spark):
+    """4x8-bit band blocking must compile to a hash equi-join — the
+    OR-of-band-equalities predicate form regressed to an O(n²)
+    BroadcastNestedLoopJoin (VERDICT r2 #1)."""
+    from timeseriestokenizer_spark.operators.dedup import simhash_near_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], "doc_id long, text string"
+    )
+    plan = _plan(simhash_near_pairs(df, "doc_id"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan  # and it IS a join (hash-based)
+
+
+def test_simhash_band_blocking_recall(spark):
+    """A Hamming-2 pair whose flipped bits straddle BOTH 16-bit halves (the
+    2-half-band blocking's blind spot) must be found by the 4-band form."""
+    import numpy as np
+
+    from timeseriestokenizer_spark.operators.dedup import simhash_near_pairs
+
+    # craft two texts whose simhashes differ in bit 3 (low half) and bit 29
+    # (high half): search small word soups until the property holds
+    from timeseriestokenizer_spark.oracle.numpy_oracle import simhash32_py
+
+    base_words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    found = None
+    for extra in ["w%d" % i for i in range(4000)]:
+        a = " ".join(base_words)
+        b = " ".join(base_words + [extra])
+        ha, hb = simhash32_py(a), simhash32_py(b)
+        d = bin(ha ^ hb).count("1")
+        lo_diff = (ha ^ hb) & 0xFFFF
+        hi_diff = (ha ^ hb) >> 16
+        if 1 <= d <= 3 and lo_diff != 0 and hi_diff != 0:
+            found = (a, b, d)
+            break
+    assert found, "no cross-half near pair found in search space"
+    a, b, d = found
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    rows = simhash_near_pairs(df, "doc_id", max_hamming=3).collect()
+    assert len(rows) == 1 and rows[0]["hamming"] == d
+
+
 def test_quantize_catalyst_stays_in_codegen(spark):
     """Join-path quantize over an edges table: whole plan JVM-side."""
     from timeseriestokenizer_spark.functions.quantize import (

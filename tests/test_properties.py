@@ -2,7 +2,7 @@
 pure NumPy, no Spark session needed."""
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from timeseriestokenizer_spark.operators.gorilla import pack_series, unpack_series
@@ -94,6 +94,10 @@ def test_scale_inverse_property(values):
     st.integers(min_value=4, max_value=30),
     st.integers(min_value=2, max_value=6),
 )
+# the round-2 red case: a denormal span ([0, 5e-324]) starves the
+# midpoint-split repair (0.5*(lo+hi) rounds back onto a bound) — the
+# degenerate-extent pad in adaptive_bins_discretize must keep len == N
+@example([0.0] * 19 + [5e-324], 10, 3)
 def test_adaptive_bins_edge_count_property(values, n_bins, k):
     edges, sym, alloc = O.adaptive_bins_discretize(np.array(values), N=n_bins, K=k)
     # the reference guarantees the EDGE count after the repair loop; the

@@ -987,10 +987,12 @@ def q_doc_simhash(spark, sf_dir):
 
 
 def q_simhash_near_pairs(spark, sf_dir):
-    """SimHash near-dup pairs: half-band blocking (16-bit halves must match
-    for Hamming <= 3 somewhere) + exact Hamming verify. Oracle reproduces
-    the blocking and popcount with boring arithmetic only (mod/floor — the
-    round-1 driver diverged on >>/& bit operators)."""
+    """SimHash near-dup pairs: 4x8-bit exact-match band blocking (pigeonhole:
+    n_bands=4 > max_hamming=3, so every pair at Hamming <= 3 leaves at least
+    one band untouched — lossless recall) + exact Hamming verify. The banded
+    self-join is a pure equi-join (hash join, never a nested loop). Oracle
+    reproduces the blocking and popcount with boring arithmetic only
+    (mod/floor — the round-1 driver diverged on >>/& bit operators)."""
     from .operators.dedup import simhash_near_pairs
 
     return simhash_near_pairs(
@@ -1212,9 +1214,11 @@ SELECT doc_id,
 FROM votes GROUP BY 1
 """.format(shingles=_SHINGLES_SQL)
 
-# simhash near-pairs oracle: reuse the simhash CTE chain, then half-band
-# blocking (mod / floor-div by 65536) and popcount-of-xor via per-bit
-# (floor(a/2^b) + floor(b/2^b)) % 2 — no bit operators anywhere
+# simhash near-pairs oracle: reuse the simhash CTE chain, then 4x8-bit
+# exact-match band blocking (floor-div/mod arithmetic — lossless for
+# Hamming <= 3 by pigeonhole, matching operators/dedup.simhash_near_pairs)
+# and popcount-of-xor via per-bit (floor(a/2^b) + floor(b/2^b)) % 2 —
+# no bit operators anywhere
 _SIMHASH_CTE_BODY = _SIMHASH_SQL.strip()[len("WITH "):].rsplit("\nSELECT doc_id,", 1)[0].rstrip().rstrip(",")
 
 _SIMHASH_PAIRS_SQL = f"""
@@ -1224,12 +1228,16 @@ sh_ AS (
          CAST(sum(CASE WHEN vote > 0 THEN CAST(power(2, b) AS BIGINT)
                        ELSE 0 END) AS BIGINT) AS s
   FROM votes GROUP BY 1),
+band_ids AS (SELECT unnest(range(0, 4)) AS band_id),
+banded AS (
+  SELECT doc_id, s, band_id,
+         CAST(floor(s / power(2, band_id * 8)) AS BIGINT) % 256 AS band_val
+  FROM sh_ CROSS JOIN band_ids),
 blocked AS (
-  SELECT a.doc_id AS id_a, c.doc_id AS id_b, a.s AS sa, c.s AS sb
-  FROM sh_ a JOIN sh_ c
-    ON a.doc_id < c.doc_id
-   AND (a.s % 65536 = c.s % 65536
-        OR CAST(floor(a.s / 65536) AS BIGINT) = CAST(floor(c.s / 65536) AS BIGINT))),
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b, a.s AS sa, c.s AS sb
+  FROM banded a JOIN banded c
+    ON a.band_id = c.band_id AND a.band_val = c.band_val
+   AND a.doc_id < c.doc_id),
 hb AS (
   SELECT id_a, id_b,
          CAST(sum(CASE WHEN (CAST(floor(sa / power(2, bits.b)) AS BIGINT)

@@ -259,19 +259,57 @@ def simhash32(text_col="text"):
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bands: int = 4,
 ) -> DataFrame:
-    """SimHash near-dup pairs by Hamming distance, blocked on half-bands
-    (16-bit halves must match exactly for distance ≤ small k in one half)."""
-    s = df.select(F.col(id_col).alias("id"), simhash32(text_col).alias("sh"))
-    s = s.withColumn("lo", F.col("sh").bitwiseAND(F.lit(0xFFFF))).withColumn(
-        "hi", F.shiftright("sh", 16)
-    )
-    a, b = s.alias("a"), s.alias("b")
+    """SimHash near-dup pairs by Hamming distance, blocked on exact-match
+    bands: the 32-bit hash is split into ``n_bands`` contiguous bit bands
+    (8 bits each for the default 4). Pigeonhole: a pair at Hamming distance
+    ``d`` flips bits in at most ``d`` bands, so with ``n_bands > max_hamming``
+    at least one band is UNTOUCHED and the pair is guaranteed to collide
+    there — the blocking is lossless for Hamming ≤ max_hamming (the earlier
+    2-half-band form silently missed e.g. a 2+1 split across halves).
+
+    Plan shape: explode each doc to its (band_id, band_val) rows, then a
+    single self EQUI-join on both columns — a shuffle/broadcast hash join on
+    a ≤(2+8)-bit key. (An OR-of-band-equalities predicate has no extractable
+    equi-key and compiles to BroadcastNestedLoopJoin, O(n²) at scale —
+    test_plan_shapes pins the hash-join form.) The simhash table is cached
+    so the per-word md5 pass runs once, not once per self-join side."""
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands={n_bands} must exceed max_hamming={max_hamming} for "
+            "the exact-match banding to be lossless (pigeonhole)"
+        )
+    bits_per = 32 // n_bands
+    mask = (1 << bits_per) - 1
+    s = df.select(F.col(id_col).alias("id"), simhash32(text_col).alias("sh")).cache()
+    bands = s.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright("sh", b * bits_per)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "sh", "band.band_id", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(
             b,
-            ((F.col("a.lo") == F.col("b.lo")) | (F.col("a.hi") == F.col("b.hi")))
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(

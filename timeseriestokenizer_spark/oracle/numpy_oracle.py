@@ -146,6 +146,17 @@ def adaptive_bins_discretize(x, N=10, K=3):
         cuts = np.delete(cuts, int(np.argmin(np.minimum(gap_left, gap_right))))
 
     cuts = np.clip(np.unique(np.sort(cuts)), lo, hi)
+    if cuts.size < N:
+        # Degenerate extent: when hi - lo is below float resolution (e.g. a
+        # denormal span like [0, 5e-324]) the midpoint-split repair cannot
+        # mint a new distinct cut (0.5*(lo+hi) rounds back onto a bound) and
+        # the loop exits short. The reference repair loop's contract
+        # (utils/discretisize.py:132-170) is "exactly N edges, always" —
+        # honor it by padding with the upper bound; duplicate edges make the
+        # surplus bins empty, the only faithful reading of a sub-resolution
+        # span. Non-degenerate inputs never reach this branch (the split
+        # loop already reached N distinct cuts).
+        cuts = np.sort(np.concatenate([cuts, np.full(N - cuts.size, hi)]))
     return cuts, np.digitize(x, cuts, right=True) + 1, quota
 
 
@@ -201,6 +212,21 @@ def chronos_rebin(x: np.ndarray, edges: np.ndarray) -> np.ndarray:
     x = np.asarray(x, dtype=np.float64)
     sym = np.digitize(x, edges[1:-1])
     return np.clip(sym, 0, len(edges) - 1)
+
+
+def simhash32_py(text: str) -> int:
+    """Pure-Python twin of operators/dedup.simhash32 (token hash = first 8
+    md5 hex digits of each lowercase whitespace word, signed per-bit vote,
+    bit set iff vote > 0) — lets tests craft inputs with targeted Hamming
+    geometry without a Spark round-trip."""
+    import hashlib
+
+    votes = [0] * 32
+    for w in text.strip().lower().split():
+        h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+        for b in range(32):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    return sum((1 << b) for b in range(32) if votes[b] > 0)
 
 
 def insert_special_tokens(symbols, special_at: dict[int, int]) -> list[int]:
