@@ -134,28 +134,35 @@ def main():
     tps, n_turns = rollup_throughput(spark)
     tok_tps, tok_turns = tokenize_throughput(spark)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_e2e",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": queries,
-                "sf": sf,
-                "rollup_turns_per_sec": round(tps),
-                "rollup_bench_turns": n_turns,
-                "tokenize_turns_per_sec": round(tok_tps),
-                "tokenize_bench_turns": tok_turns,
-                "cpus": int(cpus),
-                # two-parallelism-level evidence (north rule): measured by
-                # tools/bench_scaling.py on the 80M-turn cascade, fresh JVM
-                # per level, best-of-3; full protocol in BENCH/BASELINE.md
-                "scaling_local8_turns_per_sec": 355474,
-                "scaling_local32_turns_per_sec": 1255203,
-                "scaling_efficiency_8_to_32": 0.883,
-            }
-        )
+    out = {
+        "metric": "headline_queries_e2e",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "rollup_turns_per_sec": round(tps),
+        "rollup_bench_turns": n_turns,
+        "tokenize_turns_per_sec": round(tok_tps),
+        "tokenize_bench_turns": tok_turns,
+        "cpus": int(cpus),
+    }
+    # two-parallelism-level evidence (north rule): measured separately by
+    # tools/bench_scaling.py (fresh JVM per level, best-of-3; protocol in
+    # BENCH/BASELINE.md), which writes BENCH/scaling_latest.json. Report it
+    # tagged with its measurement time — and OMIT it when no artifact
+    # exists, rather than echoing stale literals as if freshly measured.
+    artifact = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_latest.json"
     )
+    if os.path.exists(artifact):
+        with open(artifact) as f:
+            s = json.load(f)
+        out["scaling_local8_turns_per_sec"] = s["local8"]["turns_per_sec"]
+        out["scaling_local32_turns_per_sec"] = s["local32"]["turns_per_sec"]
+        out["scaling_efficiency_8_to_32"] = s["scaling_efficiency"]
+        out["scaling_measured_at"] = s.get("measured_at", "unknown")
+        out["scaling_source"] = "tools/bench_scaling.py -> BENCH/scaling_latest.json"
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

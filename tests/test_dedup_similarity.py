@@ -234,3 +234,72 @@ def test_ivf_assign_udf_matches_expression_path(spark):
     a = {r["vec_id"]: r["cell"] for r in ivf_assign(df, cents).collect()}
     b = {r["vec_id"]: r["cell"] for r in ivf_assign_udf(df, cents).collect()}
     assert a == b
+
+
+def test_train_centroids_partition_order_insensitive(spark):
+    """The coarse-quantizer sample must not be a partition prefix: the same
+    rows presented sorted, reverse-sorted, and repartitioned must train the
+    SAME centroids (VERDICT r2 #3 — limit() takes whichever partitions
+    answer first)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from timeseriestokenizer_spark.operators.similarity import train_centroids
+
+    rng = np.random.RandomState(11)
+    vecs = rng.standard_normal((500, 8)).round(4)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    schema = "vec_id long, embedding array<double>"
+    sorted_df = spark.createDataFrame(rows, schema).orderBy("vec_id")
+    rev_df = spark.createDataFrame(rows, schema).orderBy(F.desc("vec_id"))
+    shuf_df = spark.createDataFrame(rows, schema).repartition(13, "vec_id")
+
+    c1 = train_centroids(sorted_df, n_cells=4, sample_n=200)
+    c2 = train_centroids(rev_df, n_cells=4, sample_n=200)
+    c3 = train_centroids(shuf_df, n_cells=4, sample_n=200)
+    assert np.array_equal(c1, c2)
+    assert np.array_equal(c1, c3)
+
+
+def test_connected_components_deep_path_graph(spark):
+    """large-star/small-star (deep=True) resolves a 1000-node PATH graph —
+    diameter 999, the min-label worst case — in O(log n) rounds: correct
+    labels with max_iter=16 prove the contraction (min-label propagation
+    would need ~999 rounds)."""
+    from timeseriestokenizer_spark.operators.dedup import (
+        _star_rounds,
+        connected_components,
+    )
+
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    ).coalesce(4)
+
+    labels = connected_components(pairs, max_iter=16, deep=True).toPandas()
+    assert len(labels) == n
+    assert set(labels["doc_id"]) == set(range(n))
+    assert (labels["cluster_id"] == 0).all()
+
+    canon = pairs.selectExpr("id_b as src", "id_a as dst")
+    _, rounds = _star_rounds(canon, max_iter=16)
+    assert rounds <= 14, rounds
+
+
+def test_connected_components_deep_matches_default_on_shallow(spark):
+    """On shallow near-dup clusters both variants agree exactly."""
+    from timeseriestokenizer_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "id_a long, id_b long",
+    )
+    a = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(pairs).collect()
+    }
+    b = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(pairs, deep=True).collect()
+    }
+    assert a == b

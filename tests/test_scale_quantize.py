@@ -135,3 +135,56 @@ def test_quantile_and_adaptive_edges(spark):
         pdf.sort_values("pos")["v"].to_numpy(), N=12
     )
     assert np.allclose(np.sort(ae), np.sort(exp_edges))
+
+
+def test_chronos_rebin_mode_matches_oracle(spark):
+    """F13: mode='chronos' on the broadcast-edges UDF and the Catalyst
+    SQL-expr twin both reproduce numpy_oracle.chronos_rebin
+    (transform_with_chronos_vocab.py:188-194 — right=False, no +1, clipped)."""
+    from timeseriestokenizer_spark.functions.quantize import (
+        chronos_rebin_sql_expr,
+        fit_edges_df,
+        quantize_with_edges,
+    )
+
+    df, pdf = _series_df(spark, n=300, n_series=2)
+    n_bins = 16
+    edges = fit_edges(df, "series_id", "v", n_bins)
+    q = make_quantize_udf(spark, edges, mode="chronos")
+    udf_out = (
+        df.withColumn("tok", q("series_id", "v")).orderBy("series_id", "pos").toPandas()
+    )
+    # Catalyst join-path twin
+    cat_out = (
+        quantize_with_edges(
+            df, fit_edges_df(df, "series_id", "v", n_bins), "series_id", "v",
+            out_col="tok", mode="chronos",
+        )
+        .orderBy("series_id", "pos")
+        .toPandas()
+    )
+    # lo/hi literal-edges expression twin
+    ext = df.groupBy("series_id").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    expr_out = (
+        df.join(ext, "series_id")
+        .withColumn("tok", chronos_rebin_sql_expr("v", "lo", "hi", n_bins))
+        .orderBy("series_id", "pos")
+        .toPandas()
+    )
+    for sid, grp in udf_out.groupby("series_id"):
+        raw = pdf[pdf.series_id == sid].sort_values("pos")["v"].to_numpy()
+        exp = O.chronos_rebin(raw, edges[sid])
+        assert np.array_equal(grp["tok"].to_numpy(), exp)
+        assert np.array_equal(
+            cat_out[cat_out.series_id == sid]["tok"].to_numpy(), exp
+        )
+        assert np.array_equal(
+            expr_out[expr_out.series_id == sid]["tok"].to_numpy(), exp
+        )
+    # the two conventions genuinely differ on this data (guard against the
+    # mode flag silently routing to the F1 path)
+    ref = make_quantize_udf(spark, edges, mode="reference")
+    ref_out = (
+        df.withColumn("tok", ref("series_id", "v")).orderBy("series_id", "pos").toPandas()
+    )
+    assert not np.array_equal(ref_out["tok"].to_numpy(), udf_out["tok"].to_numpy())

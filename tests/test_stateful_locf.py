@@ -100,3 +100,35 @@ def test_locf_matches_batch_gapfill_single_pass(spark, tmp_path):
     assert list(got["slot_ts"]) == list(exp["slot_ts"])
     assert list(got["value"]) == list(exp["v"])
     assert list(got["is_pad"]) == list(exp["is_pad"])
+
+
+def test_locf_late_event_cannot_regress_carried_value(spark, tmp_path):
+    """An out-of-order arrival OLDER than the stream head must be dropped
+    entirely: it previously skipped emission but still overwrote last_value,
+    so later pads silently carried the stale older observation (ADVICE r2)."""
+    src = str(tmp_path / "src3")
+    ckpt = str(tmp_path / "ck3")
+    sink = str(tmp_path / "sk3")
+
+    # pass 1: head advances to hour 03 (value 3.0)
+    _write(spark, src, [
+        ("c", "2026-03-01 00:10:00", 1.0),
+        ("c", "2026-03-01 03:10:00", 3.0),
+    ])
+    run_stateful_locf(spark, src, SCHEMA, ckpt, sink, "conv_id", "ts", "value", 3600)
+
+    # pass 2: a LATE event at hour 01 (9.9), then a live one at hour 05 —
+    # the hour-04 pad must carry 3.0 (the stream head), never 9.9
+    _write(spark, src, [
+        ("c", "2026-03-01 01:30:00", 9.9),
+        ("c", "2026-03-01 05:10:00", 5.0),
+    ])
+    out = (
+        run_stateful_locf(spark, src, SCHEMA, ckpt, sink, "conv_id", "ts", "value", 3600)
+        .toPandas()
+        .sort_values("slot_ts")
+        .reset_index(drop=True)
+    )
+    assert 9.9 not in set(out["value"])
+    pad4 = out[out["slot_ts"] == pd.Timestamp("2026-03-01 04:00:00")]
+    assert len(pad4) == 1 and bool(pad4.iloc[0]["is_pad"]) and pad4.iloc[0]["value"] == 3.0

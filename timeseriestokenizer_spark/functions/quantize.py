@@ -123,23 +123,48 @@ def fit_edges_df(
 
 
 def quantize_with_edges(
-    df: DataFrame, edges_df: DataFrame, key: str, value_col: str, out_col: str = "token"
+    df: DataFrame,
+    edges_df: DataFrame,
+    key: str,
+    value_col: str,
+    out_col: str = "token",
+    mode: str = "reference",
 ) -> DataFrame:
     """Scale-path quantize: join the edges table and compute the token as a
-    pure Catalyst expression — token = 1 + #{internal edges < x}, the same
-    function as np.digitize(..., edges[1:], right=True) + 1 (the equal-width
-    variant is hash-verified against the NumPy oracle; see quantize_sql_expr).
+    pure Catalyst expression.
+
+    mode="reference" (default): token = 1 + #{internal edges < x}, the same
+    function as np.digitize(x, edges[1:], right=True) + 1
+    (utils/discretisize.py:26; the equal-width variant is hash-verified
+    against the NumPy oracle — see quantize_sql_expr).
+
+    mode="chronos": the OTHER binning convention, applying a pre-built
+    (universal/chronos-style) vocab (transform_with_chronos_vocab.py:188-194):
+    token = #{edges[1:-1] <= x} clipped to [0, n_edges-1] — np.digitize with
+    right=False, no +1 (oracle twin: numpy_oracle.chronos_rebin).
 
     No broadcast hint: AQE broadcasts when the edges table is dimension-sized
     and falls back to a co-partitioned shuffle join when it is not (the
     per-conversation case the driver-dict path cannot survive)."""
     j = df.join(edges_df.withColumnRenamed("series_id", key), key)
-    tok = F.expr(
-        f"""
-        1 + aggregate(slice(edges, 2, size(edges) - 1), 0,
-                      (acc, e) -> acc + CASE WHEN e < {value_col} THEN 1 ELSE 0 END)
-        """
-    )
+    if mode == "reference":
+        tok = F.expr(
+            f"""
+            1 + aggregate(slice(edges, 2, size(edges) - 1), 0,
+                          (acc, e) -> acc + CASE WHEN e < {value_col} THEN 1 ELSE 0 END)
+            """
+        )
+    elif mode == "chronos":
+        tok = F.expr(
+            f"""
+            least(
+              aggregate(slice(edges, 2, size(edges) - 2), 0,
+                        (acc, e) -> acc + CASE WHEN e <= {value_col} THEN 1 ELSE 0 END),
+              size(edges) - 1)
+            """
+        )
+    else:
+        raise ValueError(f"unknown quantize mode {mode!r}")
     return j.withColumn(out_col, tok.cast("int")).drop("edges")
 
 
@@ -164,8 +189,21 @@ def dequantize_with_edges(
     return j.withColumn(out_col, recon).drop("edges")
 
 
-def make_quantize_udf(spark, edges_by_series: dict[str, np.ndarray]):
-    """(series_key, scaled_value) -> int token via broadcast edges."""
+def make_quantize_udf(
+    spark, edges_by_series: dict[str, np.ndarray], mode: str = "reference"
+):
+    """(series_key, scaled_value) -> int token via broadcast edges.
+
+    mode="reference": np.digitize(x, edges[1:], right=True) + 1
+    (utils/discretisize.py:26). mode="chronos": the pre-built-vocab
+    convention np.digitize(x, edges[1:-1]) clipped to [0, n_edges-1]
+    (transform_with_chronos_vocab.py:188-194; numpy_oracle.chronos_rebin)."""
+    if mode == "reference":
+        binfn = O.digitize_tokens
+    elif mode == "chronos":
+        binfn = O.chronos_rebin
+    else:
+        raise ValueError(f"unknown quantize mode {mode!r}")
     bc = spark.sparkContext.broadcast(
         {k: np.asarray(v, dtype=np.float64) for k, v in edges_by_series.items()}
     )
@@ -190,7 +228,7 @@ def make_quantize_udf(spark, edges_by_series: dict[str, np.ndarray]):
                     f"series {k!r} has no fitted edges — call fit_edges on a "
                     "frame containing every series before quantizing"
                 )
-            out[idx] = O.digitize_tokens(vals[idx], reg[k])
+            out[idx] = binfn(vals[idx], reg[k])
             i = j
         return pd.Series(out.astype(np.int32))
 
@@ -253,5 +291,26 @@ def quantize_sql_expr(value_col: str, lo_col: str, hi_col: str, n_bins: int):
                                   ELSE {lo_col} + k * (({hi_col} - {lo_col}) / {n1}) END),
               0,
               (acc, e) -> acc + CASE WHEN e < {value_col} THEN 1 ELSE 0 END)
+        """
+    )
+
+
+def chronos_rebin_sql_expr(value_col: str, lo_col: str, hi_col: str, n_bins: int):
+    """Catalyst-only twin of numpy_oracle.chronos_rebin over equal-width
+    edges: token = #{interior edges <= x} clipped to [0, n_bins-1] —
+    np.digitize(x, edges[1:-1], right=False), NO +1
+    (transform_with_chronos_vocab.py:188-194). The interior edges are
+    k in 1..n_bins-2 of the same linspace as quantize_sql_expr (the last
+    edge, pinned to hi, is excluded by the [1:-1] slice)."""
+    n1 = n_bins - 1
+    return F.expr(
+        f"""
+        least(
+          aggregate(
+            transform(sequence(1, {n1 - 1}),
+                      k -> {lo_col} + k * (({hi_col} - {lo_col}) / {n1})),
+            0,
+            (acc, e) -> acc + CASE WHEN e <= {value_col} THEN 1 ELSE 0 END),
+          {n1})
         """
     )

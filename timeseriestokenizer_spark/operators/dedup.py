@@ -328,22 +328,102 @@ def simhash_near_pairs(
     )
 
 
+def _star_rounds(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", two-phase algorithm):
+
+    * large-star(u): every neighbor v > u re-points to m = min(Γ(u) ∪ {u})
+    * small-star(u): u and all smaller neighbors re-point to m = min(Γ⁻(u))
+
+    Each round is two join+agg passes over the (shrinking) edge list;
+    converges in O(log n) rounds on ANY graph shape — the deep-chain case
+    where diameter-bounded min-label propagation needs O(diameter) rounds.
+    Input: directed edges src > dst, no self-loops. Returns the converged
+    star edges (src > dst = component min) and the round count.
+
+    Each round ends in an eager localCheckpoint: iterative plans DOUBLE per
+    round (the symmetric union + two joins reference the previous round
+    twice) and caching alone does not truncate the logical plan — by ~12
+    rounds Catalyst planning alone OOMs the driver. Checkpointing resets the
+    lineage to a leaf. (On a real cluster prefer spark.checkpoint with a
+    reliable dir — localCheckpoint re-computes from scratch on executor
+    loss; same truncation semantics.)"""
+    e = edges.localCheckpoint(eager=True)
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star over symmetric neighborhoods
+        sym = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = (
+            sym.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.least("mn", "src").alias("m"))
+        )
+        large = (
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # small-star over the (src > dst)-directed edges
+        smins = large.groupBy("src").agg(F.min("dst").alias("m"))
+        small = (
+            large.join(smins, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(smins.select("src", F.col("m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            small.exceptAll(e).limit(1).count() + e.exceptAll(small).limit(1).count()
+        )
+        e = small
+        if changed == 0:
+            break
+    return e, rounds
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    deep: bool = False,
 ) -> DataFrame:
     """Resolve near-dup pairs into clusters: (doc_id, cluster_id) where
     cluster_id = the minimum id reachable through the pair graph — the step
     a dedup pipeline needs between pair generation and keep-first removal.
 
-    Min-label propagation: each round every node takes the min of its own
-    label and its neighbors' labels; converges in <= graph-diameter rounds
-    (near-dup clusters are shallow — typically 2-4). Each round is one
-    join + one aggregate; the driver only runs the (bounded) loop and the
-    convergence count. For adversarially deep graphs swap in the
-    large-star/small-star variant (O(log n) rounds, same join shape)."""
+    Default (deep=False) — min-label propagation: each round every node
+    takes the min of its own label and its neighbors' labels; converges in
+    <= graph-diameter rounds (near-dup clusters are shallow — typically
+    2-4). Each round is one join + one aggregate; the driver only runs the
+    (bounded) loop and the convergence count.
+
+    deep=True — large-star/small-star contraction (_star_rounds): O(log n)
+    rounds regardless of diameter, for adversarially deep graphs (long
+    duplicate chains) where the default would need O(diameter) rounds."""
+    if deep:
+        canon = (
+            pairs.select(
+                F.greatest(F.col(id_a), F.col(id_b)).alias("src"),
+                F.least(F.col(id_a), F.col(id_b)).alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        stars, _ = _star_rounds(canon, max_iter)
+        members = stars.select(
+            F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id")
+        )
+        roots = stars.select(F.col("dst").alias("doc_id")).distinct().withColumn(
+            "cluster_id", F.col("doc_id")
+        )
+        return members.unionByName(roots)
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     edges = fwd.unionByName(rev).distinct().cache()

@@ -176,8 +176,21 @@ def train_centroids(
     df: DataFrame, vec_col="embedding", n_cells=8, n_iter=5, sample_n=2000, seed=42
 ) -> np.ndarray:
     """Deterministic driver-side k-means-lite on a size-capped sample (the
-    IVF coarse quantizer; at 100TB the sample is still driver-sized)."""
-    rows = df.select(vec_col).limit(sample_n).collect()
+    IVF coarse quantizer; at 100TB the sample is still driver-sized).
+
+    The sample is the ``sample_n`` lowest xxhash64(vector) rows — a
+    pseudo-random, partition-order-INSENSITIVE draw (a bare ``limit`` takes
+    whatever partitions answer first: on a sorted/partitioned table that is
+    a biased prefix, not a sample). orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition top-k heaps merged on the driver,
+    no global sort (mirrors the universal-vocab canonical-sort-then-limit at
+    operators/tpe.py)."""
+    rows = (
+        df.select(F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64("_v"), "_v")
+        .limit(sample_n)
+        .collect()
+    )
     X = np.array([r[0] for r in rows], dtype=np.float64)
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
     rng = np.random.RandomState(seed)

@@ -69,6 +69,14 @@ def stream_locf_fill(
             pdf = pdf.sort_values("ts_us", kind="stable")
             for ts_us, v in zip(pdf["ts_us"], pdf["val"]):
                 slot = (int(ts_us) // slot_us) * slot_us
+                if last_slot is not None and slot < last_slot:
+                    # LATE arrival (older than the stream head): an append
+                    # sink cannot retract the already-emitted slot, and the
+                    # carried value must NEVER regress to a stale older
+                    # observation — drop the event entirely (it previously
+                    # still overwrote last_value, silently corrupting every
+                    # subsequent pad).
+                    continue
                 if last_slot is not None:
                     for s in range(last_slot + slot_us, slot, slot_us):
                         out_slots.append(s)

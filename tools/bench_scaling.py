@@ -94,19 +94,24 @@ def main():
 
     lo, hi = results[8], results[32]
     eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4.0
-    print(
-        json.dumps(
-            {
-                "job": "parquet scan → signals → 1m/5m/1h/1d rollup cascade",
-                "input_turns": lo["turns"],
-                "local8": lo,
-                "local32": hi,
-                "speedup_8_to_32": round(hi["turns_per_sec"] / lo["turns_per_sec"], 3),
-                "scaling_efficiency": round(eff, 3),
-                "identical_results": lo["tier_buckets"] == hi["tier_buckets"],
-            }
-        )
-    )
+    result = {
+        "job": "parquet scan → signals → 1m/5m/1h/1d rollup cascade",
+        "input_turns": lo["turns"],
+        "local8": lo,
+        "local32": hi,
+        "speedup_8_to_32": round(hi["turns_per_sec"] / lo["turns_per_sec"], 3),
+        "scaling_efficiency": round(eff, 3),
+        "identical_results": lo["tier_buckets"] == hi["tier_buckets"],
+        "measured_at": __import__("datetime").datetime.now().isoformat(timespec="seconds"),
+    }
+    print(json.dumps(result))
+    # artifact consumed by bench.py — the bench JSON must carry MEASURED
+    # scaling numbers, never stale literals (a regression would otherwise
+    # keep reporting old evidence as fresh)
+    artifact = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                            "BENCH", "scaling_latest.json")
+    with open(artifact, "w") as f:
+        json.dump(result, f, indent=1)
 
 
 if __name__ == "__main__":
