@@ -111,3 +111,60 @@ def test_chronological_split(spark):
         assert labels == sorted(labels, key=["train", "val", "test"].index)
         frac_train = labels.count("train") / len(labels)
         assert 0.5 <= frac_train <= 0.9
+
+
+def test_explode_sequence_columns_matches_pandas(spark, tmp_path):
+    """S2/F10 ingest twin: lockstep explode of array columns == pandas
+    df.explode(sequence_columns) (download_chronos_to_csv.py:18-30), with
+    seq_pos as the explicit ordinal."""
+    import numpy as np
+    import pandas as pd
+
+    from timeseriestokenizer_spark.sources.sequence_ingest import (
+        explode_sequence_columns,
+        sequence_columns,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "series_id": ["a", "b", "c"],
+            "freq": ["H", "D", "H"],
+            "timestamp": [[1, 2, 3], [10, 20], []],
+            "target": [[1.0, 2.5, 3.5], [0.5, 0.25], []],
+        }
+    )
+    df = spark.createDataFrame(
+        pdf,
+        "series_id string, freq string, timestamp array<long>, target array<double>",
+    )
+    assert sequence_columns(df) == ["timestamp", "target"]
+
+    got = (
+        explode_sequence_columns(df)
+        .toPandas()
+        .sort_values(["series_id", "seq_pos"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        pdf.explode(["timestamp", "target"])
+        .reset_index(drop=True)
+        .infer_objects()
+    )
+    assert list(got["series_id"]) == list(exp["series_id"])
+    assert list(got["freq"]) == list(exp["freq"])
+    # empty list -> one NULL row in both engines
+    for col in ["timestamp", "target"]:
+        g = got[col].astype(float)
+        e = exp[col].astype(float)
+        assert np.array_equal(g.to_numpy(), e.to_numpy(), equal_nan=True)
+    # ordinals: 0..len-1 per series, NULL for the empty series
+    assert list(got[got.series_id == "a"]["seq_pos"]) == [0, 1, 2]
+    assert got[got.series_id == "c"]["seq_pos"].isna().all()
+
+    # the runnable job end-to-end (local master inherits the test session)
+    src, out = str(tmp_path / "seq_src"), str(tmp_path / "seq_out")
+    df.write.parquet(src)
+    from jobs.sequence_ingest_job import main as job_main
+
+    job_main(["--input", src, "--output", out, "--repartition", "4"])
+    assert spark.read.parquet(out).count() == 6  # 3 + 2 + 1 NULL row
