@@ -41,6 +41,16 @@ HEADLINE = [
     "revenue_by_nation",
 ]
 
+# measured every round but kept OUT of the headline sum so the headline
+# stays comparable round-over-round (r2 baseline is the 14-query set)
+EXTRA = [
+    "simhash_near_pairs",
+    "dedup_clusters",
+    "chronos_rebin_tokens",
+    "hash_split",
+    "stratified_sample",
+]
+
 BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "20000"))
 BENCH_AVG_LEN = int(os.environ.get("BENCH_AVG_LEN", "200"))
 
@@ -131,6 +141,12 @@ def main():
         queries[name] = dt
         total += dt
 
+    extra = {}
+    for name in EXTRA:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        extra[name] = round(time.time() - t0, 3)
+
     tps, n_turns = rollup_throughput(spark)
     tok_tps, tok_turns = tokenize_throughput(spark)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -139,6 +155,7 @@ def main():
         "value": round(total, 3),
         "unit": "sec",
         "queries": queries,
+        "extra_queries": extra,
         "sf": sf,
         "rollup_turns_per_sec": round(tps),
         "rollup_bench_turns": n_turns,

@@ -303,3 +303,45 @@ def test_connected_components_deep_matches_default_on_shallow(spark):
         for r in connected_components(pairs, deep=True).collect()
     }
     assert a == b
+
+
+def test_simhash_deep_block_combination_recall(spark):
+    """simhash_near_pairs_deep (60-bit, 6C3 Manku block-combination keys):
+    pairs whose flipped bits SPREAD across up to max_hamming blocks — the
+    worst case for band blocking — must all be found, and the plan must be
+    a hash equi-join."""
+    from timeseriestokenizer_spark.operators.dedup import simhash_near_pairs_deep
+    from timeseriestokenizer_spark.oracle.numpy_oracle import simhash60_py
+
+    base = ["kappa", "lambda", "omicron", "sigma", "upsilon", "omega", "rho"]
+
+    def blocks_touched(x, bits_per=10, n_blocks=6):
+        return {b for b in range(n_blocks * bits_per) if (x >> b) & 1} and {
+            bit // bits_per for bit in range(60) if (x >> bit) & 1
+        }
+
+    rows, expected = [], []
+    next_id = 0
+    found_spread = 0
+    h_base = simhash60_py(" ".join(base))
+    for i in range(6000):
+        cand = " ".join(base + [f"v{i}"])
+        x = h_base ^ simhash60_py(cand)
+        d = bin(x).count("1")
+        if 1 <= d <= 3 and len(blocks_touched(x)) == d and d >= 2:
+            rows.append((next_id, " ".join(base)))
+            rows.append((next_id + 1, cand))
+            expected.append((next_id, next_id + 1, d))
+            next_id += 2
+            found_spread += 1
+            if found_spread >= 3:
+                break
+    assert found_spread >= 1, "no spread pair found in search space"
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = simhash_near_pairs_deep(df, "doc_id", max_hamming=3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in got.collect()}
+    for a, b, d in expected:
+        assert pairs.get((a, b)) == d, (a, b, d, pairs)

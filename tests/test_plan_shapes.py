@@ -74,6 +74,22 @@ def test_tpe_roundtrip_tokens_single_exchange(spark):
     assert "FlatMapGroupsInPandas" not in plan
 
 
+def test_gapfill_single_exchange(spark):
+    """The whole gap-fill (dedup → spine → left join → LOCF window) must
+    reuse ONE hash(key) exchange: every stage demands only clustering by
+    key (HashPartitioning(key) satisfies the (key, slot_ts) join and the
+    dedup/LOCF windows)."""
+    from timeseriestokenizer_spark.operators.gapfill import gap_fill
+
+    df = spark.createDataFrame(
+        [("a", "2026-01-01 00:00:00", 1.0), ("a", "2026-01-01 02:00:00", 2.0)],
+        "uid string, hts string, v double",
+    ).withColumn("hts", F.col("hts").cast("timestamp"))
+    plan = _plan(gap_fill(df, "uid", "hts", ["v"], 3600))
+    n_exchange = plan.count("Exchange") - plan.count("ReusedExchange")
+    assert n_exchange == 1, plan
+
+
 def test_simhash_near_pairs_is_equi_join(spark):
     """4x8-bit band blocking must compile to a hash equi-join — the
     OR-of-band-equalities predicate form regressed to an O(n²)

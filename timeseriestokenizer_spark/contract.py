@@ -602,6 +602,50 @@ def q_chronos_rebin_tokens(spark, sf_dir):
     return tokd.select("event_id", F.col("token").cast("long").alias("token"))
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/test split (functions/sampling.py): membership
+    depends only on (key, seed) via a portable md5 bucket — stable across
+    reruns, repartitioning and engines (df.sample() is none of those), the
+    property a training pipeline needs to avoid test-set leakage. Pure
+    scan-local Catalyst expression, no shuffle."""
+    from .functions.sampling import with_hash_split
+
+    ev = load(spark, sf_dir, "events")
+    return with_hash_split(ev, ["event_id"], 0.2, seed=42).select("event_id", "split")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic downsampling (functions/sampling.py):
+    rebalance a corpus by language — keep 10% of dominant 'en', all of 'de',
+    half of 'fr', drop the rest — with content-hash membership (the oracle
+    reproduces the EXACT row set, not a statistical lookalike)."""
+    from .functions.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", {"en": 0.1, "de": 1.0, "fr": 0.5}, ["doc_id"], seed=7
+    ).select("doc_id", "lang")
+
+
+_HASH_SPACE = 16 ** 15
+
+_HASH_SPLIT_SQL = f"""
+SELECT event_id,
+       CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(event_id AS VARCHAR), ':', '42')), 1, 15)) AS BIGINT)
+                 < {int(0.2 * _HASH_SPACE)} THEN 'test' ELSE 'train' END AS split
+FROM events
+"""
+
+_STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang FROM documents
+WHERE CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':', '7')), 1, 15)) AS BIGINT)
+      < CASE lang WHEN 'en' THEN {int(0.1 * _HASH_SPACE)}
+                  WHEN 'de' THEN {int(1.0 * _HASH_SPACE)}
+                  WHEN 'fr' THEN {int(0.5 * _HASH_SPACE)}
+                  ELSE 0 END
+"""
+
+
 N_QBINS = 8
 
 
@@ -709,21 +753,31 @@ FROM tok
 
 def q_gapfill_locf(spark, sf_dir):
     """W2/J6: hourly calendar spine per user + <PAD> flag + LOCF
-    (operators/gapfill.py; sequence()+explode, last(ignorenulls) window)."""
+    (operators/gapfill.py; sequence()+explode, last(ignorenulls) window).
+
+    The hourly keep-latest dedup is a lag window clustered on user_id ONLY
+    (ordering (hts, ts DESC, event_id DESC) and keeping each hts group's
+    first row == row_number=1 over (user_id, hts)) so the dedup, the spine,
+    the join and the LOCF window all ride ONE hash(user_id) exchange —
+    a (user_id, hour) window here would force a second, wider shuffle."""
     from .operators.gapfill import gap_fill
 
-    ev = load(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
-    w = W.partitionBy("user_id", F.date_trunc("hour", "ts")).orderBy(
-        F.desc("ts"), F.desc("event_id")
+    ev = load(spark, sf_dir, "events").select(
+        # cast to the gap_fill key dtype BEFORE the window: clustering on
+        # cast(user_id) and on user_id are different expressions to Catalyst,
+        # and a mixed pair would split the plan onto two exchanges
+        F.col("user_id").cast("string").alias("uid"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        "value",
     )
+    hts = F.date_trunc("hour", "ts")
+    w = W.partitionBy("uid").orderBy(hts, F.desc("ts"), F.desc("event_id"))
     hourly = (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("user_id").cast("string").alias("uid"),
-            F.date_trunc("hour", "ts").alias("hts"),
-            F.col("value").alias("v"),
-        )
+        ev.withColumn("_hts", hts)
+        .withColumn("_prev", F.lag("_hts").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("_hts")))
+        .select("uid", F.col("_hts").alias("hts"), F.col("value").alias("v"))
     )
     out = gap_fill(hourly, "uid", "hts", ["v"], 3600)
     return out.select(
@@ -1416,6 +1470,8 @@ ORACLE_SQL: dict[str, str] = {
     "dequantize_recon": _DEQUANTIZE_SQL,
     "quantize_catalyst": _QUANT_DEQUANT_SQL,
     "chronos_rebin_tokens": _CHRONOS_REBIN_SQL,
+    "hash_split": _HASH_SPLIT_SQL,
+    "stratified_sample": _STRATIFIED_SAMPLE_SQL,
     "quantile_edges": _QUANTILE_EDGES_SQL,
     # TPE roundtrips: decode∘encode = identity over the quantized stream, so
     # the oracle for the whole train/encode/decode chain is the quantize SQL
@@ -1800,8 +1856,6 @@ WHERE list_dot_product(a.v, c.v)
 # tools/check_contract.py always runs ALL of them (the pre-commit gate).
 QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
-    "doc_token_stats": q_doc_token_stats,
-    "doc_quality": q_doc_quality,
     "doc_lang_guess": q_doc_lang_guess,
     "doc_simhash": q_doc_simhash,
     "simhash_near_pairs": q_simhash_near_pairs,
@@ -1817,6 +1871,8 @@ QUERIES = {
     "dequantize_recon": q_dequantize_recon,
     "quantize_catalyst": q_quantize_catalyst,
     "chronos_rebin_tokens": q_chronos_rebin_tokens,
+    "hash_split": q_hash_split,
+    "stratified_sample": q_stratified_sample,
     "quantile_edges": q_quantile_edges,
     "gapfill_locf": q_gapfill_locf,
     "ebos_marks": q_ebos_marks,
@@ -1850,6 +1906,8 @@ QUERIES = {
     "set_ops": q_set_ops,
     "distinct_counts": q_distinct_counts,
     # ---- driver-cap line (entry 51+): green in CORRECTNESS_r01/r02 ----
+    "doc_token_stats": q_doc_token_stats,
+    "doc_quality": q_doc_quality,
     "doc_fingerprint": q_doc_fingerprint,
     "embed_norms": q_embed_norms,
     "quantize_tokens": q_quantize_tokens,

@@ -83,27 +83,81 @@ def gap_fill(
     Assumes df's ts values are freq-aligned (i.e. already rolled up to the
     tier whose gaps are being exposed); dedups multiple rows per slot
     keep-first by ts order (utils/discretisize.py:290).
-    """
-    dedup_w = W.partitionBy(key, ts_col).orderBy(*value_cols)
+
+    Plan shape — ONE exchange, NO join: each observation GENERATES its own
+    slot plus the pad slots up to (exclusive) the next observation —
+    lead() + sequence() + posexplode — so LOCF falls out for free (a pad
+    replicates its generating row's values) and the classic
+    spine-left-join-obs formulation disappears. That join is what made
+    this operator 3 shuffles wide: Spark requires ALL join keys
+    co-partitioned (spark.sql.requireAllClusterKeysForCoPartition defaults
+    true), so spine⋈obs re-exchanged both sides on (key, slot_ts) even
+    when both were already hash(key)-partitioned. Windows don't have that
+    restriction — every stage here (keep-first lag dedup, LOCF run, lead)
+    demands only clustering(key) and they all share ONE hash(key) exchange
+    and one sort (pytest-pinned in test_plan_shapes).
+    max_slots_per_series guards the per-row explode: one year-long gap at
+    1s frequency would materialize 31M rows in a single generator call —
+    fail fast with a named error instead."""
+    dedup_w = W.partitionBy(key).orderBy(ts_col, *value_cols)
     obs = (
-        df.withColumn("_rn", F.row_number().over(dedup_w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        df.withColumn("_prev_ts", F.lag(ts_col).over(dedup_w))
+        .filter(F.col("_prev_ts").isNull() | (F.col("_prev_ts") != F.col(ts_col)))
+        .drop("_prev_ts")
         .withColumnRenamed(ts_col, "slot_ts")
     )
-    spine = calendar_spine(df.select(key, ts_col), key, ts_col, freq_seconds)
-    joined = spine.join(obs, [key, "slot_ts"], "left").withColumn(
-        "is_pad", F.col(value_cols[0]).isNull()
-    )
+    run_w = W.partitionBy(key).orderBy("slot_ts")
+    # pad flag fidelity with the spine-join form: an OBSERVED row whose
+    # first value column is null is also flagged is_pad (captured before
+    # LOCF overwrites it)
+    obs = obs.withColumn("_pad0", F.col(value_cols[0]).isNull())
     if locf:
-        w = (
-            W.partitionBy(key)
-            .orderBy("slot_ts")
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
-        )
+        # carry BEFORE exploding: an observed-but-null value is replaced by
+        # the previous non-null, matching the spine-join-then-window form
+        carried_w = run_w.rowsBetween(W.unboundedPreceding, W.currentRow)
         for c in value_cols:
-            joined = joined.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return joined
+            obs = obs.withColumn(c, F.last(c, ignorenulls=True).over(carried_w))
+    obs = obs.withColumn("_next_ts", F.lead("slot_ts").over(run_w))
+    gap_end = F.coalesce(
+        F.col("_next_ts") - F.expr(f"interval {freq_seconds} seconds"),
+        F.col("slot_ts"),
+    )
+    max_slots = 10_000_000
+    n_slots = (
+        F.unix_timestamp(F.col("_next_ts").cast("timestamp"))
+        - F.unix_timestamp(F.col("slot_ts").cast("timestamp"))
+    ) / freq_seconds
+    msg = F.concat(
+        F.lit("gap-fill spine for series "),
+        F.col(key).cast("string"),
+        F.lit(
+            f" exceeds {max_slots} slots in one gap at freq={freq_seconds}s"
+            " — use a coarser tier frequency"
+        ),
+    )
+    gap_end = F.when(
+        F.assert_true(F.coalesce(n_slots, F.lit(0.0)) <= max_slots, msg).isNull(),
+        gap_end,
+    )
+    slots = F.sequence(
+        F.col("slot_ts"), gap_end, F.expr(f"interval {freq_seconds} seconds")
+    )
+    exploded = obs.select(
+        key,
+        *value_cols,
+        "_pad0",
+        F.posexplode(slots).alias("_pos", "_gen_slot"),
+    )
+    out_vals = [
+        (F.col(c) if locf else F.when(F.col("_pos") == 0, F.col(c))).alias(c)
+        for c in value_cols
+    ]
+    return exploded.select(
+        key,
+        F.col("_gen_slot").alias("slot_ts"),
+        *out_vals,
+        ((F.col("_pos") > 0) | F.col("_pad0")).alias("is_pad"),
+    )
 
 
 def mark_ebos(

@@ -214,19 +214,26 @@ def chronos_rebin(x: np.ndarray, edges: np.ndarray) -> np.ndarray:
     return np.clip(sym, 0, len(edges) - 1)
 
 
-def simhash32_py(text: str) -> int:
+def simhash32_py(text: str, n_bits: int = 32) -> int:
     """Pure-Python twin of operators/dedup.simhash32 (token hash = first 8
     md5 hex digits of each lowercase whitespace word, signed per-bit vote,
     bit set iff vote > 0) — lets tests craft inputs with targeted Hamming
-    geometry without a Spark round-trip."""
+    geometry without a Spark round-trip. n_bits=60 gives the simhash60
+    twin (token hash = first 15 hex digits)."""
     import hashlib
 
-    votes = [0] * 32
+    hex_digits = n_bits // 4
+    votes = [0] * n_bits
     for w in text.strip().lower().split():
-        h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
-        for b in range(32):
+        h = int(hashlib.md5(w.encode()).hexdigest()[:hex_digits], 16)
+        for b in range(n_bits):
             votes[b] += 1 if (h >> b) & 1 else -1
-    return sum((1 << b) for b in range(32) if votes[b] > 0)
+    return sum((1 << b) for b in range(n_bits) if votes[b] > 0)
+
+
+def simhash60_py(text: str) -> int:
+    """Twin of operators/dedup.simhash60."""
+    return simhash32_py(text, n_bits=60)
 
 
 def insert_special_tokens(symbols, special_at: dict[int, int]) -> list[int]:

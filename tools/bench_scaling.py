@@ -72,9 +72,13 @@ print(json.dumps({"cores": cores, "turns": n, "wall_s": round(best, 3),
 
 
 def main():
-    convs = int(os.environ.get("SCALING_CONVS", "60000"))
+    # default 400k convs (~80M turns): the documented protocol size. At the
+    # old 60k default (~12M turns) the 32-core run finishes in ~14 s and
+    # fixed scheduler/write overhead caps efficiency at ~0.55-0.58 even when
+    # the engine scales fine — measured both ways, see BENCH/BASELINE.md §5.
+    convs = int(os.environ.get("SCALING_CONVS", "400000"))
     avg_len = int(os.environ.get("SCALING_AVG_LEN", "200"))
-    path = os.environ.get("SCALING_PATH", "/tmp/scaling_transcripts")
+    path = os.environ.get("SCALING_PATH", "/tmp/scaling_transcripts_80m")
 
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         gen = subprocess.run(
