@@ -174,9 +174,15 @@ def main():
     if os.path.exists(artifact):
         with open(artifact) as f:
             s = json.load(f)
-        out["scaling_local8_turns_per_sec"] = s["local8"]["turns_per_sec"]
-        out["scaling_local32_turns_per_sec"] = s["local32"]["turns_per_sec"]
-        out["scaling_efficiency_8_to_32"] = s["scaling_efficiency"]
+        if "levels" in s:  # current artifact shape (N and 4N cores)
+            lo_c, hi_c = s["levels"]
+            out[f"scaling_local{lo_c}_turns_per_sec"] = s["local_lo"]["turns_per_sec"]
+            out[f"scaling_local{hi_c}_turns_per_sec"] = s["local_hi"]["turns_per_sec"]
+            out[f"scaling_efficiency_{lo_c}_to_{hi_c}"] = s["scaling_efficiency"]
+        else:  # round-3 transitional artifact
+            out["scaling_local8_turns_per_sec"] = s["local8"]["turns_per_sec"]
+            out["scaling_local32_turns_per_sec"] = s["local32"]["turns_per_sec"]
+            out["scaling_efficiency_8_to_32"] = s["scaling_efficiency"]
         out["scaling_measured_at"] = s.get("measured_at", "unknown")
         out["scaling_source"] = "tools/bench_scaling.py -> BENCH/scaling_latest.json"
     print(json.dumps(out))
