@@ -1,0 +1,63 @@
+"""Global running totals / shard packing (operators/packing.py): numpy
+parity, partition-count invariance, and the no-single-partition-window plan
+claim."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from timeseriestokenizer_spark.operators.packing import (
+    pack_shards,
+    with_running_total,
+)
+
+
+def _docs(spark, n=5000, seed=3):
+    rng = np.random.RandomState(seed)
+    weights = rng.randint(50, 2000, n)
+    return (
+        spark.createDataFrame(
+            [(int(i), int(w)) for i, w in enumerate(weights)],
+            "doc_id long, n_chars long",
+        ).repartition(16),  # scrambled input order
+        weights,
+    )
+
+
+def test_running_total_matches_numpy(spark):
+    df, weights = _docs(spark)
+    out = (
+        with_running_total(df, "doc_id", "n_chars")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert np.array_equal(out["running_total"].to_numpy(), np.cumsum(weights))
+
+
+def test_running_total_partition_count_invariant(spark):
+    df, weights = _docs(spark, n=2000)
+    a = with_running_total(df, "doc_id", "n_chars", num_partitions=3).orderBy("doc_id").toPandas()
+    b = with_running_total(df, "doc_id", "n_chars", num_partitions=17).orderBy("doc_id").toPandas()
+    assert np.array_equal(a["running_total"].to_numpy(), b["running_total"].to_numpy())
+    assert np.array_equal(a["running_total"].to_numpy(), np.cumsum(weights))
+
+
+def test_pack_shards_budget_and_determinism(spark):
+    df, weights = _docs(spark)
+    out = pack_shards(df, "doc_id", "n_chars", 25_000).orderBy("doc_id").toPandas()
+    excl = np.cumsum(weights) - weights
+    assert np.array_equal(out["shard_id"].to_numpy(), excl // 25_000)
+    # shard ids are contiguous from 0 and each shard's exclusive start is
+    # within one document of the budget boundary
+    sids = out["shard_id"].to_numpy()
+    assert sids[0] == 0 and np.all(np.diff(sids) >= 0) and np.all(np.diff(sids) <= 1)
+
+
+def test_packing_plan_has_no_single_partition_window(spark):
+    df, _ = _docs(spark, n=500)
+    plan = (
+        pack_shards(df, "doc_id", "n_chars", 25_000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan, plan

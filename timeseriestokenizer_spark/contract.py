@@ -627,6 +627,30 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_shard_packing(spark, sf_dir):
+    """Training-shard assembly: pack documents into fixed 50k-char shards by
+    EXCLUSIVE cumulative weight in doc_id order (operators/packing.py). The
+    engine computes the global cumsum with the two-pass range-partition +
+    per-partition-offset scheme — no single-partition window anywhere in
+    the plan (plan-shape pytest) — while the oracle states the same thing
+    as the naive SUM() OVER (ORDER BY) window DuckDB can run."""
+    from .operators.packing import pack_shards
+
+    docs = load(spark, sf_dir, "documents")
+    return pack_shards(docs, "doc_id", "n_chars", 50_000).select(
+        "doc_id", "shard_id"
+    )
+
+
+_SHARD_PACKING_SQL = """
+SELECT doc_id,
+       CAST(floor((SUM(n_chars) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_chars) / 50000) AS BIGINT) AS shard_id
+FROM documents
+"""
+
+
 _HASH_SPACE = 16 ** 15
 
 _HASH_SPLIT_SQL = f"""
@@ -1472,6 +1496,7 @@ ORACLE_SQL: dict[str, str] = {
     "chronos_rebin_tokens": _CHRONOS_REBIN_SQL,
     "hash_split": _HASH_SPLIT_SQL,
     "stratified_sample": _STRATIFIED_SAMPLE_SQL,
+    "shard_packing": _SHARD_PACKING_SQL,
     "quantile_edges": _QUANTILE_EDGES_SQL,
     # TPE roundtrips: decode∘encode = identity over the quantized stream, so
     # the oracle for the whole train/encode/decode chain is the quantize SQL
@@ -1873,6 +1898,7 @@ QUERIES = {
     "chronos_rebin_tokens": q_chronos_rebin_tokens,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
+    "shard_packing": q_shard_packing,
     "quantile_edges": q_quantile_edges,
     "gapfill_locf": q_gapfill_locf,
     "ebos_marks": q_ebos_marks,
@@ -1891,7 +1917,6 @@ QUERIES = {
     "chron_split": q_chron_split,
     "event_pairs": q_event_pairs,
     "top_users": q_top_users,
-    "dedup_events": q_dedup_events,
     "persistence_metrics": q_persistence_metrics,
     "detokenize_score": q_detokenize_score,
     "wide_melt_stats": q_wide_melt_stats,
@@ -1906,6 +1931,7 @@ QUERIES = {
     "set_ops": q_set_ops,
     "distinct_counts": q_distinct_counts,
     # ---- driver-cap line (entry 51+): green in CORRECTNESS_r01/r02 ----
+    "dedup_events": q_dedup_events,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
     "doc_fingerprint": q_doc_fingerprint,
