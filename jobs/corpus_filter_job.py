@@ -1,0 +1,135 @@
+"""End-to-end training-corpus filter: the pipeline a 100 TB pretraining
+data refresh actually runs, composed from this engine's operators —
+
+    quality/lang annotate → quality gate → exact dedup (keep-first)
+    → MinHash near-dup removal → per-language stratified downsample
+    → deterministic train/test split → fixed-budget shard packing
+    → parquet partitioned by split
+
+Run via spark-submit:
+
+    python tools/build_pyfiles.py
+    spark-submit --py-files dist/timeseriestokenizer_spark.zip \
+        jobs/corpus_filter_job.py --input <documents_parquet> --output <dir> \
+        [--min-quality 0.3] [--jaccard 0.5] [--lang-fractions '{"en":0.5}'] \
+        [--test-fraction 0.1] [--shard-chars 500000] [--seed 42]
+
+Prints one JSON line of per-stage row counts (the funnel — what a data
+curator reads first). Every stage is deterministic: content hashes drive
+dedup, sampling, and the split, so a re-run (or a backfill on a grown
+corpus) reproduces/extends the same decisions instead of reshuffling them.
+
+Scale notes: annotations and the quality gate are scan-local Catalyst
+expressions; exact dedup groups on md5 (fixed-width shuffle keys); near-dup
+candidates come from banded MinHash-LSH (equi-join, linear shuffle) with
+exact-Jaccard verify on candidates only; sampling/split are scan-local hash
+predicates; shard packing is the two-pass global cumsum (no
+single-partition window). The funnel counts cost one count() per stage on
+a cached frame each — at real scale, drop --funnel to skip them.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--min-quality", type=float, default=0.3)
+    p.add_argument("--jaccard", type=float, default=0.5)
+    p.add_argument("--lang-fractions", default=None,
+                   help='JSON dict lang->fraction; unlisted langs keep 1.0')
+    p.add_argument("--test-fraction", type=float, default=0.1)
+    p.add_argument("--shard-chars", type=int, default=500_000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--funnel", action="store_true", default=True)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from timeseriestokenizer_spark.functions.sampling import (
+        stratified_sample,
+        with_hash_split,
+    )
+    from timeseriestokenizer_spark.functions.textstats import (
+        with_lang_guess,
+        with_quality,
+    )
+    from timeseriestokenizer_spark.operators.dedup import (
+        dedup_survivors,
+        exact_dedup,
+        jaccard_verified_pairs,
+    )
+    from timeseriestokenizer_spark.operators.packing import pack_shards
+
+    spark = SparkSession.builder.appName("tts-corpus-filter").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    t0 = time.time()
+    funnel = {}
+
+    docs = spark.read.parquet(args.input)
+    if args.funnel:
+        funnel["input"] = docs.count()
+
+    # 1. annotate + quality gate (scan-local expressions)
+    ann = with_lang_guess(with_quality(docs))
+    kept = ann.filter(F.col("quality_score") >= args.min_quality).cache()
+    if args.funnel:
+        funnel["quality_gate"] = kept.count()
+
+    # 2. exact dedup, keep-first by doc_id
+    keepers = exact_dedup(kept, "doc_id").select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    kept = kept.join(keepers, "doc_id", "left_semi").cache()
+    if args.funnel:
+        funnel["exact_dedup"] = kept.count()
+
+    # 3. near-dup removal (MinHash-LSH candidates, exact-Jaccard verify,
+    #    connected components, keep cluster-min)
+    pairs = jaccard_verified_pairs(kept, "doc_id", threshold=args.jaccard)
+    kept = dedup_survivors(kept, pairs, "doc_id").cache()
+    if args.funnel:
+        funnel["near_dedup"] = kept.count()
+
+    # 4. per-language stratified downsample (hash-deterministic)
+    if args.lang_fractions:
+        fr = json.loads(args.lang_fractions)
+        kept = stratified_sample(
+            kept, "lang_guess", fr, ["doc_id"], seed=args.seed, default_fraction=1.0
+        ).cache()
+        if args.funnel:
+            funnel["stratified"] = kept.count()
+
+    # 5. split + shard packing (shards numbered within each split)
+    split = with_hash_split(kept, ["doc_id"], args.test_fraction, seed=args.seed)
+    out = None
+    for part in ("train", "test"):
+        packed = pack_shards(
+            split.filter(F.col("split") == part),
+            "doc_id",
+            "n_chars",
+            args.shard_chars,
+        )
+        out = packed if out is None else out.unionByName(packed)
+
+    out.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    final = spark.read.parquet(args.output)
+    funnel["output"] = final.count()
+    funnel["train_shards"] = (
+        final.filter("split = 'train'").agg(F.countDistinct("shard_id")).first()[0]
+    )
+    print(json.dumps({
+        "job": "corpus_filter",
+        "funnel": funnel,
+        "wall_s": round(time.time() - t0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -40,7 +40,7 @@ def derive_signals(transcripts: DataFrame) -> DataFrame:
 
 
 def signals_narrow(transcripts: DataFrame) -> DataFrame:
-    """Shuffle-lean signals for rollups: text reduces to (n_chars, n_tokens)
+    r"""Shuffle-lean signals for rollups: text reduces to (n_chars, n_tokens)
     row-locally BEFORE the lag window, so the per-conv shuffle carries ~40B
     rows instead of full transcripts (~10-20x less shuffle IO at 100TB —
     the text column never leaves the scan stage).
