@@ -345,3 +345,53 @@ def test_simhash_deep_block_combination_recall(spark):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in got.collect()}
     for a, b, d in expected:
         assert pairs.get((a, b)) == d, (a, b, d, pairs)
+
+
+def test_ngram_jaccard_exact_vs_exhaustive(spark):
+    """ngram_jaccard_pairs (prefix-filtered exact similarity join) finds
+    EXACTLY the pairs a brute-force Python Jaccard over the same 3-word
+    shingle sets finds — the prefix filter drops no qualifying pair and
+    admits no false positive after verify — and the candidate join is a
+    hash join (no cartesian / nested loop)."""
+    import hashlib
+    import itertools
+    import random
+
+    from timeseriestokenizer_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        n = rng.randint(1, 25)  # includes docs shorter than k=3
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # adversarial: exact dup + one-word edit + disjoint doc
+    rows.append((100, rows[0][1]))
+    rows.append((101, rows[0][1] + " tail"))
+    rows.append((102, "zz yy xx"))
+
+    def shingle_set(text, k=3):
+        words = text.lower().strip().split()
+        if len(words) >= k:
+            sh = {" ".join(words[i:i + k]) for i in range(len(words) - k + 1)}
+        else:
+            sh = {" ".join(words)}
+        # same 60-bit md5-prefix hash space as the engine
+        return {int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in sh}
+
+    sets_ = {i: shingle_set(t) for i, t in rows}
+    expected = {}
+    for a, b in itertools.combinations(sorted(sets_), 2):
+        inter = len(sets_[a] & sets_[b])
+        uni = len(sets_[a] | sets_[b])
+        j = inter / uni
+        if j >= 0.5:
+            expected[(a, b)] = round(j, 6)
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got_df = ngram_jaccard_pairs(df, "doc_id", threshold=0.5)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got_df.collect()}
+    assert got == expected
+    assert (0, 100) in expected  # the fixture actually exercises dup pairs

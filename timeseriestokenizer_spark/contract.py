@@ -1129,6 +1129,20 @@ def q_minhash_dedup_pairs(spark, sf_dir):
     )
 
 
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """EXACT n-gram Jaccard similarity join (no LSH recall loss): prefix-
+    filtered candidate equi-join + exact intersection verify
+    (operators/dedup.ngram_jaccard_pairs, All-Pairs/SSJoin prefix filter).
+    The oracle is the exhaustive shingle-hash self-join — equality proves
+    the prefix filter drops NO qualifying pair."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", threshold=0.5,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTER RESOLUTION: verified pairs → connected components
     (min-label propagation, operators/dedup.py) — the step between pair
@@ -1234,6 +1248,21 @@ def q_ann_ivf_assign(spark, sf_dir):
     )
 
 
+def q_ann_ivf_search(spark, sf_dir):
+    """IVF top-k SEARCH through the full machinery (trained centroids →
+    cell assignment → multi-probe query explode → per-cell candidate join →
+    window top-k) at n_probe = n_cells, where IVF provably degrades to the
+    exact answer — so the brute-force SQL is an exact oracle for the whole
+    search path, not just the final scoring. Partial-probe recall is
+    pytest territory (test_dedup_similarity); the cell JOIN (not the
+    cross-join) is what runs at 100 TB."""
+    from .operators.similarity import ivf_topk, train_centroids
+
+    e = load(spark, sf_dir, "embeddings")
+    cents = train_centroids(e, n_cells=8, seed=7)
+    return ivf_topk(e, e.filter(F.col("vec_id") < 10), cents, k=5, n_probe=8)
+
+
 _SHINGLES_SQL = """
   SELECT doc_id,
          regexp_split_to_array(lower(trim(text)), '\\s+') AS words
@@ -1285,6 +1314,34 @@ FROM scored WHERE inter / CAST(uni AS DOUBLE) >= 0.5
     a_list="[" + ",".join(str(a) for a in _MINHASH_A) + "]",
     b_list="[" + ",".join(str(b) for b in _MINHASH_B) + "]",
 )
+
+# exhaustive exact-Jaccard oracle (no prefix filter, no banding): equality
+# with the Spark prefix-filtered join proves the filter is lossless at the
+# threshold — any dropped qualifying pair breaks the hash
+_NGRAM_JACCARD_SQL = """
+WITH w AS ({shingles}),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3
+              THEN [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
+              ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w),
+hs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(shingles,
+             s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT))) AS h
+  FROM sh),
+ex AS (SELECT doc_id, unnest(h) AS x FROM hs),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.x = b.x AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sizes AS (SELECT doc_id, len(h) AS sz FROM hs)
+SELECT i.id_a, i.id_b,
+       round(i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) AS jaccard
+FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id JOIN sizes sb ON i.id_b = sb.doc_id
+WHERE i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= 0.5
+""".format(shingles=_SHINGLES_SQL)
 
 # clusters oracle: reuse the minhash CTE chain (everything between WITH and
 # the final SELECT), cap it with a recursive transitive closure — the
@@ -1463,6 +1520,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_simhash": _SIMHASH_SQL,
     "simhash_near_pairs": _SIMHASH_PAIRS_SQL,
     "minhash_dedup_pairs": _MINHASH_SQL,
+    "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "multimodal_features": """
         SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -1477,6 +1535,9 @@ ORACLE_SQL: dict[str, str] = {
         FROM embeddings GROUP BY 1
     """,
     "ann_bruteforce": _ANN_BRUTE_SQL,
+    # full-probe IVF degrades to the exact brute-force answer (see
+    # q_ann_ivf_search) — the same SQL is its exact oracle
+    "ann_ivf_search": _ANN_BRUTE_SQL,
     "cosine_near_dup": """
         WITH vecs AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1885,6 +1946,7 @@ QUERIES = {
     "doc_simhash": q_doc_simhash,
     "simhash_near_pairs": q_simhash_near_pairs,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_clusters": q_dedup_clusters,
     "multimodal_features": q_multimodal_features,
     "ann_bruteforce": q_ann_bruteforce,
@@ -1893,6 +1955,7 @@ QUERIES = {
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_assign": q_ann_ivf_assign,
+    "ann_ivf_search": q_ann_ivf_search,
     "dequantize_recon": q_dequantize_recon,
     "quantize_catalyst": q_quantize_catalyst,
     "chronos_rebin_tokens": q_chronos_rebin_tokens,
@@ -1920,9 +1983,7 @@ QUERIES = {
     "persistence_metrics": q_persistence_metrics,
     "detokenize_score": q_detokenize_score,
     "wide_melt_stats": q_wide_melt_stats,
-    "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
-    "top_part_per_brand": q_top_part_per_brand,
     "comparison_grid": q_comparison_grid,
     "regex_config_extract": q_regex_config_extract,
     "semi_anti_join": q_semi_anti_join,
@@ -1931,6 +1992,8 @@ QUERIES = {
     "set_ops": q_set_ops,
     "distinct_counts": q_distinct_counts,
     # ---- driver-cap line (entry 51+): green in CORRECTNESS_r01/r02 ----
+    "pricing_summary": q_pricing_summary,
+    "top_part_per_brand": q_top_part_per_brand,
     "dedup_events": q_dedup_events,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,

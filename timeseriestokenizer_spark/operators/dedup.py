@@ -211,6 +211,13 @@ def jaccard_verified_pairs(
     scale, where raw shingle strings are never materialized twice)."""
     sets_ = shingle_sets(df, id_col, text_col, k, parallelism)
     cands = _bands_from_sets(sets_, n_hashes, n_bands)
+    return _verify_jaccard(cands, sets_, threshold)
+
+
+def _verify_jaccard(cands: DataFrame, sets_: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over the hashed shingle sets, applied to candidate
+    (id_a, id_b) pairs only — the verify stage shared by the MinHash-LSH
+    and prefix-filter candidate generators."""
     return (
         cands.join(sets_.withColumnRenamed("id", "id_a").withColumnRenamed("hs", "hs_a"), "id_a")
         .join(sets_.withColumnRenamed("id", "id_b").withColumnRenamed("hs", "hs_b"), "id_b")
@@ -223,6 +230,49 @@ def jaccard_verified_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join — every pair with Jaccard >=
+    threshold over k-word shingle sets, no LSH recall loss (the exact
+    counterpart of jaccard_verified_pairs, whose MinHash banding can miss
+    borderline pairs with probability 1-(1-s^r)^b).
+
+    Scale path: prefix filtering (Chaudhuri et al. SSJoin / Bayardo et al.
+    All-Pairs). With shingle hashes in a global canonical order (ascending
+    int64 — effectively random), a pair with J(A,B) >= t MUST share a hash
+    within the first |x| - ceil(t*|x|) + 1 hashes of each side (pigeonhole:
+    J >= t implies |A∩B| >= ceil(t*max(|A|,|B|))), so the candidate
+    equi-join explodes only the prefixes — at t=0.5 that is ~half of each
+    set, and the zero-overlap pairs (the overwhelming majority of a corpus)
+    are never materialized. Candidates then pay one exact intersection
+    against the cached full sets. Classic All-Pairs orders tokens by
+    ascending document frequency so prefixes hold the RAREST tokens; hash
+    order is a seedless approximation of random order — correctness is
+    unconditional either way, df-ordering only shrinks the candidate set
+    (at the cost of a df-count shuffle + rejoin)."""
+    sets_ = shingle_sets(df, id_col, text_col, k, parallelism)
+    pref_len = (F.size("hs") - F.ceil(F.lit(float(threshold)) * F.size("hs")) + 1).cast("int")
+    pref = sets_.select(
+        "id", F.explode(F.slice(F.array_sort("hs"), F.lit(1), pref_len)).alias("h")
+    )
+    cands = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return _verify_jaccard(cands, sets_, threshold)
 
 
 def simhash32(text_col="text"):
