@@ -49,6 +49,7 @@ EXTRA = [
     "chronos_rebin_tokens",
     "hash_split",
     "stratified_sample",
+    "ngram_jaccard_pairs",
 ]
 
 BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "20000"))

@@ -585,6 +585,7 @@ def connected_components(
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     edges = fwd.unionByName(rev).distinct().cache()
     labels = edges.select("src").distinct().withColumn("label", F.col("src")).cache()
+    cached = labels  # the materialized frame backing `labels`
     for _ in range(max_iter):
         neigh = (
             edges.join(
@@ -594,23 +595,22 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("nl").alias("ml"))
         )
-        new_labels = (
+        # carry the old label through the ONE join so the convergence count
+        # and the next round's labels come from the same cached frame (the
+        # naive form pays a second labels-join per round just to diff)
+        stepped = (
             labels.join(neigh, "src", "left")
             .select(
                 "src",
+                F.col("label").alias("old"),
                 F.least("label", F.coalesce("ml", "label")).alias("label"),
             )
             .cache()
         )
-        changed = (
-            new_labels.join(
-                labels.select("src", F.col("label").alias("old")), "src"
-            )
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = stepped.filter(F.col("label") != F.col("old")).count()
+        cached.unpersist()
+        cached = stepped
+        labels = stepped.select("src", "label")
         if changed == 0:
             break
     edges.unpersist()
