@@ -114,3 +114,44 @@ def test_text_equality_invariant(spark, transcripts, transcripts_pdf):
         ["conv_id", "turn_idx", "text"]
     ].reset_index(drop=True)
     pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_distinct_rollup_sketch_cascade(spark):
+    """HLL distinct tiers: (a) in the estimator regime (50k distinct ids in
+    one bucket) the estimate lands within the lg_k=12 error bound; (b) the
+    cascaded 1d sketch estimate EQUALS a direct build from raw (register-max
+    union is associative); (c) at small cardinality the estimate is exact."""
+    from pyspark.sql import functions as F
+
+    from timeseriestokenizer_spark.operators.rollup import (
+        distinct_rollup_cascade,
+        distinct_rollup_tier,
+        with_distinct_estimate,
+    )
+
+    # 50k distinct ids inside one hour + 100 ids in another day
+    big = spark.range(50_000).select(
+        F.concat(F.lit("c"), "id").alias("conv_id"),
+        F.lit("2024-01-01 10:00:00").cast("timestamp").alias("ts"),
+    )
+    small = spark.range(100).select(
+        F.concat(F.lit("s"), "id").alias("conv_id"),
+        F.lit("2024-01-02 05:00:00").cast("timestamp").alias("ts"),
+    )
+    df = big.unionByName(small)
+
+    tiers = distinct_rollup_cascade(df, "conv_id")
+    est_1d = {
+        r["bucket_ts"].day: r["n_distinct"]
+        for r in with_distinct_estimate(tiers["1d"]).collect()
+    }
+    assert est_1d[2] == 100  # exact coupon regime
+    assert abs(est_1d[1] - 50_000) / 50_000 < 0.05  # estimator regime, lg_k=12
+
+    direct = {
+        r["bucket_ts"].day: r["n_distinct"]
+        for r in with_distinct_estimate(
+            distinct_rollup_tier(df, "1d", "conv_id")
+        ).collect()
+    }
+    assert est_1d == direct  # cascade == direct build

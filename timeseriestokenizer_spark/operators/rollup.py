@@ -79,6 +79,59 @@ def rollup_cascade(signals: DataFrame, key: str = "conv_id") -> dict[str, DataFr
     return {"1m": t1m, "5m": t5m, "1h": t1h, "1d": t1d}
 
 
+# ---------------------------------------------------------------------------
+# Distinct-cardinality tiers (mergeable HLL sketch state)
+# ---------------------------------------------------------------------------
+
+def distinct_rollup_tier(
+    signals: DataFrame, tier: str, key: str = "conv_id", lg_k: int = 12
+) -> DataFrame:
+    """Per-bucket DISTINCT cardinality ("active conversations per minute")
+    kept as a Datasketches HLL sketch (binary column), not a number.
+
+    Counts and sums cascade by addition; exact distinct counts do NOT
+    (distinct-per-hour ≠ sum of distinct-per-minute — the same conv_id
+    appears in many minutes). At 100 TB an exact countDistinct per tier is
+    a full reshuffle of raw keys PER TIER; the sketch is built once at the
+    finest tier and every coarser tier — and every incremental refresh of a
+    new day's partition — is a cheap hll_union_agg over kilobyte blobs.
+    lg_k=12 → ~1.6%/sqrt stderr ≈ ±2.5%, 4 KiB dense."""
+    return (
+        signals.withColumn("bucket_ts", bucket_ts(tier))
+        .groupBy("bucket_ts")
+        .agg(F.hll_sketch_agg(key, F.lit(lg_k)).alias("key_hll"))
+    )
+
+
+def distinct_rollup_from_finer(finer: DataFrame, tier: str) -> DataFrame:
+    """Derive a coarser distinct tier by UNIONING finer sketches (HLL
+    register-max merge is associative, so cascaded unions equal a direct
+    build from raw — tested in test_rollup)."""
+    return (
+        finer.withColumn("bucket_ts2", bucket_ts(tier, "bucket_ts"))
+        .groupBy("bucket_ts2")
+        .agg(F.hll_union_agg("key_hll").alias("key_hll"))
+        .withColumnRenamed("bucket_ts2", "bucket_ts")
+    )
+
+
+def distinct_rollup_cascade(
+    signals: DataFrame, key: str = "conv_id", lg_k: int = 12
+) -> dict[str, DataFrame]:
+    """HLL distinct-cardinality state at all four tiers (1m built from raw,
+    the rest unioned upward)."""
+    t1m = distinct_rollup_tier(signals, "1m", key, lg_k)
+    t5m = distinct_rollup_from_finer(t1m, "5m")
+    t1h = distinct_rollup_from_finer(t5m, "1h")
+    t1d = distinct_rollup_from_finer(t1h, "1d")
+    return {"1m": t1m, "5m": t5m, "1h": t1h, "1d": t1d}
+
+
+def with_distinct_estimate(tier_df: DataFrame, out_col: str = "n_distinct") -> DataFrame:
+    """Read-time estimate from the sketch state."""
+    return tier_df.withColumn(out_col, F.hll_sketch_estimate("key_hll"))
+
+
 def with_derived_metrics(tier_df: DataFrame) -> DataFrame:
     """Read-time metrics derived from the reaggregatable state."""
     return (
