@@ -88,3 +88,47 @@ def test_approx_count_distinct_sanity(spark):
     approx = df.select(F.approx_count_distinct("v", 0.02)).first()[0]
     assert exact == 5000
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """At-least-once ingest: the same (conv_id, turn_idx) rows land twice
+    (replayed file) plus once more inside a later micro-batch still within
+    the watermark — the deduped sink holds each key exactly once, and keys
+    never seen duplicated pass through untouched."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from timeseriestokenizer_spark.streaming.dedup_stream import run_stream_dedup
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+    rows = [
+        ("a", i, "user", f"turn {i}", None, base + pd.Timedelta(minutes=i))
+        for i in range(10)
+    ]
+    dup_rows = rows[:5]  # replayed producer retry, same payload
+    near_dup = [  # same key arriving 1 min later (retry with clock skew)
+        ("a", 7, "user", "turn 7", None, base + pd.Timedelta(minutes=8)),
+    ]
+    pdf = pd.DataFrame(rows + dup_rows + near_dup, columns=cols)
+    spark.createDataFrame(pdf, schema=schema).write.mode("append").parquet(src)
+
+    got = run_stream_dedup(
+        spark, src, schema, ckpt, out, keys=("conv_id", "turn_idx"), watermark="10 minutes"
+    )
+    pd_out = got.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(pd_out) == 10
+    assert list(pd_out["turn_idx"]) == list(range(10))
+    assert pd_out["conv_id"].eq("a").all()
