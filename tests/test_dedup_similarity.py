@@ -395,3 +395,27 @@ def test_ngram_jaccard_exact_vs_exhaustive(spark):
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got_df.collect()}
     assert got == expected
     assert (0, 100) in expected  # the fixture actually exercises dup pairs
+
+
+def test_lsh_hot_bucket_guard(spark):
+    """max_bucket drops only mega-bucket candidates: near-dup pairs with a
+    cold band survive; a boilerplate cluster larger than the cap stops
+    generating quadratic candidates."""
+    from timeseriestokenizer_spark.operators.dedup import (
+        jaccard_verified_pairs,
+        lsh_candidate_pairs,
+    )
+
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    rows = [(i, boiler) for i in range(50)]  # 50 identical docs: hot buckets
+    real = "the quick brown fox jumps over the lazy dog tonight quietly now"
+    rows += [(100, real), (101, real + " extra")]  # genuine near-dup pair
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = lsh_candidate_pairs(df, "doc_id", max_bucket=10)
+    got = {tuple(r) for r in capped.select("id_a", "id_b").collect()}
+    assert (100, 101) in got          # cold-band pair survives the cap
+    assert all(a >= 100 for a, _ in got)  # boilerplate m²/2 pairs gone
+
+    uncapped = jaccard_verified_pairs(df, "doc_id", threshold=0.5)
+    assert uncapped.count() == 50 * 49 // 2 + 1  # exact blocking unchanged

@@ -143,8 +143,19 @@ def shingle_sets(
     ).cache()
 
 
-def _bands_from_sets(sets_: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
-    """Candidate pairs (id_a < id_b) from banded minhash signatures."""
+def _bands_from_sets(
+    sets_: DataFrame, n_hashes: int, n_bands: int, max_bucket: int | None = None
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) from banded minhash signatures.
+
+    ``max_bucket`` (opt-in): exclude band buckets holding more than this
+    many docs from the self-join. A single degenerate band value shared by
+    m docs yields m²/2 candidates — one viral boilerplate string shared by
+    1M docs is 5·10¹¹ pairs, the way an LSH self-join dies at corpus scale.
+    Capping trades recall ONLY on pairs whose every matching band is hot
+    (typically boilerplate/empty content, which exact_dedup upstream in the
+    funnel already collapsed); normal near-dup pairs keep their rare bands.
+    None (default) = exact blocking, what the contract oracles reproduce."""
     rows_per_band = n_hashes // n_bands
     sig = sets_.select("id", minhash_from_hashes(F.col("hs"), n_hashes).alias("sig"))
     bands = sig.select(
@@ -165,6 +176,14 @@ def _bands_from_sets(sets_: DataFrame, n_hashes: int, n_bands: int) -> DataFrame
             )
         ).alias("band"),
     ).select("id", "band.band_id", "band.band_sig").cache()
+    if max_bucket is not None:
+        hot = (
+            bands.groupBy("band_id", "band_sig")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .select("band_id", "band_sig")
+        )
+        bands = bands.join(F.broadcast(hot), ["band_id", "band_sig"], "left_anti")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -187,11 +206,14 @@ def lsh_candidate_pairs(
     n_hashes: int = 6,
     n_bands: int = 3,
     parallelism: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs (id_a < id_b), deduplicated across bands.
-    rows_per_band = n_hashes / n_bands."""
+    rows_per_band = n_hashes / n_bands. ``max_bucket``: see
+    _bands_from_sets (hot-bucket guard for corpus-scale skew)."""
     return _bands_from_sets(
-        shingle_sets(df, id_col, text_col, k, parallelism), n_hashes, n_bands
+        shingle_sets(df, id_col, text_col, k, parallelism), n_hashes, n_bands,
+        max_bucket,
     )
 
 
@@ -204,13 +226,15 @@ def jaccard_verified_pairs(
     n_bands: int = 3,
     threshold: float = 0.5,
     parallelism: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard over the
     60-bit-hashed shingle sets (only candidates pay the intersection;
     hashing collisions perturb Jaccard by ~1e-11 — the standard trade at
-    scale, where raw shingle strings are never materialized twice)."""
+    scale, where raw shingle strings are never materialized twice).
+    ``max_bucket``: see _bands_from_sets (hot-bucket guard)."""
     sets_ = shingle_sets(df, id_col, text_col, k, parallelism)
-    cands = _bands_from_sets(sets_, n_hashes, n_bands)
+    cands = _bands_from_sets(sets_, n_hashes, n_bands, max_bucket)
     return _verify_jaccard(cands, sets_, threshold)
 
 
@@ -314,6 +338,7 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     n_bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs by Hamming distance, blocked on exact-match
     bands: the 32-bit hash is split into ``n_bands`` contiguous bit bands
@@ -354,6 +379,19 @@ def simhash_near_pairs(
             )
         ).alias("band"),
     ).select("id", "sh", "band.band_id", "band.band_val")
+    if max_bucket is not None:
+        # hot-bucket guard (same trade as _bands_from_sets): a band value
+        # shared by m docs is m²/2 candidates; degenerate content (empty/
+        # boilerplate docs hashing to the same simhash) makes one bucket
+        # quadratic at corpus scale. Dropping buckets > max_bucket keeps
+        # the lossless guarantee for every pair that retains a cold band.
+        hot = (
+            bands.groupBy("band_id", "band_val")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .select("band_id", "band_val")
+        )
+        bands = bands.join(F.broadcast(hot), ["band_id", "band_val"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(
