@@ -574,6 +574,10 @@ def q_quantize_tokens(spark, sf_dir):
     ev = load(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("string"))
     edges = fit_edges(ev, "uid", "value", N_BINS)
     q = make_quantize_udf(spark, edges)
+    # single-row-group fixture → one scan task, but 100k rows through one
+    # warm Arrow worker beat a repartition(32) in a 3-rep A/B (0.5 s vs
+    # 0.8 s: the shuffle costs more than the vectorized digitize saves);
+    # contrast shingle_sets, whose md5 work IS worth spreading
     return ev.select(
         "event_id", q("uid", "value").cast("long").alias("token")
     )
