@@ -46,7 +46,9 @@ def main(argv=None):
     p.add_argument("--test-fraction", type=float, default=0.1)
     p.add_argument("--shard-chars", type=int, default=500_000)
     p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--funnel", action="store_true", default=True)
+    p.add_argument("--funnel", action=argparse.BooleanOptionalAction, default=True,
+                   help="per-stage row counts (one count() per cached stage); "
+                        "--no-funnel skips them at real scale")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession

@@ -419,3 +419,44 @@ def test_lsh_hot_bucket_guard(spark):
 
     uncapped = jaccard_verified_pairs(df, "doc_id", threshold=0.5)
     assert uncapped.count() == 50 * 49 // 2 + 1  # exact blocking unchanged
+
+
+def test_ngram_jaccard_prefix_filter_threshold_sweep(spark):
+    """The prefix-filter losslessness claim holds at EVERY threshold, not
+    just the contract row's 0.5: filtered == exhaustive across thresholds
+    and seeds (prefix length |x| - ceil(t|x|) + 1 shrinks as t grows — the
+    boundary arithmetic is where an off-by-one would hide)."""
+    import hashlib
+    import itertools
+    import random
+
+    from timeseriestokenizer_spark.operators.dedup import ngram_jaccard_pairs
+
+    def shingle_set(text, k=3):
+        words = text.lower().strip().split()
+        sh = (
+            {" ".join(words[i:i + k]) for i in range(len(words) - k + 1)}
+            if len(words) >= k
+            else {" ".join(words)}
+        )
+        return {int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in sh}
+
+    for seed, threshold in [(1, 0.3), (2, 0.5), (3, 0.7), (4, 0.85)]:
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]  # tiny vocab → dense overlaps
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 14))))
+            for i in range(25)
+        ]
+        sets_ = {i: shingle_set(t) for i, t in rows}
+        expected = set()
+        for a, b in itertools.combinations(sorted(sets_), 2):
+            inter = len(sets_[a] & sets_[b])
+            if inter / len(sets_[a] | sets_[b]) >= threshold:
+                expected.add((a, b))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(df, "doc_id", threshold=threshold).collect()
+        }
+        assert got == expected, (seed, threshold)
