@@ -460,3 +460,11 @@ def test_ngram_jaccard_prefix_filter_threshold_sweep(spark):
             for r in ngram_jaccard_pairs(df, "doc_id", threshold=threshold).collect()
         }
         assert got == expected, (seed, threshold)
+        # df-ordered prefixes (All-Pairs refinement) must agree exactly
+        got_df = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", threshold=threshold, order="df"
+            ).collect()
+        }
+        assert got_df == expected, (seed, threshold, "df order")

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
@@ -263,6 +264,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     parallelism: int | None = None,
+    order: str = "hash",
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity join — every pair with Jaccard >=
     threshold over k-word shingle sets, no LSH recall loss (the exact
@@ -277,16 +279,41 @@ def ngram_jaccard_pairs(
     equi-join explodes only the prefixes — at t=0.5 that is ~half of each
     set, and the zero-overlap pairs (the overwhelming majority of a corpus)
     are never materialized. Candidates then pay one exact intersection
-    against the cached full sets. Classic All-Pairs orders tokens by
-    ascending document frequency so prefixes hold the RAREST tokens; hash
-    order is a seedless approximation of random order — correctness is
-    unconditional either way, df-ordering only shrinks the candidate set
-    (at the cost of a df-count shuffle + rejoin)."""
+    against the cached full sets. ``order``: "hash" (default) — ascending
+    int64 prefixes, a seedless approximation of random order, scan-local;
+    "df" — the classic All-Pairs ascending-document-frequency order, so
+    prefixes hold the RAREST shingles (fewer candidates on heavy-tailed
+    corpora, two extra shuffles). Correctness is unconditional under ANY
+    global total order."""
     sets_ = shingle_sets(df, id_col, text_col, k, parallelism)
     pref_len = (F.size("hs") - F.ceil(F.lit(float(threshold)) * F.size("hs")) + 1).cast("int")
     pref = sets_.select(
         "id", F.explode(F.slice(F.array_sort("hs"), F.lit(1), pref_len)).alias("h")
     )
+    if order == "df":
+        # All-Pairs refinement: a GLOBAL order by ascending document
+        # frequency puts the RAREST shingles in every prefix, so hot
+        # shingles (boilerplate trigrams) mostly fall outside prefixes and
+        # candidate volume drops. Any total order preserves exactness —
+        # (df, h) is one — at the price of a df-count aggregate and a
+        # rank window per doc. Worth it when the corpus has heavy-tailed
+        # shingle frequencies; the default hash order costs two fewer
+        # shuffles and is within noise on uniform corpora (A/B in
+        # BENCH/PLANS.md §4d).
+        ex = sets_.select(
+            "id", F.size("hs").alias("sz"), F.explode("hs").alias("h")
+        )
+        dfc = ex.groupBy("h").agg(F.count("*").alias("df_h"))
+        w = W.partitionBy("id").orderBy("df_h", "h")
+        pref = (
+            ex.join(dfc, "h")
+            .withColumn("rk", F.row_number().over(w))
+            .filter(
+                F.col("rk")
+                <= (F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1)
+            )
+            .select("id", "h")
+        )
     cands = (
         pref.alias("a")
         .join(
