@@ -468,3 +468,35 @@ def test_ngram_jaccard_prefix_filter_threshold_sweep(spark):
             ).collect()
         }
         assert got_df == expected, (seed, threshold, "df order")
+
+
+def test_ngram_contamination_known_fractions(spark):
+    """Contamination fractions on handcrafted train/eval: full leak → 1.0,
+    disjoint → 0.0, partial overlap → the exact shingle fraction; plan is
+    join-based (no nested loop)."""
+    from timeseriestokenizer_spark.operators.dedup import ngram_contamination
+
+    train = spark.createDataFrame(
+        [(0, "a b c d e f g h"), (2, "x y z w v u t s")],
+        "doc_id long, text string",
+    )
+    # eval 1: exact copy of train doc 0 → 1.0
+    # eval 3: half old / half new — shingles of "a b c d e" ⊂ train,
+    #         the rest ("q r s2 t2 ...") unseen
+    # eval 5: fully novel → 0.0
+    eval_df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (3, "a b c d e q1 q2 q3 q4"),
+            (5, "n1 n2 n3 n4 n5 n6"),
+        ],
+        "doc_id long, text string",
+    )
+    out = ngram_contamination(train, eval_df, "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    got = {r["doc_id"]: (r["n_shingles"], r["contamination"]) for r in out.collect()}
+    assert got[1] == (6, 1.0)
+    assert got[5][1] == 0.0
+    # doc 3: 7 shingles; contained: "a b c", "b c d", "c d e" → 3/7
+    assert got[3] == (7, round(3 / 7, 6))

@@ -1175,6 +1175,23 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_ngram_contamination(spark, sf_dir):
+    """Train/eval contamination screening (operators/dedup.ngram_contamination):
+    even doc_ids play the training corpus, odd doc_ids the eval set; for
+    each eval doc, the fraction of its distinct 3-word shingles found
+    anywhere in train. The oracle reproduces the same split and shingle
+    space exhaustively."""
+    from .operators.dedup import ngram_contamination
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_contamination(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "doc_id",
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTER RESOLUTION: verified pairs → connected components
     (min-label propagation, operators/dedup.py) — the step between pair
@@ -1553,6 +1570,32 @@ ORACLE_SQL: dict[str, str] = {
     "simhash_near_pairs": _SIMHASH_PAIRS_SQL,
     "minhash_dedup_pairs": _MINHASH_SQL,
     "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+    "ngram_contamination": """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3
+              THEN [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
+              ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w),
+hs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(shingles,
+             s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT))) AS h
+  FROM sh),
+tr AS (SELECT DISTINCT unnest(h) AS x FROM hs WHERE doc_id % 2 = 0),
+ev AS (SELECT doc_id, h FROM hs WHERE doc_id % 2 = 1),
+ex AS (SELECT doc_id, unnest(h) AS x FROM ev),
+hits AS (
+  SELECT e.doc_id, count(*) AS n_hit
+  FROM ex e JOIN tr ON e.x = tr.x GROUP BY 1)
+SELECT ev.doc_id,
+       CAST(len(ev.h) AS BIGINT) AS n_shingles,
+       round(coalesce(hits.n_hit, 0) / CAST(len(ev.h) AS DOUBLE), 6) AS contamination
+FROM ev LEFT JOIN hits ON ev.doc_id = hits.doc_id
+""",
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "multimodal_features": """
         SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -1986,6 +2029,7 @@ QUERIES = {
     "simhash_near_pairs": q_simhash_near_pairs,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ngram_contamination": q_ngram_contamination,
     "dedup_clusters": q_dedup_clusters,
     "multimodal_features": q_multimodal_features,
     "ann_bruteforce": q_ann_bruteforce,
@@ -2019,7 +2063,6 @@ QUERIES = {
     "zscore_roundtrip": q_zscore_roundtrip,
     "chron_split": q_chron_split,
     "event_pairs": q_event_pairs,
-    "persistence_metrics": q_persistence_metrics,
     "detokenize_score": q_detokenize_score,
     "wide_melt_stats": q_wide_melt_stats,
     "revenue_by_nation": q_revenue_by_nation,
@@ -2031,6 +2074,7 @@ QUERIES = {
     "set_ops": q_set_ops,
     "distinct_counts": q_distinct_counts,
     # ---- driver-cap line (entry 51+): green in CORRECTNESS_r01/r02 ----
+    "persistence_metrics": q_persistence_metrics,
     "top_users": q_top_users,
     "pricing_summary": q_pricing_summary,
     "top_part_per_brand": q_top_part_per_brand,

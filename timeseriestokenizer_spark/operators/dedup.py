@@ -692,3 +692,46 @@ def dedup_survivors(
         F.col("doc_id").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Train/eval CONTAMINATION screening: for each eval doc, the fraction
+    of its DISTINCT k-word shingles that appear anywhere in the training
+    corpus — the decontamination check a pretraining pipeline runs before
+    trusting a benchmark number (an eval doc near 1.0 leaked into train).
+
+    Scale shape: the training side reduces to DISTINCT 60-bit shingle
+    hashes (fixed-width ints, never text) and the check is one semi-join
+    from exploded eval shingles — linear shuffle in corpus size; eval sets
+    are typically small enough that AQE broadcasts them. No Python in the
+    plan. Returns (id_col, n_shingles, contamination)."""
+    tr = (
+        shingle_sets(train, id_col, text_col, k, parallelism)
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+    )
+    ev = shingle_sets(eval_df, id_col, text_col, k)
+    hits = (
+        ev.select("id", F.explode("hs").alias("h"))
+        .join(tr, "h", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        ev.select("id", F.size("hs").alias("n_shingles"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_shingles"), 6
+            ).alias("contamination"),
+        )
+    )
