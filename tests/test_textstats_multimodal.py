@@ -207,3 +207,28 @@ def test_resize_and_frame_sampling(spark):
     assert sorted(out[out.media_id == 2]["frame_idx"]) == [0]
     assert (out["width"] == 9).all() and (out["height"] == 10).all()
     assert all(abs(sum(f) - 1.0) < 1e-9 for f in out["feature"])
+
+
+def test_corpus_report_composition(spark):
+    """Per-(source, lang) report: volumes, token totals, and dup incidence
+    computed against a hand-counted corpus."""
+    from timeseriestokenizer_spark.functions.textstats import corpus_report
+
+    rows = [
+        (0, "the cat sat on the mat", "en", "web"),
+        (1, "the cat sat on the mat", "en", "web"),   # exact dup of 0
+        (2, "a completely different doc", "en", "web"),
+        (3, "ein anderes dokument hier", "de", "web"),
+        (4, "one doc from books source", "en", "books"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = {
+        (r["source"], r["lang"]): r for r in corpus_report(docs).collect()
+    }
+    web_en = got[("web", "en")]
+    assert web_en["n_docs"] == 3
+    assert web_en["n_dup_docs"] == 2          # docs 0 and 1
+    assert web_en["total_ws_tokens"] == 6 + 6 + 4
+    assert got[("web", "de")]["n_docs"] == 1
+    assert got[("books", "en")]["n_dup_docs"] == 0
+    assert 0.0 <= web_en["avg_quality"] <= 1.0

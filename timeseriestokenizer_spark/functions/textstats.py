@@ -182,3 +182,35 @@ def rolling_fingerprint_oracle(text: str) -> int:
     for b in text.encode("utf-8"):
         h = (h * ROLL_BASE + b) % ROLL_MOD
     return h
+
+
+def corpus_report(docs: DataFrame) -> DataFrame:
+    """Corpus-composition report per (source, lang): volume, whitespace-token
+    totals, mean quality, and exact-duplicate incidence — the summary a data
+    curator reads before setting mixing weights for a training run.
+
+    Scale shape: two hash aggregations (duplicate counting groups on md5 —
+    fixed-width shuffle keys, never text — and the final rollup groups on
+    the tiny (source, lang) key space with map-side partial aggregation)
+    plus one equi-join on doc_id. avg_quality is rounded to 5 dp so the
+    summation order of the distributed average cannot leak into oracle
+    comparisons (CLAUDE.md float-parity rule)."""
+    ann = with_quality(with_token_counts(docs))
+    copies = docs.groupBy(F.md5("text").alias("_h")).agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    dup_flags = (
+        docs.select("doc_id", F.md5("text").alias("_h"))
+        .join(copies, "_h")
+        .select("doc_id", (F.col("n_copies") > 1).alias("is_dup"))
+    )
+    return (
+        ann.join(dup_flags, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ws_tokens").alias("total_ws_tokens"),
+            F.round(F.avg("quality_score"), 5).alias("avg_quality"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dup_docs"),
+        )
+    )
