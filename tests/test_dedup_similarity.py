@@ -500,3 +500,16 @@ def test_ngram_contamination_known_fractions(spark):
     assert got[5][1] == 0.0
     # doc 3: 7 shingles; contained: "a b c", "b c d", "c d e" → 3/7
     assert got[3] == (7, round(3 / 7, 6))
+
+
+def test_jaccard_topk_text_knn(spark, docs):
+    """Text k-NN: exact dups rank first (jaccard 1.0); ranks are dense from
+    1; neighbors never cross the three disjoint document families."""
+    from timeseriestokenizer_spark.operators.dedup import jaccard_topk
+
+    out = jaccard_topk(docs, "doc_id", k=3).toPandas()
+    assert (out.groupby("query_id")["rank"].min() == 1).all()
+    for q in (0, 1):  # exact dup pair 0<->1
+        top = out[(out.query_id == q) & (out["rank"] == 1)].iloc[0]
+        assert top["cand_id"] == 1 - q and top["jaccard"] == 1.0
+    assert all(a // 10 == b // 10 for a, b in zip(out.query_id, out.cand_id))

@@ -65,3 +65,69 @@ def test_tpe_models_identical_across_partitioning(spark, transcripts):
     for k in a:
         assert a[k].merges == b[k].merges
         assert a[k].actual_vocab_size == b[k].actual_vocab_size
+
+
+def test_dedup_and_sketch_ops_identical_across_partitioning(spark):
+    """The round-3 corpus ops are pure functions of content: near-dup pairs,
+    contamination fractions, and HLL distinct estimates must not change with
+    partition layout or shuffle width."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from timeseriestokenizer_spark.operators.dedup import (
+        ngram_contamination,
+        ngram_jaccard_pairs,
+    )
+    from timeseriestokenizer_spark.operators.rollup import (
+        distinct_rollup_cascade,
+        with_distinct_estimate,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 16))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(repart, width):
+        def _job():
+            d = docs.repartition(repart)
+            return sorted(
+                (r["id_a"], r["id_b"], r["jaccard"])
+                for r in ngram_jaccard_pairs(d, "doc_id", threshold=0.4).collect()
+            )
+        return _with_shuffle(spark, width, _job)
+
+    assert pairs(2, 4) == pairs(13, 32)
+
+    def contam(repart, width):
+        def _job():
+            d = docs.repartition(repart)
+            return sorted(
+                (r["doc_id"], r["contamination"])
+                for r in ngram_contamination(
+                    d.filter("doc_id % 2 = 0"), d.filter("doc_id % 2 = 1"), "doc_id"
+                ).collect()
+            )
+        return _with_shuffle(spark, width, _job)
+
+    assert contam(2, 4) == contam(13, 32)
+
+    ev = spark.createDataFrame(
+        [(f"c{i % 37}", f"2024-01-01 0{i % 10}:0{i % 6}:00") for i in range(500)],
+        "conv_id string, ts_s string",
+    ).select("conv_id", F.col("ts_s").cast("timestamp").alias("ts"))
+
+    def hll(repart, width):
+        def _job():
+            tiers = distinct_rollup_cascade(ev.repartition(repart), "conv_id")
+            return sorted(
+                (r["bucket_ts"], r["n_distinct"])
+                for r in with_distinct_estimate(tiers["1h"]).collect()
+            )
+        return _with_shuffle(spark, width, _job)
+
+    assert hll(2, 4) == hll(13, 32)

@@ -1175,6 +1175,20 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_jaccard_topk(spark, sf_dir):
+    """Text k-NN (operators/dedup.jaccard_topk): top-5 most-Jaccard-similar
+    docs per doc among MinHash-LSH candidates — the text-side twin of
+    ann_lsh_topk. Oracle reuses the minhash CTE chain, symmetrizes the
+    scored pairs, and ranks identically (6-dp similarity, candidate-id
+    tie-break)."""
+    from .operators.dedup import jaccard_topk
+
+    return jaccard_topk(
+        load(spark, sf_dir, "documents"), "doc_id", k=5,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
 def q_corpus_report(spark, sf_dir):
     """Corpus-composition report (functions/textstats.corpus_report): per
     (source, lang) volume, whitespace-token totals, 5-dp mean quality, and
@@ -1402,10 +1416,35 @@ FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id JOIN sizes sb ON i.id_b = sb.do
 WHERE i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= 0.5
 """.format(shingles=_SHINGLES_SQL)
 
+# text k-NN oracle: reuse the minhash CTE chain, symmetrize the scored
+# candidate pairs, rank by (6-dp jaccard DESC, cand_id) per query doc —
+# rounding BEFORE ranking so cross-engine double ulps cannot flip ties
+_JACCARD_TOPK_SQL_TEMPLATE = """
+pj AS (
+  SELECT id_a, id_b, round(inter / CAST(uni AS DOUBLE), 6) AS jaccard
+  FROM scored),
+sym AS (
+  SELECT id_a AS query_id, id_b AS cand_id, jaccard FROM pj
+  UNION ALL
+  SELECT id_b AS query_id, id_a AS cand_id, jaccard FROM pj),
+rk AS (
+  SELECT query_id, cand_id, jaccard,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY jaccard DESC, cand_id) AS rank
+  FROM sym)
+SELECT query_id, cand_id, jaccard, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= 5
+"""
+
 # clusters oracle: reuse the minhash CTE chain (everything between WITH and
 # the final SELECT), cap it with a recursive transitive closure — the
 # component id is the min id reachable through the verified-pair graph
 _MINHASH_CTE_BODY = _MINHASH_SQL.strip()[len("WITH "):].rsplit("SELECT id_a", 1)[0].rstrip().rstrip(",")
+
+_JACCARD_TOPK_SQL = f"""
+WITH {_MINHASH_CTE_BODY},
+{_JACCARD_TOPK_SQL_TEMPLATE.strip()}
+"""
 
 _DEDUP_CLUSTERS_SQL = f"""
 WITH RECURSIVE {_MINHASH_CTE_BODY},
@@ -1613,6 +1652,7 @@ FROM sc GROUP BY 1, 2
     "simhash_near_pairs": _SIMHASH_PAIRS_SQL,
     "minhash_dedup_pairs": _MINHASH_SQL,
     "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+    "jaccard_topk": _JACCARD_TOPK_SQL,
     "ngram_contamination": """
 WITH w AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
@@ -2074,6 +2114,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ngram_contamination": q_ngram_contamination,
     "corpus_report": q_corpus_report,
+    "jaccard_topk": q_jaccard_topk,
     "dedup_clusters": q_dedup_clusters,
     "multimodal_features": q_multimodal_features,
     "ann_bruteforce": q_ann_bruteforce,
@@ -2105,7 +2146,6 @@ QUERIES = {
     "latency": q_latency,
     "scaler_fit": q_scaler_fit,
     "zscore_roundtrip": q_zscore_roundtrip,
-    "chron_split": q_chron_split,
     "detokenize_score": q_detokenize_score,
     "wide_melt_stats": q_wide_melt_stats,
     "revenue_by_nation": q_revenue_by_nation,
@@ -2117,6 +2157,7 @@ QUERIES = {
     "set_ops": q_set_ops,
     "distinct_counts": q_distinct_counts,
     # ---- driver-cap line (entry 51+): green in CORRECTNESS_r01/r02 ----
+    "chron_split": q_chron_split,
     "event_pairs": q_event_pairs,
     "persistence_metrics": q_persistence_metrics,
     "top_users": q_top_users,

@@ -735,3 +735,42 @@ def ngram_contamination(
             ).alias("contamination"),
         )
     )
+
+
+def jaccard_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k_shingle: int = 3,
+    n_hashes: int = 6,
+    n_bands: int = 3,
+    k: int = 5,
+    parallelism: int | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Text k-NN: each doc's ``k`` most-similar docs by exact Jaccard among
+    its MinHash-LSH candidates (the text-side twin of similarity.lsh_topk).
+    Candidates come from the banded equi-join (linear shuffle), similarity
+    from one intersection per candidate; ranking is a per-doc window over
+    the candidate list, which LSH keeps small. Ties rank by the 6-dp
+    ROUNDED similarity then candidate id, so ordering is reproducible
+    across engines. Returns (query_id, cand_id, jaccard, rank); docs with
+    no candidate (nothing similar anywhere) are absent, which is the
+    correct k-NN-with-radius semantics at corpus scale."""
+    pairs = jaccard_verified_pairs(
+        df, id_col, text_col, k_shingle, n_hashes, n_bands,
+        threshold=0.0, parallelism=parallelism, max_bucket=max_bucket,
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("query_id"), F.col("id_b").alias("cand_id"), "jaccard"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("query_id"), F.col("id_a").alias("cand_id"), "jaccard"
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("jaccard"), "cand_id")
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "jaccard", F.col("rank").cast("long").alias("rank"))
+    )
