@@ -131,3 +131,31 @@ def test_dedup_and_sketch_ops_identical_across_partitioning(spark):
         return _with_shuffle(spark, width, _job)
 
     assert hll(2, 4) == hll(13, 32)
+
+
+def test_asof_join_semantics_and_plan(spark):
+    """As-of semantics on handcrafted data: equal-timestamp right rows ARE
+    matched (at-or-before), gaps carry the older value forward, rows before
+    the first right row stay NULL — and the plan contains no nested-loop /
+    inequality join (the whole point of the union+window form)."""
+    from pyspark.sql import functions as F
+
+    from timeseriestokenizer_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", "2024-01-01 00:00", 1), ("a", "2024-01-02 12:00", 2),
+         ("a", "2024-01-05 00:00", 3), ("b", "2024-01-01 00:00", 4)],
+        "key string, ts_s string, row_id int",
+    ).select("key", F.col("ts_s").cast("timestamp").alias("ts"), "row_id")
+    right = spark.createDataFrame(
+        [("a", "2024-01-01 00:00", 10.0),   # equal ts as left row 1 → matched
+         ("a", "2024-01-03 00:00", 20.0),   # left row 3 (Jan 5) carries this
+         ("b", "2024-06-01 00:00", 99.0)],  # after b's only left row → NULL
+        "key string, ts_s string, level double",
+    ).select("key", F.col("ts_s").cast("timestamp").alias("ts"), "level")
+
+    out = asof_join(left, right, "key")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    got = {r["row_id"]: r["asof_level"] for r in out.collect()}
+    assert got == {1: 10.0, 2: 10.0, 3: 20.0, 4: None}

@@ -1175,6 +1175,29 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """AS-OF JOIN (operators/asof.py): each event picks up the most recent
+    prior per-user daily reference level (levels become active the NEXT
+    day, so day-1 events carry yesterday's level and first-day events stay
+    NULL — the left-outer as-of semantics). Spark side is the sort-based
+    linear form (one shuffle, union + last(ignorenulls) window — NO
+    inequality join in the plan); the oracle is DuckDB's NATIVE
+    ASOF LEFT JOIN, so the window trick is checked against a first-class
+    implementation of the operator."""
+    from .operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    lvl = ev.groupBy(
+        "user_id",
+        (F.date_trunc("day", "ts") + F.expr("INTERVAL 1 DAY")).alias("day_ts"),
+    ).agg(F.round(F.avg("value"), 6).alias("level"))
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"), lvl, "user_id",
+        left_ts="ts", right_ts="day_ts", value_cols=["level"],
+    )
+    return out.select("event_id", F.col("asof_level"))
+
+
 def q_jaccard_topk(spark, sf_dir):
     """Text k-NN (operators/dedup.jaccard_topk): top-5 most-Jaccard-similar
     docs per doc among MinHash-LSH candidates — the text-side twin of
@@ -1653,6 +1676,17 @@ FROM sc GROUP BY 1, 2
     "minhash_dedup_pairs": _MINHASH_SQL,
     "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
     "jaccard_topk": _JACCARD_TOPK_SQL,
+    # native ASOF LEFT JOIN checks the Spark union+window linear form
+    "asof_join": """
+WITH lvl AS (
+  SELECT user_id,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS day_ts,
+         round(avg(value), 6) AS level
+  FROM events GROUP BY 1, 2)
+SELECT e.event_id, l.level AS asof_level
+FROM events e ASOF LEFT JOIN lvl l
+  ON e.user_id = l.user_id AND e.ts >= l.day_ts
+""",
     "ngram_contamination": """
 WITH w AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
@@ -2115,6 +2149,7 @@ QUERIES = {
     "ngram_contamination": q_ngram_contamination,
     "corpus_report": q_corpus_report,
     "jaccard_topk": q_jaccard_topk,
+    "asof_join": q_asof_join,
     "dedup_clusters": q_dedup_clusters,
     "multimodal_features": q_multimodal_features,
     "ann_bruteforce": q_ann_bruteforce,
@@ -2144,11 +2179,9 @@ QUERIES = {
     "rollup_1h_cascade": q_rollup_1h_cascade,
     "rollup_1d": q_rollup_1d,
     "latency": q_latency,
-    "scaler_fit": q_scaler_fit,
     "zscore_roundtrip": q_zscore_roundtrip,
     "detokenize_score": q_detokenize_score,
     "wide_melt_stats": q_wide_melt_stats,
-    "revenue_by_nation": q_revenue_by_nation,
     "comparison_grid": q_comparison_grid,
     "regex_config_extract": q_regex_config_extract,
     "semi_anti_join": q_semi_anti_join,
@@ -2157,6 +2190,8 @@ QUERIES = {
     "set_ops": q_set_ops,
     "distinct_counts": q_distinct_counts,
     # ---- driver-cap line (entry 51+): green in CORRECTNESS_r01/r02 ----
+    "scaler_fit": q_scaler_fit,
+    "revenue_by_nation": q_revenue_by_nation,
     "chron_split": q_chron_split,
     "event_pairs": q_event_pairs,
     "persistence_metrics": q_persistence_metrics,

@@ -1,0 +1,76 @@
+"""As-of join — the time-series join Spark lacks as a primitive.
+
+Each left row pairs with the LATEST right row whose timestamp is at or
+before the left row's (per key): events to the most recent config, trades
+to the prevailing quote, turns to the active scaler version. The naive
+formulation is an inequality join (`l.key = r.key AND r.ts <= l.ts` +
+argmax), which Spark plans as a broadcast-nested-loop or a sort-merge with
+a per-row backward scan — quadratic within a key.
+
+This implementation is the sort-based linear form: tag and UNION the two
+sides, hash-partition by key, sort by (ts, side) inside the partition, and
+carry the right side's values forward with `last(ignorenulls=True)` over an
+unbounded-preceding window — exactly one shuffle of (left + right) rows,
+each carried column a constant-width window state. Right rows sort before
+left rows at equal timestamps, so "at or before" includes ties (DuckDB
+`ASOF JOIN ... ON l.ts >= r.ts` semantics — its native operator is the
+contract oracle). Left rows earlier than every right row keep NULLs
+(left-outer as-of).
+
+If several right rows share (key, ts), the carried value is the last one
+in ``dedup_order`` (default: arbitrary-but-deterministic by the first value
+column) — pre-aggregate the right side when that choice matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Left-outer as-of join: every left row + the latest right ``value_cols``
+    with right_ts <= left_ts for the same ``key``. One shuffle on key."""
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (key, right_ts)
+    ]
+    l_cols = left.columns
+    l = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
+    for c in value_cols:
+        l = l.withColumn(f"_r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    for c in l_cols:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = l.select(*l_cols, "_ts", "_side", *[f"_r_{c}" for c in value_cols]).unionByName(
+        r.select(*l_cols, "_ts", "_side", *[f"_r_{c}" for c in value_cols])
+    )
+    # right rows (_side 0) sort before left rows at equal _ts → ties included;
+    # the trailing _r_* keys make duplicate-(key, ts) right rows deterministic
+    w = (
+        W.partitionBy(key)
+        .orderBy("_ts", "_side", *[f"_r_{c}" for c in value_cols])
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        *l_cols,
+        "_side",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side")
