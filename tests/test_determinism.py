@@ -159,3 +159,33 @@ def test_asof_join_semantics_and_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     got = {r["row_id"]: r["asof_level"] for r in out.collect()}
     assert got == {1: 10.0, 2: 10.0, 3: 20.0, 4: None}
+
+
+def test_range_join_tiling_exact(spark):
+    """Tiled range join: inclusive boundaries, intervals spanning many
+    tiles, events outside every interval dropped — and a hash-join plan
+    (the BETWEEN-only form nested-loops)."""
+    from pyspark.sql import functions as F
+
+    from timeseriestokenizer_spark.operators.asof import range_join
+
+    ev = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:00", 1),   # == start (inclusive)
+         ("u", "2024-01-01 04:59:59", 2),   # inside, 5 tiles later
+         ("u", "2024-01-01 05:00:00", 3),   # == end (inclusive)
+         ("u", "2024-01-01 05:00:01", 4),   # just outside
+         ("v", "2024-01-01 01:00:00", 5)],  # other key, no interval
+        "user_id string, ts_s string, event_id int",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_id")
+    win = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:00", "2024-01-01 05:00:00")],
+        "user_id string, s string, e string",
+    ).select(
+        "user_id",
+        F.col("s").cast("timestamp").alias("start_ts"),
+        F.col("e").cast("timestamp").alias("end_ts"),
+    )
+    out = range_join(ev, win, keys=["user_id"], granularity_s=3600)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert sorted(r["event_id"] for r in out.collect()) == [1, 2, 3]

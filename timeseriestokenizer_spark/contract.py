@@ -1198,6 +1198,29 @@ def q_asof_join(spark, sf_dir):
     return out.select("event_id", F.col("asof_level"))
 
 
+def q_range_join(spark, sf_dir):
+    """RANGE (interval-containment) JOIN via time tiling
+    (operators/asof.range_join): per-user 12-hour "active windows" (from
+    each user's daily first event) matched to every event inside them — a
+    hash join on (hour-tile, user_id) + residual BETWEEN, never a nested
+    loop. The oracle writes the BETWEEN predicate directly (DuckDB's IEJoin
+    handles it natively)."""
+    from .operators.asof import range_join
+
+    ev = load(spark, sf_dir, "events")
+    win = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day_ts")
+    ).agg(F.min("ts").alias("start_ts")).select(
+        "user_id", "day_ts", "start_ts",
+        (F.col("start_ts") + F.expr("INTERVAL 12 HOURS")).alias("end_ts"),
+    )
+    out = range_join(
+        ev.select("event_id", "user_id", "ts"), win,
+        ts_col="ts", start_col="start_ts", end_col="end_ts", keys=["user_id"],
+    )
+    return out.select("event_id", F.col("day_ts").cast("timestamp").alias("window_day"))
+
+
 def q_jaccard_topk(spark, sf_dir):
     """Text k-NN (operators/dedup.jaccard_topk): top-5 most-Jaccard-similar
     docs per doc among MinHash-LSH candidates — the text-side twin of
@@ -1676,6 +1699,17 @@ FROM sc GROUP BY 1, 2
     "minhash_dedup_pairs": _MINHASH_SQL,
     "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
     "jaccard_topk": _JACCARD_TOPK_SQL,
+    # the BETWEEN predicate written directly — DuckDB's IEJoin runs it
+    # natively; equality proves the Spark tiling+residual form is exact
+    "range_join": """
+WITH win AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_day,
+         min(ts) AS start_ts, min(ts) + INTERVAL 12 HOURS AS end_ts
+  FROM events GROUP BY 1, 2)
+SELECT e.event_id, w.window_day
+FROM events e JOIN win w
+  ON e.user_id = w.user_id AND e.ts >= w.start_ts AND e.ts <= w.end_ts
+""",
     # native ASOF LEFT JOIN checks the Spark union+window linear form
     "asof_join": """
 WITH lvl AS (
@@ -2150,6 +2184,7 @@ QUERIES = {
     "corpus_report": q_corpus_report,
     "jaccard_topk": q_jaccard_topk,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "dedup_clusters": q_dedup_clusters,
     "multimodal_features": q_multimodal_features,
     "ann_bruteforce": q_ann_bruteforce,
@@ -2167,7 +2202,6 @@ QUERIES = {
     "shard_packing": q_shard_packing,
     "quantile_edges": q_quantile_edges,
     "gapfill_locf": q_gapfill_locf,
-    "ebos_marks": q_ebos_marks,
     "retention_split": q_retention_split,
     "tpe_compression": q_tpe_compression,
     "universal_vocab": q_universal_vocab,
@@ -2190,6 +2224,7 @@ QUERIES = {
     "set_ops": q_set_ops,
     "distinct_counts": q_distinct_counts,
     # ---- driver-cap line (entry 51+): green in CORRECTNESS_r01/r02 ----
+    "ebos_marks": q_ebos_marks,
     "scaler_fit": q_scaler_fit,
     "revenue_by_nation": q_revenue_by_nation,
     "chron_split": q_chron_split,

@@ -74,3 +74,43 @@ def asof_join(
         ],
     )
     return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+def range_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    keys: list[str] | None = None,
+    granularity_s: int = 3600,
+) -> DataFrame:
+    """Interval-containment join (events → the interval(s) containing them)
+    via TIME TILING — the second classic time-series join Spark lacks as a
+    primitive. A raw `l.ts BETWEEN r.start AND r.end` predicate has no
+    equi-key, so Spark plans a (broadcast) nested loop: every event ×
+    every interval. Tiling restores an equi-key: each interval explodes
+    into the ``granularity_s`` buckets it spans, each event maps to its one
+    bucket, the join runs on (bucket [+ keys]) as a plain hash join, and a
+    residual BETWEEN filter makes the result exact. Cost is linear in
+    events + total interval-bucket tiles; pick the granularity near the
+    typical interval length so each interval is a handful of tiles (the
+    same scheme as Databricks' range-join bin optimization, expressed with
+    public explode/sequence primitives)."""
+    g = int(granularity_s)
+    keys = keys or []
+    l = left.withColumn("_tile", F.floor(F.unix_timestamp(ts_col) / g))
+    iv = intervals.withColumn(
+        "_tile",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(start_col) / g),
+                F.floor(F.unix_timestamp(end_col) / g),
+            )
+        ),
+    )
+    return (
+        l.join(iv, ["_tile"] + keys)
+        .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col)))
+        .drop("_tile")
+    )
