@@ -1198,6 +1198,19 @@ def q_asof_join(spark, sf_dir):
     return out.select("event_id", F.col("asof_level"))
 
 
+def q_sessionize(spark, sf_dir):
+    """Inactivity-gap SESSIONIZATION (operators/session.py): each user's
+    event stream splits at gaps > 30 min; per-event 0-based session index
+    from lag + running sum in one window (one shuffle). Exact-µs gap
+    arithmetic on both engines (epoch_us / unix_micros)."""
+    from .operators.session import sessionize
+
+    ev = load(spark, sf_dir, "events")
+    return sessionize(
+        ev, key="user_id", ts_col="ts", gap_s=1800, order_cols=["event_id"]
+    ).select("event_id", "session_idx")
+
+
 def q_range_join(spark, sf_dir):
     """RANGE (interval-containment) JOIN via time tiling
     (operators/asof.range_join): per-user 12-hour "active windows" (from
@@ -1699,6 +1712,21 @@ FROM sc GROUP BY 1, 2
     "minhash_dedup_pairs": _MINHASH_SQL,
     "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
     "jaccard_topk": _JACCARD_TOPK_SQL,
+    # exact-µs gap arithmetic: epoch_us == Spark unix_micros (the
+    # seconds-granularity epoch()/unix_timestamp() forms disagree on
+    # sub-second fractions)
+    "sessionize": """
+WITH o AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id,
+       CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+FROM o
+""",
     # the BETWEEN predicate written directly — DuckDB's IEJoin runs it
     # natively; equality proves the Spark tiling+residual form is exact
     "range_join": """
@@ -2185,6 +2213,7 @@ QUERIES = {
     "jaccard_topk": q_jaccard_topk,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "sessionize": q_sessionize,
     "dedup_clusters": q_dedup_clusters,
     "multimodal_features": q_multimodal_features,
     "ann_bruteforce": q_ann_bruteforce,
@@ -2212,7 +2241,6 @@ QUERIES = {
     "distinct_rollup": q_distinct_rollup,
     "rollup_1h_cascade": q_rollup_1h_cascade,
     "rollup_1d": q_rollup_1d,
-    "latency": q_latency,
     "zscore_roundtrip": q_zscore_roundtrip,
     "detokenize_score": q_detokenize_score,
     "wide_melt_stats": q_wide_melt_stats,
@@ -2224,6 +2252,7 @@ QUERIES = {
     "set_ops": q_set_ops,
     "distinct_counts": q_distinct_counts,
     # ---- driver-cap line (entry 51+): green in CORRECTNESS_r01/r02 ----
+    "latency": q_latency,
     "ebos_marks": q_ebos_marks,
     "scaler_fit": q_scaler_fit,
     "revenue_by_nation": q_revenue_by_nation,
