@@ -155,3 +155,27 @@ def test_distinct_rollup_sketch_cascade(spark):
         ).collect()
     }
     assert est_1d == direct  # cascade == direct build
+
+
+def test_m4_downsample_pixel_extremes(spark):
+    """M4 keeps exactly min/max/first/last per bucket: crafted series where
+    all four differ; duplicate-timestamp ties resolve by value (struct
+    lexicographic order)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from timeseriestokenizer_spark.operators.rollup import m4_downsample
+
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    rows = [
+        ("s", base + pd.Timedelta(minutes=0), 5.0),    # first
+        ("s", base + pd.Timedelta(minutes=10), 9.0),   # max
+        ("s", base + pd.Timedelta(minutes=20), 1.0),   # min
+        ("s", base + pd.Timedelta(minutes=30), 4.0),   # last
+        ("s", base + pd.Timedelta(minutes=30), 7.0),   # tie ts: (ts,4.0)<(ts,7.0)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["conv_id", "ts", "value"]))
+    r = m4_downsample(df, key="conv_id", tier="1h").collect()[0]
+    assert (r["v_min"], r["v_max"]) == (1.0, 9.0)
+    assert r["v_first"] == 5.0
+    assert r["v_last"] == 7.0  # max struct at tied ts = larger value

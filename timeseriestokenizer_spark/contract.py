@@ -87,6 +87,20 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_m4_downsample(spark, sf_dir):
+    """M4 visualization downsampling (operators/rollup.m4_downsample,
+    Jugel et al. VLDB'14): per (user, hour) the min/max/first/last values —
+    the error-free pixel-exact line reduction. First/last use a portable
+    lexicographic struct((ts, value)) min/max so duplicate-timestamp ties
+    order identically on both engines."""
+    from .operators.rollup import m4_downsample
+
+    return m4_downsample(
+        load(spark, sf_dir, "events"), key="user_id", ts_col="ts",
+        val_col="value", tier="1h",
+    )
+
+
 def q_distinct_rollup(spark, sf_dir):
     """Distinct-cardinality tier via MERGEABLE HLL sketch state
     (operators/rollup.distinct_rollup_cascade): 1m sketches built from raw,
@@ -1845,6 +1859,16 @@ FROM ev LEFT JOIN hits ON ev.doc_id = hits.doc_id
     "gapfill_locf": _GAPFILL_SQL,
     "ebos_marks": _EBOS_SQL,
     "rollup_1m": _ROLLUP_SQL.format(unit="minute"),
+    # struct min/max orders (t, v) lexicographically on both engines —
+    # portable first/last-by-timestamp with pinned tie semantics
+    "m4_downsample": """
+        SELECT user_id,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_ts,
+               min(value) AS v_min, max(value) AS v_max,
+               min({'t': ts, 'v': value}).v AS v_first,
+               max({'t': ts, 'v': value}).v AS v_last
+        FROM events GROUP BY 1, 2
+    """,
     # exact at sf0.01 (sketch stays in the exact coupon regime; see
     # q_distinct_rollup docstring); the approximation bound is pytest-pinned
     "distinct_rollup": """
@@ -2238,9 +2262,9 @@ QUERIES = {
     "adaptive_quantize": q_adaptive_quantize,
     "gorilla_roundtrip": q_gorilla_roundtrip,
     "rollup_1m": q_rollup_1m,
+    "m4_downsample": q_m4_downsample,
     "distinct_rollup": q_distinct_rollup,
     "rollup_1h_cascade": q_rollup_1h_cascade,
-    "rollup_1d": q_rollup_1d,
     "zscore_roundtrip": q_zscore_roundtrip,
     "detokenize_score": q_detokenize_score,
     "wide_melt_stats": q_wide_melt_stats,
@@ -2252,6 +2276,7 @@ QUERIES = {
     "set_ops": q_set_ops,
     "distinct_counts": q_distinct_counts,
     # ---- driver-cap line (entry 51+): green in CORRECTNESS_r01/r02 ----
+    "rollup_1d": q_rollup_1d,
     "latency": q_latency,
     "ebos_marks": q_ebos_marks,
     "scaler_fit": q_scaler_fit,

@@ -139,3 +139,30 @@ def with_derived_metrics(tier_df: DataFrame) -> DataFrame:
         .withColumn("avg_chars", F.col("sum_chars") / F.col("n_turns"))
         .withColumn("tool_call_rate", F.col("n_tool_calls") / F.col("n_turns"))
     )
+
+
+def m4_downsample(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    tier: str = "1h",
+) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014): per (series, bucket) keep
+    exactly the four points a pixel column can show — min, max, first, last.
+    THE published error-free line-visualization reduction: any width-w chart
+    drawn from the M4 rows is pixel-identical to one drawn from raw data,
+    at 4 rows per bucket instead of millions.
+
+    One hash aggregation, fully JVM-side: first/last ride a lexicographic
+    struct((ts, value)) min/max — portable tie semantics (DuckDB's
+    arg_min/arg_max leave duplicate-ts ties unspecified; the struct
+    ordering pins them identically on both engines)."""
+    ts_c = F.col(ts_col).cast("timestamp")
+    pair = F.struct(ts_c.alias("t"), F.col(val_col).alias("v"))
+    return df.groupBy(key, bucket_ts(tier, ts_col).alias("bucket_ts")).agg(
+        F.min(val_col).alias("v_min"),
+        F.max(val_col).alias("v_max"),
+        F.min(pair).getField("v").alias("v_first"),
+        F.max(pair).getField("v").alias("v_last"),
+    )
