@@ -46,3 +46,27 @@ def test_narrow_plan_drops_text_before_shuffle(spark, transcripts):
     # output attribute list above must not reference text
     above = plan[:exchange_idx]
     assert "length(text" not in above  # text already reduced to counts
+
+
+def test_counter_rate_reset_semantics(spark):
+    """Counter resets: a drop means restart-from-zero, so the post-reset
+    value is the increase; normal increments diff; first row NULL."""
+    import pandas as pd
+    from timeseriestokenizer_spark.functions.signals import counter_rate
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        ("c", base, 100.0, 0),
+        ("c", base + pd.Timedelta(seconds=10), 150.0, 1),   # +50 over 10s
+        ("c", base + pd.Timedelta(seconds=20), 30.0, 2),    # RESET → delta 30
+        ("c", base + pd.Timedelta(seconds=30), 31.0, 3),    # +1
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "ts", "value", "event_id"])
+    )
+    out = counter_rate(df, key="conv_id", order_cols=["event_id"])
+    got = {r["event_id"]: (r["counter_delta"], r["rate_per_s"]) for r in out.collect()}
+    assert got[0] == (None, None)
+    assert got[1] == (50.0, 5.0)
+    assert got[2] == (30.0, 3.0)
+    assert got[3] == (1.0, 0.1)

@@ -87,6 +87,19 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_counter_rate(spark, sf_dir):
+    """Reset-corrected counter delta + per-second rate (functions/signals.
+    counter_rate, the monitoring-classic rate() semantics): negative delta
+    ⇒ counter restarted, the post-reset value is the increase; exact-µs
+    elapsed time. Pure window arithmetic, one shuffle."""
+    from .functions.signals import counter_rate
+
+    ev = load(spark, sf_dir, "events")
+    return counter_rate(
+        ev, key="user_id", ts_col="ts", val_col="value", order_cols=["event_id"]
+    ).select("event_id", "counter_delta", "rate_per_s")
+
+
 def q_m4_downsample(spark, sf_dir):
     """M4 visualization downsampling (operators/rollup.m4_downsample,
     Jugel et al. VLDB'14): per (user, hour) the min/max/first/last values —
@@ -1859,6 +1872,23 @@ FROM ev LEFT JOIN hits ON ev.doc_id = hits.doc_id
     "gapfill_locf": _GAPFILL_SQL,
     "ebos_marks": _EBOS_SQL,
     "rollup_1m": _ROLLUP_SQL.format(unit="minute"),
+    "counter_rate": """
+WITH o AS (
+  SELECT event_id, value,
+         lag(value) OVER w AS prev_v,
+         epoch_us(ts) - epoch_us(lag(ts) OVER w) AS dt_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id,
+       CASE WHEN prev_v IS NULL THEN NULL
+            WHEN value - prev_v < 0 THEN value
+            ELSE value - prev_v END AS counter_delta,
+       CASE WHEN prev_v IS NULL OR dt_us <= 0 THEN NULL
+            ELSE round((CASE WHEN value - prev_v < 0 THEN value
+                             ELSE value - prev_v END) * 1000000.0 / dt_us, 6)
+       END AS rate_per_s
+FROM o
+""",
     # struct min/max orders (t, v) lexicographically on both engines —
     # portable first/last-by-timestamp with pinned tie semantics
     "m4_downsample": """
@@ -2263,9 +2293,9 @@ QUERIES = {
     "gorilla_roundtrip": q_gorilla_roundtrip,
     "rollup_1m": q_rollup_1m,
     "m4_downsample": q_m4_downsample,
+    "counter_rate": q_counter_rate,
     "distinct_rollup": q_distinct_rollup,
     "rollup_1h_cascade": q_rollup_1h_cascade,
-    "zscore_roundtrip": q_zscore_roundtrip,
     "detokenize_score": q_detokenize_score,
     "wide_melt_stats": q_wide_melt_stats,
     "comparison_grid": q_comparison_grid,
@@ -2276,6 +2306,7 @@ QUERIES = {
     "set_ops": q_set_ops,
     "distinct_counts": q_distinct_counts,
     # ---- driver-cap line (entry 51+): green in CORRECTNESS_r01/r02 ----
+    "zscore_roundtrip": q_zscore_roundtrip,
     "rollup_1d": q_rollup_1d,
     "latency": q_latency,
     "ebos_marks": q_ebos_marks,

@@ -63,3 +63,35 @@ def signals_narrow(transcripts: DataFrame) -> DataFrame:
         "latency_s",
         (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).cast("double") / 1e6,
     )
+
+
+def counter_rate(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Monotonic-counter delta and per-second rate with RESET correction
+    (the monitoring-classic `rate()` semantics): per key in time order,
+    delta = v - lag(v), except a NEGATIVE delta means the counter restarted
+    from ~0 — the post-reset value itself is the increase. First row per
+    key has no predecessor → NULL delta/rate.
+
+    Pure window arithmetic (one shuffle on key, whole-stage codegen);
+    exact-µs elapsed time so sub-second scrapes divide correctly."""
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = W.partitionBy(key).orderBy(*order)
+    ts_c = F.col(ts_col).cast("timestamp")
+    prev_v = F.lag(val_col).over(w)
+    dt_us = F.unix_micros(ts_c) - F.unix_micros(F.lag(ts_c).over(w))
+    raw = F.col(val_col) - prev_v
+    delta = F.when(prev_v.isNull(), F.lit(None).cast("double")).when(
+        raw < 0, F.col(val_col)
+    ).otherwise(raw)
+    return df.withColumn("counter_delta", delta.cast("double")).withColumn(
+        "rate_per_s",
+        F.when(
+            dt_us > 0, F.round(delta * F.lit(1_000_000.0) / dt_us, 6)
+        ).otherwise(F.lit(None).cast("double")),
+    )
