@@ -50,6 +50,10 @@ EXTRA = [
     "hash_split",
     "stratified_sample",
     "ngram_jaccard_pairs",
+    "asof_join",
+    "sessionize",
+    "m4_downsample",
+    "distinct_rollup",
 ]
 
 BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "20000"))
