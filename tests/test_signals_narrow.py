@@ -70,3 +70,29 @@ def test_counter_rate_reset_semantics(spark):
     assert got[1] == (50.0, 5.0)
     assert got[2] == (30.0, 3.0)
     assert got[3] == (1.0, 0.1)
+
+
+def test_rolling_zscore_window_semantics(spark):
+    """Self-excluded preceding window: a spike scores high without masking
+    itself; warm-up rows and constant-window rows are NULL."""
+    import math
+
+    import pandas as pd
+    from timeseriestokenizer_spark.functions.signals import rolling_zscore
+
+    base = pd.Timestamp("2024-01-01")
+    vals = [10.0, 10.0, 12.0, 8.0, 50.0]  # spike at the end
+    rows = [
+        ("c", base + pd.Timedelta(seconds=i), v, i) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "ts", "value", "event_id"])
+    )
+    out = rolling_zscore(df, key="conv_id", window_rows=10, order_cols=["event_id"])
+    got = {r["event_id"]: r["zscore"] for r in out.collect()}
+    assert got[0] is None            # empty window
+    assert got[1] is None            # single point → undefined variance
+    assert got[2] is None            # window [10, 10] → zero variance
+    # window for row 4: [10, 10, 12, 8]: mean 10, var 8/3
+    assert got[4] == round((50.0 - 10.0) / math.sqrt(8.0 / 3.0), 4)
+    assert got[4] > 10  # the spike is loud

@@ -87,6 +87,20 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_rolling_zscore(spark, sf_dir):
+    """Rolling anomaly score (functions/signals.rolling_zscore): each
+    event's z against its series' preceding 10 points, from explicit power
+    sums so both engines do bit-identical arithmetic over the same frame
+    (their stddev aggregates differ in summation algorithm)."""
+    from .functions.signals import rolling_zscore
+
+    ev = load(spark, sf_dir, "events")
+    return rolling_zscore(
+        ev, key="user_id", ts_col="ts", val_col="value",
+        window_rows=10, order_cols=["event_id"],
+    ).select("event_id", "zscore")
+
+
 def q_counter_rate(spark, sf_dir):
     """Reset-corrected counter delta + per-second rate (functions/signals.
     counter_rate, the monitoring-classic rate() semantics): negative delta
@@ -1872,6 +1886,23 @@ FROM ev LEFT JOIN hits ON ev.doc_id = hits.doc_id
     "gapfill_locf": _GAPFILL_SQL,
     "ebos_marks": _EBOS_SQL,
     "rollup_1m": _ROLLUP_SQL.format(unit="minute"),
+    # explicit power sums over the same ROWS frame on both engines —
+    # bit-identical doubles, 4-dp rounding absorbs nothing but formatting
+    "rolling_zscore": """
+WITH o AS (
+  SELECT event_id, value,
+         CAST(count(value) OVER w AS DOUBLE) AS n,
+         sum(value) OVER w AS s1,
+         sum(value * value) OVER w AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+SELECT event_id,
+       CASE WHEN n >= 2 AND (s2 - s1 * s1 / n) / (n - 1) > 1e-12
+            THEN round((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)), 4)
+            ELSE NULL END AS zscore
+FROM o
+""",
     "counter_rate": """
 WITH o AS (
   SELECT event_id, value,
@@ -2287,13 +2318,13 @@ QUERIES = {
     "gapfill_locf": q_gapfill_locf,
     "retention_split": q_retention_split,
     "tpe_compression": q_tpe_compression,
-    "universal_vocab": q_universal_vocab,
     "tpe_models_roundtrip": q_tpe_models_roundtrip,
     "adaptive_quantize": q_adaptive_quantize,
     "gorilla_roundtrip": q_gorilla_roundtrip,
     "rollup_1m": q_rollup_1m,
     "m4_downsample": q_m4_downsample,
     "counter_rate": q_counter_rate,
+    "rolling_zscore": q_rolling_zscore,
     "distinct_rollup": q_distinct_rollup,
     "rollup_1h_cascade": q_rollup_1h_cascade,
     "detokenize_score": q_detokenize_score,
@@ -2306,6 +2337,7 @@ QUERIES = {
     "set_ops": q_set_ops,
     "distinct_counts": q_distinct_counts,
     # ---- driver-cap line (entry 51+): green in CORRECTNESS_r01/r02 ----
+    "universal_vocab": q_universal_vocab,
     "zscore_roundtrip": q_zscore_roundtrip,
     "rollup_1d": q_rollup_1d,
     "latency": q_latency,

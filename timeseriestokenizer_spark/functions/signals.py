@@ -95,3 +95,42 @@ def counter_rate(
             dt_us > 0, F.round(delta * F.lit(1_000_000.0) / dt_us, 6)
         ).otherwise(F.lit(None).cast("double")),
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    window_rows: int = 10,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Rolling anomaly score: each point's z-score against the PRECEDING
+    ``window_rows`` points of its own series (self-excluded, so a spike
+    cannot mask itself) — the standard online outlier screen for latency /
+    volume series.
+
+    Computed from explicit power sums (n, Σx, Σx²) over the window frame
+    rather than a stddev aggregate: the two engines' stddev implementations
+    differ in summation algorithm (Welford vs naive) in the last ulps, but
+    identical frames summed the same way give identical doubles, so the
+    4-dp rounded score is oracle-stable. NULL until the window has at least
+    2 points or while the window variance is ~0."""
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = (
+        W.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(-int(window_rows), -1)
+    )
+    n = F.count(val_col).over(w).cast("double")
+    s1 = F.sum(val_col).over(w)
+    s2 = F.sum(F.col(val_col) * F.col(val_col)).over(w)
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    z = (F.col(val_col) - mean) / F.sqrt(var)
+    return df.withColumn(
+        "zscore",
+        F.when((n >= 2) & (var > 1e-12), F.round(z, 4)).otherwise(
+            F.lit(None).cast("double")
+        ),
+    )
