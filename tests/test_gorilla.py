@@ -102,3 +102,44 @@ def test_roundtrip_property_random(seed):
     else:
         vals = rng.choice([0.0, 1.5, np.nan], n)
     _roundtrip(ts, vals)
+
+
+def test_ewma_matches_explicit_recurrence(spark):
+    """EWMA engine path == explicit Python recurrence: bit-exact at dyadic
+    alpha, and within float tolerance at a non-dyadic alpha."""
+    import numpy as np
+    import pandas as pd
+
+    from timeseriestokenizer_spark.operators.smoothing import ewma
+
+    rng = np.random.RandomState(3)
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    expected = {}
+    for s in ("a", "b"):
+        x = np.round(rng.uniform(0, 100, 40), 2)
+        y = x[0]
+        for i, v in enumerate(x):
+            if i:
+                y = 0.5 * y + 0.5 * v
+            rows.append((s, base + pd.Timedelta(seconds=i), float(v), eid))
+            expected[eid] = y
+            eid += 1
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "ts", "value", "event_id"])
+    )
+    got = {r["event_id"]: r["ewma"] for r in ewma(df, alpha=0.5).collect()}
+    assert got == expected  # BIT-exact at dyadic alpha
+
+    got3 = {r["event_id"]: r["ewma"] for r in ewma(df, alpha=0.3).collect()}
+    y = {}
+    eid = 0
+    for s in ("a", "b"):
+        prev = None
+        for e in range(40):
+            v = [r for r in rows if r[3] == eid][0][2]
+            prev = v if prev is None else 0.3 * v + 0.7 * prev
+            y[eid] = prev
+            eid += 1
+    assert all(abs(got3[k] - y[k]) < 1e-9 for k in y)  # non-dyadic: tolerance

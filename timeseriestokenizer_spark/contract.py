@@ -87,6 +87,19 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_ewma(spark, sf_dir):
+    """Exponential smoothing per series (operators/smoothing.ewma) at
+    DYADIC alpha=0.5, where pandas' ewm(adjust=False) is bit-identical to
+    the naive recurrence (see module docstring) — so the DuckDB
+    recursive-CTE oracle stepping y = 0.5*y + 0.5*x hash-matches exactly."""
+    from .operators.smoothing import ewma
+
+    return ewma(
+        load(spark, sf_dir, "events"), key="user_id", ts_col="ts",
+        val_col="value", id_col="event_id", alpha=0.5,
+    )
+
+
 def q_rolling_zscore(spark, sf_dir):
     """Rolling anomaly score (functions/signals.rolling_zscore): each
     event's z against its series' preceding 10 points, from explicit power
@@ -1886,6 +1899,20 @@ FROM ev LEFT JOIN hits ON ev.doc_id = hits.doc_id
     "gapfill_locf": _GAPFILL_SQL,
     "ebos_marks": _EBOS_SQL,
     "rollup_1m": _ROLLUP_SQL.format(unit="minute"),
+    # recursive CTE steps the exact recurrence; bit-identical to pandas
+    # ewm(adjust=False) at dyadic alpha (see operators/smoothing.py)
+    "ewma": """
+WITH RECURSIVE o AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+rec AS (
+  SELECT user_id, event_id, rn, value AS y FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.event_id, o.rn, 0.5 * r.y + 0.5 * o.value
+  FROM o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+SELECT event_id, y AS ewma FROM rec
+""",
     # explicit power sums over the same ROWS frame on both engines —
     # bit-identical doubles, 4-dp rounding absorbs nothing but formatting
     "rolling_zscore": """
@@ -2288,7 +2315,6 @@ WHERE list_dot_product(a.v, c.v)
 # tools/check_contract.py always runs ALL of them (the pre-commit gate).
 QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
-    "doc_lang_guess": q_doc_lang_guess,
     "doc_simhash": q_doc_simhash,
     "simhash_near_pairs": q_simhash_near_pairs,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
@@ -2325,6 +2351,7 @@ QUERIES = {
     "m4_downsample": q_m4_downsample,
     "counter_rate": q_counter_rate,
     "rolling_zscore": q_rolling_zscore,
+    "ewma": q_ewma,
     "distinct_rollup": q_distinct_rollup,
     "rollup_1h_cascade": q_rollup_1h_cascade,
     "detokenize_score": q_detokenize_score,
@@ -2337,6 +2364,7 @@ QUERIES = {
     "set_ops": q_set_ops,
     "distinct_counts": q_distinct_counts,
     # ---- driver-cap line (entry 51+): green in CORRECTNESS_r01/r02 ----
+    "doc_lang_guess": q_doc_lang_guess,
     "universal_vocab": q_universal_vocab,
     "zscore_roundtrip": q_zscore_roundtrip,
     "rollup_1d": q_rollup_1d,

