@@ -1,7 +1,7 @@
 """Comparison-table report job — the reference's 4th entry point
 (generate_comparison_tables.py) as one distributed Spark job:
 
-    spark-submit --py-files dist/timeseriestokenizer_spark.zip \
+    spark-submit --driver-memory 6g --py-files dist/timeseriestokenizer_spark.zip \
         jobs/comparison_report_job.py --runs <runs_parquet> --output <dir> \
         [--columns c0,c1,c2]
 

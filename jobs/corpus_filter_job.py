@@ -9,7 +9,7 @@ data refresh actually runs, composed from this engine's operators —
 Run via spark-submit:
 
     python tools/build_pyfiles.py
-    spark-submit --py-files dist/timeseriestokenizer_spark.zip \
+    spark-submit --driver-memory 6g --py-files dist/timeseriestokenizer_spark.zip \
         jobs/corpus_filter_job.py --input <documents_parquet> --output <dir> \
         [--min-quality 0.3] [--jaccard 0.5] [--lang-fractions '{"en":0.5}'] \
         [--test-fraction 0.1] [--shard-chars 500000] [--seed 42]

@@ -2,7 +2,7 @@
 run via spark-submit:
 
     python tools/build_pyfiles.py   # -> dist/timeseriestokenizer_spark.zip
-    spark-submit --py-files dist/timeseriestokenizer_spark.zip \
+    spark-submit --driver-memory 6g --py-files dist/timeseriestokenizer_spark.zip \
         jobs/rollup_job.py --input <transcripts_parquet> --output <dir> \
         --manifest <dir>/manifest --tiers 1m,5m,1h,1d --run-id r1
 

@@ -3,7 +3,7 @@ the Spark twin of the reference's HF-export converter
 (download_chronos_to_csv.py:18-66), run via spark-submit:
 
     python tools/build_pyfiles.py   # -> dist/timeseriestokenizer_spark.zip
-    spark-submit --py-files dist/timeseriestokenizer_spark.zip \
+    spark-submit --driver-memory 6g --py-files dist/timeseriestokenizer_spark.zip \
         jobs/sequence_ingest_job.py --input <array_parquet> --output <dir> \
         [--seq-cols timestamp,target] [--repartition N]
 
