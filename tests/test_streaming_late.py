@@ -132,3 +132,45 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert len(pd_out) == 10
     assert list(pd_out["turn_idx"]) == list(range(10))
     assert pd_out["conv_id"].eq("a").all()
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """session_agg's streaming claim, driven for real: readStream →
+    withWatermark → session_window aggregation → append parquet sink.
+    Sessions finalize once the watermark passes their gap; the two bursts
+    separated by > gap land as two session rows."""
+    import pandas as pd
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    schema = T.StructType(
+        [T.StructField("conv_id", T.StringType()), T.StructField("ts", T.TimestampType())]
+    )
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    rows = (
+        [("c", base + pd.Timedelta(minutes=i)) for i in range(3)]          # burst 1
+        + [("c", base + pd.Timedelta(minutes=60 + i)) for i in range(2)]   # burst 2
+        + [("c", base + pd.Timedelta(minutes=300))]                        # watermark pusher
+    )
+    spark.createDataFrame(pd.DataFrame(rows, columns=["conv_id", "ts"]), schema=schema) \
+        .write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    agged = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("conv_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("conv_id", F.col("sw.start").alias("session_start"), "n_events")
+    )
+    q = (
+        agged.writeStream.format("parquet").option("path", out)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        r["session_start"]: r["n_events"] for r in spark.read.parquet(out).collect()
+    }
+    assert got[base.to_pydatetime()] == 3                              # burst 1
+    assert got[(base + pd.Timedelta(minutes=60)).to_pydatetime()] == 2  # burst 2
