@@ -94,7 +94,12 @@ def main(argv=None):
 
     # 3. near-dup removal (MinHash-LSH candidates, exact-Jaccard verify,
     #    connected components, keep cluster-min)
-    pairs = jaccard_verified_pairs(kept, "doc_id", threshold=args.jaccard)
+    # spread the shingle/md5 hashing: a single-row-group input otherwise
+    # pins it to one task (CLAUDE.md gotcha; same knob as the contract row)
+    pairs = jaccard_verified_pairs(
+        kept, "doc_id", threshold=args.jaccard,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
     kept = dedup_survivors(kept, pairs, "doc_id").cache()
     if args.funnel:
         funnel["near_dedup"] = kept.count()
