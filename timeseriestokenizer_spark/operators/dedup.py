@@ -649,7 +649,14 @@ def connected_components(
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     edges = fwd.unionByName(rev).distinct().cache()
-    labels = edges.select("src").distinct().withColumn("label", F.col("src")).cache()
+    # seed with round 1 already applied: label = min(self, direct neighbors)
+    # — one aggregate instead of the first join+diff round of the loop
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("src", "mn").alias("label"))
+        .cache()
+    )
     cached = labels  # the materialized frame backing `labels`
     for _ in range(max_iter):
         neigh = (
