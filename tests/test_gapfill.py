@@ -129,3 +129,29 @@ def test_sessionize_gap_semantics_and_agg_twin(spark):
     assert got_counts["c"] in (3, 4)
     total = agg.agg(F.sum("n_events")).first()[0]
     assert total == 5  # every event lands in exactly one session
+
+
+def test_gap_fill_linear_interpolation(spark):
+    """Linear mode: pads take v + (v_next - v) * elapsed/gap; observed rows
+    keep their values; trailing run has no pads; a 3-slot gap yields the
+    exact thirds."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from timeseriestokenizer_spark.operators.gapfill import gap_fill
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        ("c", base, 10.0),
+        ("c", base + pd.Timedelta(hours=3), 40.0),  # pads at +1h, +2h
+        ("c", base + pd.Timedelta(hours=4), 0.0),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["conv_id", "hts", "v"]))
+    out = gap_fill(df, "conv_id", "hts", ["v"], 3600, method="linear")
+    got = {r["slot_ts"].hour: (r["v"], r["is_pad"]) for r in out.collect()}
+    assert got[0] == (10.0, False)
+    assert got[1] == (20.0, True)   # 10 + 30 * 1/3
+    assert got[2] == (30.0, True)   # 10 + 30 * 2/3
+    assert got[3] == (40.0, False)
+    assert got[4] == (0.0, False)
+    assert len(got) == 5

@@ -922,6 +922,83 @@ SELECT user_id, slot_ts,
 FROM joined
 """
 
+# linear-interp oracle: the INDEPENDENT spine-join formulation — IGNORE
+# NULLS windows locate both endpoints; arithmetic is the same
+# left-associative  pv + (nv - pv) * elapsed / gap  as the Spark generator
+_GAPFILL_INTERP_SQL = """
+WITH ranked AS (
+  SELECT user_id, date_trunc('hour', ts) AS hts, value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+hourly AS (
+  SELECT user_id, hts, value AS v FROM ranked WHERE rn = 1),
+ext AS (
+  SELECT user_id, min(hts) AS mn, max(hts) AS mx FROM hourly GROUP BY 1),
+spine AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS slot_ts
+  FROM ext),
+joined AS (
+  SELECT s.user_id, s.slot_ts, h.v, h.v IS NULL AS is_pad
+  FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.slot_ts = h.hts),
+ends AS (
+  SELECT user_id, slot_ts, v, is_pad,
+         last_value(v IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN slot_ts END IGNORE NULLS)
+           OVER wp AS pt,
+         first_value(v IGNORE NULLS) OVER wn AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN slot_ts END IGNORE NULLS)
+           OVER wn AS nt
+  FROM joined
+  WINDOW wp AS (PARTITION BY user_id ORDER BY slot_ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY slot_ts
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+SELECT user_id, slot_ts,
+       CASE WHEN NOT is_pad THEN v
+            ELSE pv + (nv - pv)
+                 * CAST(epoch_us(slot_ts) - epoch_us(pt) AS DOUBLE)
+                 / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE)
+       END AS interp_value,
+       is_pad
+FROM ends
+"""
+
+
+def q_gapfill_interp(spark, sf_dir):
+    """Gap-fill with LINEAR INTERPOLATION (gap_fill method='linear' — the
+    interpolate() of a time-series store, alongside LOCF): pad slots take
+    v + (v_next - v) * elapsed/gap between the surrounding observations.
+    Same one-exchange generator plan as gapfill_locf; the oracle is the
+    INDEPENDENT spine-join formulation (IGNORE NULLS windows find both
+    endpoints) with the identical left-associative arithmetic — the
+    105k-row result matches BIT-EXACT UNROUNDED (rounding would break it:
+    p/2^k interpolation fractions of 2-dp values land exactly on 5e-7
+    boundaries, the CLAUDE.md three-way rounding gotcha)."""
+    from .operators.gapfill import gap_fill
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("uid"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        "value",
+    )
+    hts = F.date_trunc("hour", "ts")
+    w = W.partitionBy("uid").orderBy(hts, F.desc("ts"), F.desc("event_id"))
+    hourly = (
+        ev.withColumn("_hts", hts)
+        .withColumn("_prev", F.lag("_hts").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("_hts")))
+        .select("uid", F.col("_hts").alias("hts"), F.col("value").alias("v"))
+    )
+    out = gap_fill(hourly, "uid", "hts", ["v"], 3600, method="linear")
+    return out.select(
+        F.col("uid").cast("long").alias("user_id"),
+        "slot_ts",
+        F.col("v").alias("interp_value"),
+        "is_pad",
+    )
+
 
 def q_ebos_marks(spark, sf_dir):
     """W3/F4: periodic <EBOS> markers anchored at first midnight, every 24h,
@@ -1897,6 +1974,7 @@ FROM ev LEFT JOIN hits ON ev.doc_id = hits.doc_id
         FROM t1h, mx
     """,
     "gapfill_locf": _GAPFILL_SQL,
+    "gapfill_interp": _GAPFILL_INTERP_SQL,
     "ebos_marks": _EBOS_SQL,
     "rollup_1m": _ROLLUP_SQL.format(unit="minute"),
     # recursive CTE steps the exact recurrence; bit-identical to pandas
@@ -2342,7 +2420,7 @@ QUERIES = {
     "shard_packing": q_shard_packing,
     "quantile_edges": q_quantile_edges,
     "gapfill_locf": q_gapfill_locf,
-    "retention_split": q_retention_split,
+    "gapfill_interp": q_gapfill_interp,
     "tpe_compression": q_tpe_compression,
     "tpe_models_roundtrip": q_tpe_models_roundtrip,
     "adaptive_quantize": q_adaptive_quantize,
@@ -2364,6 +2442,7 @@ QUERIES = {
     "set_ops": q_set_ops,
     "distinct_counts": q_distinct_counts,
     # ---- driver-cap line (entry 51+): green in CORRECTNESS_r01/r02 ----
+    "retention_split": q_retention_split,
     "doc_lang_guess": q_doc_lang_guess,
     "universal_vocab": q_universal_vocab,
     "zscore_roundtrip": q_zscore_roundtrip,

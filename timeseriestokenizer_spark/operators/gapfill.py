@@ -75,8 +75,19 @@ def gap_fill(
     value_cols: list[str],
     freq_seconds: int,
     locf: bool = True,
+    method: str | None = None,
 ) -> DataFrame:
     """Left-join a dense spine onto per-key observations.
+
+    ``method``: "locf" (default; = locf=True), "none" (= locf=False), or
+    "linear" — pad slots interpolate between the surrounding observations
+    (v + (v_next - v) * elapsed/gap, the interpolate() of a time-series
+    store); the trailing run after the last observation has no right
+    endpoint and no pads, and observed-null endpoints are LOCF-carried
+    first so every segment is defined. Linear stays inside the same
+    one-exchange generator: the lead() that finds the next slot also
+    carries the next VALUE, so interpolation is pure per-row arithmetic on
+    the exploded pads.
 
     Output: (key, slot_ts, <value_cols>, is_pad) — value columns null on pad
     slots unless ``locf`` carries the last observation forward.
@@ -111,13 +122,20 @@ def gap_fill(
     # first value column is null is also flagged is_pad (captured before
     # LOCF overwrites it)
     obs = obs.withColumn("_pad0", F.col(value_cols[0]).isNull())
-    if locf:
+    if method is None:
+        method = "locf" if locf else "none"
+    if method not in ("locf", "linear", "none"):
+        raise ValueError(f"gap_fill method must be locf/linear/none, got {method!r}")
+    if method in ("locf", "linear"):
         # carry BEFORE exploding: an observed-but-null value is replaced by
         # the previous non-null, matching the spine-join-then-window form
         carried_w = run_w.rowsBetween(W.unboundedPreceding, W.currentRow)
         for c in value_cols:
             obs = obs.withColumn(c, F.last(c, ignorenulls=True).over(carried_w))
     obs = obs.withColumn("_next_ts", F.lead("slot_ts").over(run_w))
+    if method == "linear":
+        for c in value_cols:
+            obs = obs.withColumn(f"_next_{c}", F.lead(c).over(run_w))
     gap_end = F.coalesce(
         F.col("_next_ts") - F.expr(f"interval {freq_seconds} seconds"),
         F.col("slot_ts"),
@@ -142,16 +160,38 @@ def gap_fill(
     slots = F.sequence(
         F.col("slot_ts"), gap_end, F.expr(f"interval {freq_seconds} seconds")
     )
+    extra = (
+        ["_next_ts", *[f"_next_{c}" for c in value_cols]]
+        if method == "linear"
+        else []
+    )
     exploded = obs.select(
         key,
         *value_cols,
         "_pad0",
+        F.col("slot_ts").alias("_obs_ts"),
+        *extra,
         F.posexplode(slots).alias("_pos", "_gen_slot"),
     )
-    out_vals = [
-        (F.col(c) if locf else F.when(F.col("_pos") == 0, F.col(c))).alias(c)
-        for c in value_cols
-    ]
+    if method == "locf":
+        out_vals = [F.col(c).alias(c) for c in value_cols]
+    elif method == "none":
+        out_vals = [F.when(F.col("_pos") == 0, F.col(c)).alias(c) for c in value_cols]
+    else:  # linear: v + (v_next - v) * elapsed / gap, exact-µs arithmetic
+        gap_us = (
+            F.unix_micros(F.col("_next_ts").cast("timestamp"))
+            - F.unix_micros(F.col("_obs_ts").cast("timestamp"))
+        ).cast("double")
+        elapsed_us = (F.col("_pos") * F.lit(float(freq_seconds) * 1e6)).cast("double")
+        out_vals = [
+            F.when(F.col("_pos") == 0, F.col(c))
+            .otherwise(
+                F.col(c)
+                + (F.col(f"_next_{c}") - F.col(c)) * elapsed_us / gap_us
+            )
+            .alias(c)
+            for c in value_cols
+        ]
     return exploded.select(
         key,
         F.col("_gen_slot").alias("slot_ts"),
