@@ -67,7 +67,10 @@ def main(argv=None):
         exact_dedup,
         jaccard_verified_pairs,
     )
-    from timeseriestokenizer_spark.operators.packing import pack_shards
+    from timeseriestokenizer_spark.operators.packing import (
+        pack_shards,
+        release_running_total_cache,
+    )
 
     spark = SparkSession.builder.appName("tts-corpus-filter").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -81,6 +84,7 @@ def main(argv=None):
     # 1. annotate + quality gate (scan-local expressions)
     ann = with_lang_guess(with_quality(docs))
     kept = ann.filter(F.col("quality_score") >= args.min_quality).cache()
+    stage_cache = kept  # superseded stage caches are unpersisted as we go
     if args.funnel:
         funnel["quality_gate"] = kept.count()
 
@@ -91,6 +95,8 @@ def main(argv=None):
     kept = kept.join(keepers, "doc_id", "left_semi").cache()
     if args.funnel:
         funnel["exact_dedup"] = kept.count()
+    stage_cache.unpersist()
+    stage_cache = kept
 
     # 3. near-dup removal (MinHash-LSH candidates, exact-Jaccard verify,
     #    connected components, keep cluster-min)
@@ -100,9 +106,13 @@ def main(argv=None):
         kept, "doc_id", threshold=args.jaccard,
         parallelism=spark.sparkContext.defaultParallelism,
     )
-    kept = dedup_survivors(kept, pairs, "doc_id").cache()
+    # deep=True: large-star/small-star O(log n) cluster resolution — the
+    # corpus-scale default (plain propagation is O(chain diameter) rounds)
+    kept = dedup_survivors(kept, pairs, "doc_id", deep=True).cache()
     if args.funnel:
         funnel["near_dedup"] = kept.count()
+    stage_cache.unpersist()
+    stage_cache = kept
 
     # 4. per-language stratified downsample (hash-deterministic)
     if args.lang_fractions:
@@ -112,10 +122,13 @@ def main(argv=None):
         ).cache()
         if args.funnel:
             funnel["stratified"] = kept.count()
+        stage_cache.unpersist()
+        stage_cache = kept
 
     # 5. split + shard packing (shards numbered within each split)
     split = with_hash_split(kept, ["doc_id"], args.test_fraction, seed=args.seed)
     out = None
+    packed_frames = []
     for part in ("train", "test"):
         packed = pack_shards(
             split.filter(F.col("split") == part),
@@ -123,9 +136,13 @@ def main(argv=None):
             "n_chars",
             args.shard_chars,
         )
+        packed_frames.append(packed)
         out = packed if out is None else out.unionByName(packed)
 
     out.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    for packed in packed_frames:  # packing's range caches served their write
+        release_running_total_cache(packed)
+    stage_cache.unpersist()
     final = spark.read.parquet(args.output)
     funnel["output"] = final.count()
     funnel["train_shards"] = (

@@ -231,3 +231,27 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     for rid_, exp in expected.items():
         g = got[rid_]
         assert (g is None and pd.isna(exp)) or g == exp, (rid_, g, exp)
+
+
+def test_asof_join_null_right_field_is_verbatim(spark):
+    """The matched right row's values must be returned VERBATIM — a NULL in
+    one value column of the latest right row must NOT fall back to an older
+    row's value for that column (ADVICE r3: per-column last(ignorenulls)
+    stitched output from different right rows; the struct carry fixes it)."""
+    from timeseriestokenizer_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 160, 1), ("k", 200, 2)], "key string, ts long, row_id int"
+    )
+    # at ts=150: level=5.0, note='old'; at ts=180: level=NULL, note='new'
+    right = spark.createDataFrame(
+        [("k", 150, 5.0, "old"), ("k", 180, None, "new")],
+        "key string, ts long, level double, note string",
+    )
+    out = {
+        r["row_id"]: (r["asof_level"], r["asof_note"])
+        for r in asof_join(left, right, "key").collect()
+    }
+    assert out[1] == (5.0, "old")
+    # ts=200 matches the ts=180 row: level must be NULL (not 5.0 from ts=150)
+    assert out[2] == (None, "new")

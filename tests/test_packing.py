@@ -61,3 +61,36 @@ def test_packing_plan_has_no_single_partition_window(spark):
         .toString()
     )
     assert "SinglePartition" not in plan, plan
+
+
+def test_pack_shards_tie_break_columns(spark):
+    """With duplicate order-key values, tie_cols restores a total order so
+    shard assignment is deterministic and matches the numpy oracle computed
+    in (order_col, tie) order (ADVICE r3)."""
+    rows = [(i // 4, i, 100) for i in range(2000)]  # 4-way ties on the key
+    df = spark.createDataFrame(
+        rows, "grp long, doc_id long, n_chars long"
+    ).repartition(16)
+    out = (
+        pack_shards(df, "grp", "n_chars", 350, tie_cols=["doc_id"])
+        .orderBy("grp", "doc_id")
+        .toPandas()
+    )
+    w = np.full(2000, 100, dtype=np.int64)
+    expect = (np.cumsum(w) - w) // 350
+    assert list(out["shard_id"]) == list(expect)
+
+
+def test_release_running_total_cache(spark):
+    from timeseriestokenizer_spark.operators.packing import (
+        release_running_total_cache,
+    )
+
+    df, _ = _docs(spark, n=500)
+    out = pack_shards(df, "doc_id", "n_chars", 1000)
+    n_before = out.count()
+    cached = out._graft_packing_cache
+    assert cached.storageLevel.useMemory
+    release_running_total_cache(out)
+    assert not cached.storageLevel.useMemory
+    assert out.count() == n_before  # plan still valid after release

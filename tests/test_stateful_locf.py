@@ -132,3 +132,57 @@ def test_locf_late_event_cannot_regress_carried_value(spark, tmp_path):
     assert 9.9 not in set(out["value"])
     pad4 = out[out["slot_ts"] == pd.Timestamp("2026-03-01 04:00:00")]
     assert len(pad4) == 1 and bool(pad4.iloc[0]["is_pad"]) and pad4.iloc[0]["value"] == 3.0
+
+
+def test_locf_same_slot_stale_event_cannot_regress(spark, tmp_path):
+    """An out-of-order arrival landing in the CURRENT head slot with a ts
+    OLDER than the already-processed observation must not overwrite
+    last_value — subsequent pads would regress to the staler value
+    (ADVICE r3: the same-slot twin of the older-slot guard)."""
+    src = str(tmp_path / "src4")
+    ckpt = str(tmp_path / "ck4")
+    sink = str(tmp_path / "sk4")
+
+    # pass 1: head slot = hour 02, carried value 2.5 (observed at 02:40)
+    _write(spark, src, [
+        ("c", "2026-04-01 00:10:00", 1.0),
+        ("c", "2026-04-01 02:40:00", 2.5),
+    ])
+    run_stateful_locf(spark, src, SCHEMA, ckpt, sink, "conv_id", "ts", "value", 3600)
+
+    # pass 2: a stale SAME-SLOT event (02:05, value 9.9 — older than the
+    # 02:40 observation) then a live one at hour 05 — pads for hours 03/04
+    # must carry 2.5, never 9.9
+    _write(spark, src, [
+        ("c", "2026-04-01 02:05:00", 9.9),
+        ("c", "2026-04-01 05:10:00", 5.0),
+    ])
+    out = (
+        run_stateful_locf(spark, src, SCHEMA, ckpt, sink, "conv_id", "ts", "value", 3600)
+        .toPandas()
+        .sort_values("slot_ts")
+        .reset_index(drop=True)
+    )
+    assert 9.9 not in set(out["value"])
+    pads = out[out["is_pad"]]
+    assert list(pads["slot_ts"]) == [
+        pd.Timestamp("2026-04-01 01:00:00"),
+        pd.Timestamp("2026-04-01 03:00:00"),
+        pd.Timestamp("2026-04-01 04:00:00"),
+    ]
+    assert list(pads["value"]) == [1.0, 2.5, 2.5]
+
+    # a same-slot event NEWER than the carried observation still updates
+    # the carry (a genuine later reading inside the head slot)
+    _write(spark, src, [
+        ("c", "2026-04-01 05:50:00", 6.0),
+        ("c", "2026-04-01 07:10:00", 7.0),
+    ])
+    out2 = (
+        run_stateful_locf(spark, src, SCHEMA, ckpt, sink, "conv_id", "ts", "value", 3600)
+        .toPandas()
+        .sort_values("slot_ts")
+        .reset_index(drop=True)
+    )
+    pad6 = out2[out2["slot_ts"] == pd.Timestamp("2026-04-01 06:00:00")]
+    assert len(pad6) == 1 and pad6.iloc[0]["value"] == 6.0

@@ -232,3 +232,27 @@ def test_corpus_report_composition(spark):
     assert got[("web", "de")]["n_docs"] == 1
     assert got[("books", "en")]["n_dup_docs"] == 0
     assert 0.0 <= web_en["avg_quality"] <= 1.0
+
+
+def test_rolling_fingerprint_long_doc_chunked_parity(spark):
+    """One long outlier doc among many short ones exercises the
+    length-bucketed chunking (the naive dense rows x maxlen matrix would
+    pad every short doc to the outlier's length — ADVICE r3 OOM). Parity
+    with the scalar oracle must hold across chunk boundaries."""
+    from timeseriestokenizer_spark.functions.textstats import (
+        rolling_fingerprint_oracle,
+        rolling_fingerprint_udf,
+    )
+
+    texts = ["short doc %d" % i for i in range(300)]
+    texts.append("x" * 200_000)  # long outlier
+    texts.append("")  # empty doc
+    df = spark.createDataFrame([(t,) for t in texts], "text string").coalesce(1)
+    got = {
+        r["text"][:40]: r["fp"]
+        for r in df.select(
+            "text", rolling_fingerprint_udf()("text").alias("fp")
+        ).collect()
+    }
+    for t in texts:
+        assert got[t[:40]] == rolling_fingerprint_oracle(t)

@@ -143,7 +143,16 @@ def rolling_fingerprint_udf():
     trick: for M = 2^61-1, x*2^31 mod M is a 61-bit rotation
     ((x mod 2^30) << 31) + (x >> 30), so h*BASE = (h>>31)*BASE*2^31
     + (h&(2^31-1))*BASE needs only <2^63 products. Parity with the scalar
-    twin (rolling_fingerprint_oracle) is pytest-pinned."""
+    twin (rolling_fingerprint_oracle) is pytest-pinned.
+
+    Memory is BOUNDED: docs are sorted by length and processed in chunks
+    whose padded matrix (rows x chunk_maxlen) never exceeds ~8M uint64 cells
+    (64 MB), so one long outlier in an Arrow batch cannot force a
+    rows x max_doc_len allocation (a 1 MB doc in a 10k-row batch would have
+    padded out to ~80 GB in the naive dense form). Length-sorting also keeps
+    the active-row mask near-full inside each chunk."""
+
+    CELL_BUDGET = 1 << 23  # 8M uint64 cells = 64 MB padded matrix max
 
     @pandas_udf("long")
     def _udf(texts: pd.Series) -> pd.Series:
@@ -152,26 +161,43 @@ def rolling_fingerprint_udf():
         if n == 0:
             return pd.Series([], dtype="int64")
         lens = np.array([len(b) for b in bs], dtype=np.int64)
-        L = int(lens.max()) if n else 0
-        mat = np.zeros((n, L), dtype=np.uint64)
-        for i, b in enumerate(bs):
-            if b:
-                mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
         M = np.uint64(ROLL_MOD)
         BASE = np.uint64(ROLL_BASE)
         MASK30 = np.uint64((1 << 30) - 1)
         MASK31 = np.uint64((1 << 31) - 1)
-        h = np.zeros(n, dtype=np.uint64)
-        for j in range(L):
-            active = lens > j
-            hj = h[active]
-            t1 = (hj >> np.uint64(31)) * BASE  # < 2^50
-            t1 = ((t1 & MASK30) << np.uint64(31)) + (t1 >> np.uint64(30))  # *2^31 mod M
-            y = t1 + (hj & MASK31) * BASE + mat[active, j]  # < 2^63
-            y = (y & M) + (y >> np.uint64(61))
-            y = (y & M) + (y >> np.uint64(61))
-            h[active] = np.where(y == M, np.uint64(0), y)
-        return pd.Series(h.astype(np.int64))
+        out = np.zeros(n, dtype=np.uint64)
+        order = np.argsort(lens, kind="stable")
+        start = 0
+        while start < n:
+            # grow the chunk while the padded matrix stays under budget;
+            # lens is ascending along `order`, so the chunk max is its last len
+            end = start + 1
+            while end < n:
+                width = max(int(lens[order[end]]), 1)
+                if (end - start + 1) * width > CELL_BUDGET:
+                    break
+                end += 1
+            idx = order[start:end]
+            clens = lens[idx]
+            L = int(clens.max())
+            cn = len(idx)
+            mat = np.zeros((cn, max(L, 1)), dtype=np.uint64)
+            for row, i in enumerate(idx):
+                if bs[i]:
+                    mat[row, : len(bs[i])] = np.frombuffer(bs[i], dtype=np.uint8)
+            h = np.zeros(cn, dtype=np.uint64)
+            for j in range(L):
+                active = clens > j
+                hj = h[active]
+                t1 = (hj >> np.uint64(31)) * BASE  # < 2^50
+                t1 = ((t1 & MASK30) << np.uint64(31)) + (t1 >> np.uint64(30))
+                y = t1 + (hj & MASK31) * BASE + mat[active, j]  # < 2^63
+                y = (y & M) + (y >> np.uint64(61))
+                y = (y & M) + (y >> np.uint64(61))
+                h[active] = np.where(y == M, np.uint64(0), y)
+            out[idx] = h
+            start = end
+        return pd.Series(out.astype(np.int64))
 
     return _udf
 

@@ -20,6 +20,13 @@ contract oracle). Left rows earlier than every right row keep NULLs
 If several right rows share (key, ts), the carried value is the last one
 in ``dedup_order`` (default: arbitrary-but-deterministic by the first value
 column) — pre-aggregate the right side when that choice matters.
+
+The carried state is ONE struct holding the entire right row, not one
+window per value column: with per-column ``last(ignorenulls=True)`` a NULL
+in a single column of the matched right row would silently fall back to an
+OLDER row's value for that column, stitching the output from different
+right rows — not as-of semantics. Carrying the struct returns the matched
+row's values verbatim, NULLs included (DuckDB ASOF behaviour).
 """
 
 from __future__ import annotations
@@ -43,35 +50,44 @@ def asof_join(
         c for c in right.columns if c not in (key, right_ts)
     ]
     l_cols = left.columns
-    l = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
-    for c in value_cols:
-        l = l.withColumn(f"_r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    # the right row travels as ONE nullable struct so every carried column
+    # comes from the same matched row (NULL fields stay NULL — no per-column
+    # fallback to older rows)
+    struct_type = (
+        "struct<" + ",".join(
+            f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in value_cols
+        ) + ">"
+    )
+    l = (
+        left.withColumn("_ts", F.col(left_ts))
+        .withColumn("_side", F.lit(1))
+        .withColumn("_r", F.lit(None).cast(struct_type))
+    )
     r = right.select(
         F.col(key),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_r"),
     )
     for c in l_cols:
         if c not in r.columns:
             r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    u = l.select(*l_cols, "_ts", "_side", *[f"_r_{c}" for c in value_cols]).unionByName(
-        r.select(*l_cols, "_ts", "_side", *[f"_r_{c}" for c in value_cols])
+    u = l.select(*l_cols, "_ts", "_side", "_r").unionByName(
+        r.select(*l_cols, "_ts", "_side", "_r")
     )
     # right rows (_side 0) sort before left rows at equal _ts → ties included;
-    # the trailing _r_* keys make duplicate-(key, ts) right rows deterministic
+    # the trailing _r struct key makes duplicate-(key, ts) right rows
+    # deterministic (struct ordering = lexicographic over fields)
     w = (
         W.partitionBy(key)
-        .orderBy("_ts", "_side", *[f"_r_{c}" for c in value_cols])
+        .orderBy("_ts", "_side", "_r")
         .rowsBetween(W.unboundedPreceding, 0)
     )
+    carried = F.last("_r", ignorenulls=True).over(w)
     filled = u.select(
         *l_cols,
         "_side",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in value_cols
-        ],
+        *[carried[c].alias(f"asof_{c}") for c in value_cols],
     )
     return filled.filter(F.col("_side") == 1).drop("_side")
 

@@ -690,11 +690,14 @@ def connected_components(
 
 
 def dedup_survivors(
-    docs: DataFrame, pairs: DataFrame, id_col: str, max_iter: int = 20
+    docs: DataFrame, pairs: DataFrame, id_col: str, max_iter: int = 20,
+    deep: bool = False,
 ) -> DataFrame:
     """Keep-first near-dup removal: drop every clustered doc except its
-    cluster's min id (docs not in any pair survive untouched)."""
-    clusters = connected_components(pairs, max_iter=max_iter)
+    cluster's min id (docs not in any pair survive untouched). Corpus-scale
+    callers should pass deep=True (large-star/small-star O(log n) rounds —
+    adversarial duplicate chains otherwise cost O(diameter) rounds)."""
+    clusters = connected_components(pairs, max_iter=max_iter, deep=deep)
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col)
     )

@@ -39,6 +39,10 @@ LOCF_STATE_SCHEMA = T.StructType(
     [
         T.StructField("last_slot_us", T.LongType()),
         T.StructField("last_value", T.DoubleType()),
+        # event time of the observation behind last_value — guards against a
+        # same-slot event from a LATER micro-batch with an OLDER timestamp
+        # regressing last_value (the cross-batch twin of the older-slot drop)
+        T.StructField("last_ts_us", T.LongType()),
     ]
 )
 
@@ -59,16 +63,19 @@ def stream_locf_fill(
     def _fill(key_tuple, pdfs, state):
         (sid,) = key_tuple
         if state.exists:
-            last_slot, last_val = state.get
+            st = state.get
+            last_slot, last_val = st[0], st[1]
+            last_ts = st[2] if len(st) > 2 else None
         else:
-            last_slot, last_val = None, None
+            last_slot, last_val, last_ts = None, None, None
         out_slots: list[int] = []
         out_vals: list[float] = []
         out_pads: list[bool] = []
         for pdf in pdfs:
             pdf = pdf.sort_values("ts_us", kind="stable")
             for ts_us, v in zip(pdf["ts_us"], pdf["val"]):
-                slot = (int(ts_us) // slot_us) * slot_us
+                ts_us = int(ts_us)
+                slot = (ts_us // slot_us) * slot_us
                 if last_slot is not None and slot < last_slot:
                     # LATE arrival (older than the stream head): an append
                     # sink cannot retract the already-emitted slot, and the
@@ -76,6 +83,17 @@ def stream_locf_fill(
                     # observation — drop the event entirely (it previously
                     # still overwrote last_value, silently corrupting every
                     # subsequent pad).
+                    continue
+                if (
+                    last_slot is not None
+                    and slot == last_slot
+                    and last_ts is not None
+                    and ts_us <= last_ts
+                ):
+                    # same-slot event that is not NEWER than the observation
+                    # already carried (an out-of-order arrival from a prior
+                    # micro-batch, or a redelivery): updating last_value here
+                    # would regress every subsequent pad to the staler value.
                     continue
                 if last_slot is not None:
                     for s in range(last_slot + slot_us, slot, slot_us):
@@ -88,7 +106,8 @@ def stream_locf_fill(
                     out_pads.append(False)
                     last_slot = slot
                 last_val = float(v)
-        state.update((last_slot, last_val))
+                last_ts = ts_us
+        state.update((last_slot, last_val, last_ts))
         if out_slots:
             yield pd.DataFrame(
                 {
