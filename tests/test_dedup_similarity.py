@@ -513,3 +513,39 @@ def test_jaccard_topk_text_knn(spark, docs):
         top = out[(out.query_id == q) & (out["rank"] == 1)].iloc[0]
         assert top["cand_id"] == 1 - q and top["jaccard"] == 1.0
     assert all(a // 10 == b // 10 for a, b in zip(out.query_id, out.cand_id))
+
+
+def test_ivf_assign_auto_dispatch_at_threshold(spark):
+    """ivf_assign dispatches to the matrix UDF at >= IVF_UDF_CELL_THRESHOLD
+    cells (the expression chain's plan is quadratic in cell count) and both
+    paths agree exactly across the boundary (VERDICT r3 item 3)."""
+    import numpy as np
+
+    from timeseriestokenizer_spark.operators.similarity import (
+        IVF_UDF_CELL_THRESHOLD,
+        ivf_assign,
+        ivf_assign_expr,
+        ivf_assign_udf,
+        random_planes,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = rng.standard_normal((80, 8)).round(4)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    for n_cells in (IVF_UDF_CELL_THRESHOLD - 1, IVF_UDF_CELL_THRESHOLD):
+        cents = np.asarray(random_planes(8, n_cells, seed=5))
+        got = {r["vec_id"]: r["cell"] for r in ivf_assign(df, cents).collect()}
+        exp = {r["vec_id"]: r["cell"] for r in ivf_assign_udf(df, cents).collect()}
+        assert got == exp, n_cells
+        # dispatch check: above the threshold the plan must contain the
+        # Arrow eval (ArrowEvalPython), below it must not
+        plan = ivf_assign(df, cents)._jdf.queryExecution().executedPlan().toString()
+        if n_cells >= IVF_UDF_CELL_THRESHOLD:
+            assert "ArrowEvalPython" in plan
+        else:
+            assert "ArrowEvalPython" not in plan
+        exprs = {r["vec_id"]: r["cell"] for r in ivf_assign_expr(df, cents).collect()}
+        assert exprs == exp, n_cells
