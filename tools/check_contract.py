@@ -114,7 +114,14 @@ def main():
                 for a, b in diffs:
                     print(f"   spark: {a[:220]}\n   duck : {b[:220]}")
     print(f"\n{len(names) - len(failures)}/{len(names)} ok")
-    sys.exit(1 if failures else 0)
+
+    # driver-proof ledger as an executable check (VERDICT r3 item 8): every
+    # registry row must be green in some CORRECTNESS_r*.json or still sit
+    # inside the driver's 50-row recording cap
+    import check_ledger
+
+    ledger_rc = check_ledger.main()
+    sys.exit(1 if failures or ledger_rc else 0)
 
 
 if __name__ == "__main__":
