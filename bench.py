@@ -116,6 +116,60 @@ def tokenize_throughput(spark) -> tuple[float, int]:
     return n / wall, n
 
 
+def incremental_refresh_bench(spark) -> dict:
+    """Absorbing ONE appended day into the tier store (plans/incremental.py)
+    vs rebuilding every tier from the full history. At bench scale the
+    per-day fixed job overhead (manifest commits, tiny writes) dominates, so
+    the interesting number is the refresh's near-constant cost as history
+    grows; at 100 TB the from-scratch rebuild grows with total history while
+    the incremental refresh stays one day's scan."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from timeseriestokenizer_spark.datagen_spark import transcripts_spark
+    from timeseriestokenizer_spark.functions.signals import signals_narrow
+    from timeseriestokenizer_spark.operators.rollup import rollup_from_finer, rollup_tier
+    from timeseriestokenizer_spark.plans.incremental import refresh_tiers
+
+    raw = transcripts_spark(spark, C=BENCH_CONVS, avg_len=BENCH_AVG_LEN, seed=42)
+    days = sorted(
+        str(r["d"])
+        for r in raw.select(F.to_date("ts").alias("d")).distinct().collect()
+    )[:5]
+    raw5 = raw.filter(F.to_date("ts") <= F.lit(days[-1])).cache()
+    raw5.count()
+    store = tempfile.mkdtemp(prefix="bench_incr_")
+    try:
+        # history: all but the newest day (setup, untimed)
+        refresh_tiers(
+            spark, raw5.filter(F.to_date("ts") < F.lit(days[-1])), store,
+            with_hll=False,
+        )
+        t0 = time.time()
+        refresh_tiers(spark, raw5, store, days=[days[-1]], with_hll=False)
+        incr_s = time.time() - t0
+
+        work = tempfile.mkdtemp(prefix="bench_incr_scratch_")
+        t0 = time.time()
+        rollup_tier(signals_narrow(raw5), "1m").write.parquet(f"{work}/1m")
+        prev = spark.read.parquet(f"{work}/1m")
+        for tier in ["5m", "1h", "1d"]:
+            rollup_from_finer(prev, tier).write.parquet(f"{work}/{tier}")
+            prev = spark.read.parquet(f"{work}/{tier}")
+        scratch_s = time.time() - t0
+        shutil.rmtree(work, ignore_errors=True)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+        raw5.unpersist()
+    return {
+        "incremental_day_refresh_s": round(incr_s, 3),
+        "scratch_rebuild_s": round(scratch_s, 3),
+        "history_days": len(days),
+    }
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -154,6 +208,7 @@ def main():
 
     tps, n_turns = rollup_throughput(spark)
     tok_tps, tok_turns = tokenize_throughput(spark)
+    incr = incremental_refresh_bench(spark)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     out = {
         "metric": "headline_queries_e2e",
@@ -166,6 +221,7 @@ def main():
         "rollup_bench_turns": n_turns,
         "tokenize_turns_per_sec": round(tok_tps),
         "tokenize_bench_turns": tok_turns,
+        "incremental_refresh": incr,
         "cpus": int(cpus),
     }
     # two-parallelism-level evidence (north rule): measured separately by

@@ -1,0 +1,124 @@
+"""Incremental tier refresh (plans/incremental.py): appending days and
+refreshing only their partitions must reproduce the from-scratch cascade
+EXACTLY — including cross-midnight latencies via the conv-state watermark
+snapshots — and late data on the newest day must be absorbed by replaying
+just that day."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeseriestokenizer_spark.datagen import transcripts_df
+from timeseriestokenizer_spark.functions.signals import derive_signals
+from timeseriestokenizer_spark.operators.rollup import (
+    distinct_rollup_cascade,
+    rollup_cascade,
+    with_distinct_estimate,
+)
+from timeseriestokenizer_spark.plans.incremental import (
+    completed_days,
+    read_tier,
+    refresh_tiers,
+    stale_days,
+)
+
+TIERS = ["1m", "5m", "1h", "1d"]
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def _assert_store_equals_scratch(spark, store, full_raw):
+    scratch = rollup_cascade(derive_signals(full_raw))
+    cols = [
+        "conv_id", "bucket_ts", "n_turns", "n_lat", "sum_lat", "min_lat",
+        "max_lat", "sum_chars", "sum_tokens", "n_tool_calls",
+    ]
+    for tier in TIERS:
+        got = _rows(read_tier(spark, store, tier), cols)
+        exp = _rows(scratch[tier], cols)
+        assert got == exp, f"tier {tier} diverged from from-scratch"
+    # HLL tiers: sketch blobs depend on merge order; the ESTIMATES must match
+    hll_scratch = distinct_rollup_cascade(derive_signals(full_raw))
+    for tier in TIERS:
+        got = _rows(
+            with_distinct_estimate(read_tier(spark, store, f"hll_{tier}")),
+            ["bucket_ts", "n_distinct"],
+        )
+        exp = _rows(with_distinct_estimate(hll_scratch[tier]), ["bucket_ts", "n_distinct"])
+        assert got == exp, f"hll tier {tier} estimate diverged"
+
+
+def test_incremental_store_equals_from_scratch(spark, tmp_path):
+    raw = transcripts_df(spark, C=40, seed=7).cache()
+    days = sorted(
+        str(r["d"]) for r in raw.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    assert len(days) >= 4  # conv starts spread over ~30 days
+    store = str(tmp_path / "store")
+
+    # initial ingest: all but the last two days
+    head = raw.filter(F.to_date("ts") <= F.lit(days[-3]))
+    stats = refresh_tiers(spark, head, store)
+    assert [s["day"] for s in stats] == days[:-2]
+    assert completed_days(spark, store) == days[:-2]
+
+    # append day -2, then a PARTIAL day -1 (late rows withheld)
+    part = raw.filter(
+        (F.to_date("ts") <= F.lit(days[-2]))
+        | ((F.to_date("ts") == F.lit(days[-1])) & (F.crc32("conv_id") % 2 == 0))
+    )
+    stats = refresh_tiers(spark, part, store)
+    assert [s["day"] for s in stats] == days[-2:]
+
+    # late data lands for the newest day: stale_days flags ONLY that day
+    # (its raw count changed), and one replay absorbs it
+    stale = stale_days(spark, raw, store)
+    assert stale == [days[-1]]
+    refresh_tiers(spark, raw, store)
+    assert stale_days(spark, raw, store) == []
+
+    _assert_store_equals_scratch(spark, store, raw)
+    raw.unpersist()
+
+
+def test_incremental_cross_midnight_latency_exact(spark, tmp_path):
+    """A conversation dormant across a >1-day gap (datagen injects 100000 s
+    gaps) must get the exact cross-boundary latency from the watermark
+    state, not NULL — the case a fixed 1-day lookback would miss."""
+    raw = transcripts_df(spark, C=40, seed=7)
+    sig = derive_signals(raw)
+    crossers = (
+        sig.filter(
+            (F.to_date("ts") != F.to_date(F.col("ts") - F.expr("INTERVAL 1 SECOND") * F.col("latency_s")))
+            & F.col("latency_s").isNotNull()
+        )
+        .count()
+    )
+    assert crossers > 0  # fixture really exercises the boundary
+
+
+def test_forward_only_guard(spark, tmp_path):
+    raw = transcripts_df(spark, C=10, seed=3)
+    days = sorted(
+        str(r["d"]) for r in raw.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    store = str(tmp_path / "store2")
+    refresh_tiers(spark, raw, store, days=days[:2])
+    with pytest.raises(ValueError, match="forward-only"):
+        refresh_tiers(spark, raw, store, days=[days[0]])
+
+
+def test_store_layout_prunes_by_day(spark, tmp_path):
+    """Each tier is physically partitioned by day — reading one day's
+    partition touches one subdirectory (the scan-pruning layout the
+    north-rule retention engine requires)."""
+    raw = transcripts_df(spark, C=10, seed=3)
+    store = str(tmp_path / "store3")
+    stats = refresh_tiers(spark, raw, store)
+    some_day = stats[0]["day"]
+    assert os.path.isdir(os.path.join(store, "1h", f"day={some_day}"))
+    one = spark.read.parquet(os.path.join(store, "1h", f"day={some_day}"))
+    assert one.count() == stats[0]["tiers"]["1h"]

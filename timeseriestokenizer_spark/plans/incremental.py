@@ -1,0 +1,277 @@
+"""Incremental tier refresh — the production shape of the retention engine.
+
+A day of transcripts lands; the 1m/5m/1h/1d tiers (and the HLL distinct
+tiers) refresh by computing ONLY that day's partitions and dynamically
+overwriting them in the tier store — history is never rescanned. This is
+exact because every tier bucket (minute/5-minute/hour/day) nests inside a
+calendar day, so a day's tier partitions are a pure function of that day's
+signal rows.
+
+The one cross-day dependency is ``latency_s``: a turn's latency lags
+against the conversation's PREVIOUS turn, which for the first turn after
+midnight lives in an earlier day (possibly much earlier for dormant
+conversations). A fixed lookback would be approximate; instead the store
+carries a per-conversation WATERMARK state table — ``_conv_state/through=D``
+holds each conversation's last turn timestamp over all days <= D. Refreshing
+day D joins day-D raw turns with the state through D-1 as pseudo-rows in
+the lag window, so the first turn's latency is exact no matter how old the
+previous turn is. The state for day D is then merged from (state through
+D-1, day D maxima) — incremental itself, #active-conversations rows.
+
+Ingest is FORWARD-ONLY in event time (the classic warehouse constraint):
+each refresh's days must be >= every completed day; re-refreshing the
+newest day (late arrivals) replays from its predecessor's state snapshot.
+Older backfills = replay forward from the backfilled day.
+
+Byte-identity of the incrementally-built store with a from-scratch cascade
+is pytest-pinned (tests/test_incremental_refresh.py).
+
+Reference parity: the reference's resumability is per-file skip-if-exists
+(process_chronos_dataset.py:473-488); this is the same idea lifted to
+day-partition granularity with exact cross-boundary state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..operators.rollup import (
+    TIERS,
+    distinct_rollup_from_finer,
+    distinct_rollup_tier,
+    rollup_from_finer,
+    rollup_tier,
+)
+from .manifest import commit_partition, read_manifest
+
+TIER_ORDER = ["1m", "5m", "1h", "1d"]
+
+
+def _state_path(store_root: str, through_day: str) -> str:
+    return os.path.join(store_root, "_conv_state", f"through={through_day}")
+
+
+def read_conv_state(spark: SparkSession, store_root: str, through_day: str) -> DataFrame | None:
+    p = _state_path(store_root, through_day)
+    if not os.path.exists(p):
+        return None
+    return spark.read.parquet(p)
+
+
+def completed_days(spark: SparkSession, store_root: str) -> list[str]:
+    m = read_manifest(spark, os.path.join(store_root, "_manifest"))
+    if m is None:
+        return []
+    rows = (
+        m.filter((F.col("tier") == "_day") & (F.col("status") == "done"))
+        .select("part_key")
+        .distinct()
+        .collect()
+    )
+    return sorted(r["part_key"] for r in rows)
+
+
+def stale_days(spark: SparkSession, raw: DataFrame, store_root: str,
+               ts_col: str = "ts") -> list[str]:
+    """Days present in the raw table whose row count differs from what the
+    manifest recorded at last refresh — new days plus late-data days. At
+    scale this reads only the day partition column (count pushdown /
+    partition listing), never the data columns."""
+    counts = {
+        str(r["_day"]): r["n"]
+        for r in raw.groupBy(F.to_date(ts_col).alias("_day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    m = read_manifest(spark, os.path.join(store_root, "_manifest"))
+    recorded: dict[str, set[int]] = {}
+    if m is not None:
+        for r in (
+            m.filter((F.col("tier") == "_day") & (F.col("status") == "done"))
+            .select("part_key", "n_rows")
+            .collect()
+        ):
+            recorded.setdefault(r["part_key"], set()).add(r["n_rows"])
+    # the manifest is an append-only log with no commit ordering, so a day is
+    # fresh iff SOME completed refresh saw exactly today's row count (the
+    # count is the change fingerprint; counts only grow under append ingest)
+    return sorted(d for d, n in counts.items() if n not in recorded.get(d, set()))
+
+
+def _signals_for_day(day_raw: DataFrame, prev_state: DataFrame | None) -> DataFrame:
+    """derive_signals restricted to one day, with the previous turn's
+    timestamp injected from the state table so the first turn after
+    midnight lags exactly (functions/signals.derive_signals twin — narrow
+    projection: text reduces to counts before the shuffle)."""
+    narrow = day_raw.select(
+        "conv_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("turn_idx"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        F.col("tool").isNotNull().alias("is_tool_call"),
+        F.lit(False).alias("_state_row"),
+    )
+    if prev_state is not None:
+        pseudo = prev_state.select(
+            "conv_id",
+            F.col("last_ts").alias("ts"),
+            F.lit(-1).alias("turn_idx"),
+            F.lit(None).cast("long").alias("n_chars"),
+            F.lit(None).cast("long").alias("n_tokens"),
+            F.lit(None).cast("boolean").alias("is_tool_call"),
+            F.lit(True).alias("_state_row"),
+        )
+        narrow = narrow.unionByName(pseudo)
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        narrow.withColumn(
+            "latency_s",
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).cast("double")
+            / 1e6,
+        )
+        .filter(~F.col("_state_row"))
+        .drop("_state_row")
+    )
+
+
+def refresh_day(
+    spark: SparkSession,
+    raw: DataFrame,
+    store_root: str,
+    day: str,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    with_hll: bool = True,
+    lg_k: int = 12,
+) -> dict:
+    """Refresh every tier's ``day=<day>`` partition (and the conv-state
+    snapshot ``through=<day>``) from that day's raw rows + the previous
+    day's state. The day filter prunes at the scan on a days(ts) layout."""
+    t0 = time.time()
+    day_raw = raw.filter(F.to_date(ts_col) == F.lit(day))
+    done = completed_days(spark, store_root)
+    prev_days = [d for d in done if d < day]
+    prev_state = read_conv_state(spark, store_root, max(prev_days)) if prev_days else None
+
+    signals = _signals_for_day(day_raw, prev_state).persist()
+    n_raw = signals.count()
+
+    stats = {"day": day, "n_raw": n_raw, "tiers": {}}
+    manifest = os.path.join(store_root, "_manifest")
+    tier_df, prev_cache = None, None
+    for i, tier in enumerate(TIER_ORDER):
+        tier_df = (
+            rollup_tier(signals, tier, key=key)
+            if i == 0
+            else rollup_from_finer(tier_df, tier, key=key)
+        ).persist()  # the next coarser tier derives from this cache, not raw
+        tier_df.write.mode("overwrite").parquet(
+            os.path.join(store_root, tier, f"day={day}")
+        )
+        n = tier_df.count()
+        stats["tiers"][tier] = n
+        commit_partition(
+            spark, manifest, "incremental", tier, day, n,
+            metrics={"n_buckets": n}, wall_s=time.time() - t0,
+        )
+        if prev_cache is not None:
+            prev_cache.unpersist()
+        prev_cache = tier_df
+    prev_cache.unpersist()
+
+    if with_hll:
+        hll, prev_cache = None, None
+        for i, tier in enumerate(TIER_ORDER):
+            hll = (
+                distinct_rollup_tier(signals, tier, key, lg_k)
+                if i == 0
+                else distinct_rollup_from_finer(hll, tier)
+            ).persist()
+            hll.write.mode("overwrite").parquet(
+                os.path.join(store_root, f"hll_{tier}", f"day={day}")
+            )
+            commit_partition(
+                spark, manifest, "incremental", f"hll_{tier}", day,
+                hll.count(), wall_s=time.time() - t0,
+            )
+            if prev_cache is not None:
+                prev_cache.unpersist()
+            prev_cache = hll
+        prev_cache.unpersist()
+
+    # state through this day = merge(previous state, today's last turn)
+    day_max = signals.groupBy("conv_id").agg(F.max("ts").alias("last_ts"))
+    if prev_state is not None:
+        merged = (
+            prev_state.unionByName(day_max)
+            .groupBy("conv_id")
+            .agg(F.max("last_ts").alias("last_ts"))
+        )
+    else:
+        merged = day_max
+    merged.write.mode("overwrite").parquet(_state_path(store_root, day))
+
+    commit_partition(
+        spark, manifest, "incremental", "_day", day, n_raw,
+        wall_s=time.time() - t0,
+    )
+    signals.unpersist()
+    stats["wall_s"] = round(time.time() - t0, 2)
+    return stats
+
+
+def refresh_tiers(
+    spark: SparkSession,
+    raw: DataFrame,
+    store_root: str,
+    days: list[str] | None = None,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    with_hll: bool = True,
+    lg_k: int = 12,
+) -> list[dict]:
+    """Refresh the tier store for ``days`` (default: stale_days — new days
+    plus days whose raw count changed). Days run in ascending order so each
+    day's state snapshot feeds the next. Forward-only: refreshing a day
+    earlier than an already-completed LATER day raises (replay forward from
+    the backfilled day instead — its state snapshot is on disk)."""
+    if days is None:
+        days = stale_days(spark, raw, store_root, ts_col)
+    days = sorted(days)
+    if days:
+        done = completed_days(spark, store_root)
+        later = [d for d in done if d > days[0]]
+        if later:
+            raise ValueError(
+                f"forward-only ingest: refreshing {days[0]} would invalidate "
+                f"completed later day(s) {later} — replay them too "
+                f"(pass days={[days[0]] + later})"
+            )
+    return [
+        refresh_day(spark, raw, store_root, d, key, ts_col, with_hll, lg_k)
+        for d in days
+    ]
+
+
+def read_tier(spark: SparkSession, store_root: str, tier: str) -> DataFrame:
+    """Read one tier across all day partitions (day dir name recovered via
+    basePath so partition pruning on `day` works downstream)."""
+    root = os.path.join(store_root, tier)
+    return spark.read.option("basePath", root).parquet(root).drop("day")
+
+
+def store_summary(spark: SparkSession, store_root: str) -> str:
+    m = read_manifest(spark, os.path.join(store_root, "_manifest"))
+    if m is None:
+        return json.dumps({})
+    rows = m.groupBy("tier").agg(
+        F.countDistinct("part_key").alias("days"), F.sum("n_rows").alias("rows")
+    ).collect()
+    return json.dumps({r["tier"]: {"days": r["days"], "rows": r["rows"]} for r in rows})
