@@ -117,3 +117,32 @@ def run_stream_append(
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+def reconcile_with_batch(
+    stream_sink: DataFrame, batch_1m: DataFrame, completed_days: list[str]
+) -> DataFrame:
+    """Stream+backfill reconciliation — the lambda-architecture read path.
+
+    The streaming sink is append-only: a 1m bucket writes once when the
+    watermark passes it, and rows later than the watermark are DROPPED, so
+    finalized streaming buckets can permanently undercount. The nightly
+    batch refresh (plans/incremental.py) recomputes completed days exactly
+    from raw — including every late row. The reconciled tier therefore
+    serves batch rows for completed days and streaming rows only for the
+    hot tail the batch has not refreshed yet.
+
+    Scale shape: two day-predicate filters (partition-pruned on a
+    day-partitioned store) and a union — NO join, no shuffle.
+    Stream+backfill == pure batch is pytest-pinned
+    (tests/test_streaming_late.py::test_stream_backfill_reconciliation)."""
+    common = [
+        "conv_id", "bucket_ts", "n_turns", "sum_chars", "sum_tokens", "n_tool_calls",
+    ]
+    batch_part = batch_1m.filter(
+        F.to_date("bucket_ts").isin(completed_days)
+    ).select(common)
+    stream_tail = stream_sink.filter(
+        ~F.to_date("bucket_ts").isin(completed_days)
+    ).select(common)
+    return batch_part.unionByName(stream_tail)
