@@ -159,7 +159,7 @@ def test_unknown_kind_raises_without_fake():
     from timeseriestokenizer_spark.multimodal.binary_ops import decode_media
 
     with _pytest.raises(NotImplementedError, match="no pure-numpy codec"):
-        decode_media(b"\xff\xd8\xff", "image/jpeg")
+        decode_media(b"\x89PNG", "image/png")
 
 
 def test_resize_and_frame_sampling(spark):

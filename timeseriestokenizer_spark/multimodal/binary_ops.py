@@ -1,11 +1,12 @@
 """Multimodal columns: opaque binary payloads with typed metadata.
 
 Image/audio/video ride as BinaryType columns; decode/feature-extraction run
-as Arrow-batched pandas UDFs over mapInPandas. Two containers decode for
+as Arrow-batched pandas UDFs over mapInPandas. THREE containers decode for
 REAL with pure numpy/struct (no codec libraries needed): RIFF/WAVE PCM-16
-(`decode_wav`) and BMP BI_RGB-24 (`decode_bmp`) — byte-exact roundtrips
-asserted in tests. Compressed formats (JPEG/PNG/MP3) genuinely need
-PIL/ffmpeg, absent in this container — those kinds raise
+(`decode_wav`), BMP BI_RGB-24 (`decode_bmp`) — byte-exact roundtrips — and
+baseline JPEG (`jpeg.decode_jpeg_baseline`, a full T.81 baseline-sequential
+decoder + encoder, lossy roundtrip envelope pytest-pinned). PNG/MP3 still
+need zlib-inflate/ffmpeg-grade codecs, absent here — those kinds raise
 NotImplementedError; `fake=True` keeps the deterministic byte-derived
 stand-in for pipeline-shape tests.
 """
@@ -136,11 +137,15 @@ def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
         return decode_wav(bytes(payload))[0]
     if kind == "image/bmp":
         return decode_bmp(bytes(payload))
+    if kind == "image/jpeg":
+        from .jpeg import decode_jpeg_baseline
+
+        return decode_jpeg_baseline(bytes(payload))
     if fake:
         arr = np.frombuffer(payload, dtype=np.uint8)
         return arr[: (len(arr) // 4) * 4].reshape(-1, 4)
     raise NotImplementedError(
-        f"no pure-numpy codec for {kind!r}; JPEG/PNG/MP3 require image/audio "
+        f"no pure-numpy codec for {kind!r}; PNG/MP3 require image/audio "
         "libraries not present in this environment (fake=True for the stand-in)"
     )
 
