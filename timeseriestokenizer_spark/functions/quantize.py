@@ -30,12 +30,21 @@ from ..oracle import numpy_oracle as O
 
 
 def fit_edges(
-    df: DataFrame, key: str, value_col: str, n_bins: int, kind: str = "equal_width"
+    df: DataFrame, key: str, value_col: str, n_bins: int, kind: str = "equal_width",
+    accuracy: int = 100000,
 ) -> dict[str, np.ndarray]:
     """Per-series bin edges. equal_width needs only (min, max) — one agg.
     quantile uses percentile_approx at scale (exact np.quantile on collected
     values would not distribute); adaptive pulls per-series histograms via
-    the oracle inside applyInPandas (A6 is sequential per series)."""
+    the oracle inside applyInPandas (A6 is sequential per series).
+
+    ``accuracy``: percentile_approx's rank-error knob — each returned edge
+    sits within n/accuracy RANKS of the exact quantile (Greenwald-Khanna
+    style guarantee; memory grows with the knob). The VALUE error this
+    implies grows with tail skew — on a heavy tail, one rank step can move
+    the value a lot — so skewed corpora wanting tight tail edges should
+    raise it (A/B measured in tests/test_quantile_accuracy.py and
+    summarized in BENCH/BASELINE.md)."""
     if kind == "equal_width":
         rows = df.groupBy(key).agg(
             F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
@@ -46,7 +55,7 @@ def fit_edges(
     if kind == "quantile":
         probs = list(np.linspace(0.0, 1.0, n_bins + 1))
         rows = df.groupBy(key).agg(
-            F.percentile_approx(value_col, probs, 100000).alias("qs")
+            F.percentile_approx(value_col, probs, int(accuracy)).alias("qs")
         ).collect()
         return {r[key]: np.asarray(r["qs"], dtype=np.float64) for r in rows}
     if kind == "adaptive":
@@ -71,7 +80,8 @@ def fit_edges(
 
 
 def fit_edges_df(
-    df: DataFrame, key: str, value_col: str, n_bins: int, kind: str = "equal_width"
+    df: DataFrame, key: str, value_col: str, n_bins: int, kind: str = "equal_width",
+    accuracy: int = 100000,
 ) -> DataFrame:
     """Per-series bin edges as a TABLE ``(series_id, edges array<double>)`` —
     the scale path twin of fit_edges: no driver collect, so per-conversation
@@ -100,7 +110,7 @@ def fit_edges_df(
     if kind == "quantile":
         probs = "array(" + ",".join(str(p) for p in np.linspace(0.0, 1.0, n_bins + 1)) + ")"
         return df.groupBy(F.col(key).alias("series_id")).agg(
-            F.expr(f"percentile_approx({value_col}, {probs}, 100000)").alias("edges")
+            F.expr(f"percentile_approx({value_col}, {probs}, {int(accuracy)})").alias("edges")
         )
     if kind == "adaptive":
         import pyspark.sql.types as T
