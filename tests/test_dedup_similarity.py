@@ -549,3 +549,30 @@ def test_ivf_assign_auto_dispatch_at_threshold(spark):
             assert "ArrowEvalPython" not in plan
         exprs = {r["vec_id"]: r["cell"] for r in ivf_assign_expr(df, cents).collect()}
         assert exprs == exp, n_cells
+
+
+def test_ngram_max_df_guard(spark):
+    """The hot-shingle guard (max_df) must kill boilerplate-only candidate
+    pairs while keeping pairs that share any rarer prefix shingle — the
+    exactness trade documented on ngram_jaccard_pairs (round-4 sf1 run:
+    unguarded prefix join on a viral shingle is quadratic)."""
+    from pyspark.sql import functions as F
+
+    from timeseriestokenizer_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = " ".join(f"hot{i}" for i in range(40))
+    rows = [(i, boiler) for i in range(30)]  # 30 identical boilerplate docs
+    # one near-dup pair built from RARE words
+    rows += [(100, "alpha beta gamma delta epsilon zeta eta theta"),
+             (101, "alpha beta gamma delta epsilon zeta eta iota")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for order in ("hash", "df"):
+        full = ngram_jaccard_pairs(docs, "doc_id", threshold=0.5, order=order)
+        n_full = full.count()
+        assert n_full == 30 * 29 // 2 + 1  # all boiler pairs + the rare pair
+        guarded = ngram_jaccard_pairs(
+            docs, "doc_id", threshold=0.5, order=order, max_df=10
+        )
+        got = {(r["id_a"], r["id_b"]) for r in guarded.collect()}
+        assert got == {(100, 101)}, order  # boiler-only pairs dropped

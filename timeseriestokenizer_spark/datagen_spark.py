@@ -90,6 +90,7 @@ def documents_spark(
     n_docs: int,
     seed: int = 42,
     n_partitions: int | None = None,
+    vocab_size: int = 10_000,
 ) -> DataFrame:
     """Heavy-tailed synthetic corpus for dedup/similarity SCALE benchmarks
     (tools/bench_sf1.py) — same (doc_id, text, lang, source, n_chars) shape
@@ -110,9 +111,16 @@ def documents_spark(
 
     Determinism: every word derives from xxhash64(content_id, pos, seed) —
     same (n_docs, seed) → identical corpus at any parallelism.
+
+    ``vocab_size`` matters for similarity-join realism: a tiny vocabulary
+    makes the k-gram shingle space dense, so EVERY doc pair shares hot
+    shingles and any exact similarity join is intrinsically quadratic (the
+    round-4 sf1 run proved it: a 40-word vocab at 50k docs pushed the
+    prefix-filter join's intermediate past 29 GB of shuffle). Real corpora
+    have ~1e5+ word vocabularies and astronomically sparse shingle spaces
+    — the default models that; shrink it only to stress hot-shingle guards.
     """
-    V = len(_CORPUS_VOCAB)
-    vocab = F.array(*[F.lit(w) for w in _CORPUS_VOCAB])
+    V = int(vocab_size)
     n_partitions = n_partitions or spark.sparkContext.defaultParallelism * 2
     docs = spark.range(0, n_docs, 1, n_partitions).select(F.col("id"))
 
@@ -128,7 +136,13 @@ def documents_spark(
     len_words = F.when(h1 % 20 == 0, 10 + h1 % 2000).otherwise(10 + h1 % 90).cast("int")
 
     def word_at(pos, cid):
-        return F.element_at(vocab, (F.abs(F.xxhash64(cid, pos, F.lit(seed + 1))) % V + 1).cast("int"))
+        # small ids resolve to the readable 40-word core vocabulary, the
+        # rest to synthetic "w<id>" tokens — same hash, any vocab_size
+        wid = F.abs(F.xxhash64(cid, pos, F.lit(seed + 1))) % V
+        core = F.array(*[F.lit(w) for w in _CORPUS_VOCAB])
+        return F.when(
+            wid < len(_CORPUS_VOCAB), F.element_at(core, (wid + 1).cast("int"))
+        ).otherwise(F.concat(F.lit("w"), wid.cast("string")))
 
     # ~5% of a near-dup's positions re-roll against the doc's OWN id
     def body(cid, mutate):

@@ -265,6 +265,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     parallelism: int | None = None,
     order: str = "hash",
+    max_df: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity join — every pair with Jaccard >=
     threshold over k-word shingle sets, no LSH recall loss (the exact
@@ -284,12 +285,31 @@ def ngram_jaccard_pairs(
     "df" — the classic All-Pairs ascending-document-frequency order, so
     prefixes hold the RAREST shingles (fewer candidates on heavy-tailed
     corpora, two extra shuffles). Correctness is unconditional under ANY
-    global total order."""
+    global total order.
+
+    ``max_df`` (hot-shingle guard, the prefix-filter twin of MinHash's
+    ``max_bucket``): prefix hashes whose document frequency exceeds it are
+    EXCLUDED from candidate generation. A shingle shared by d docs
+    contributes ~d^2/2 candidate rows — one viral boilerplate shingle at
+    d=10^5 is 5*10^9 rows, the quadratic blow-up that flooded 29 GB of
+    shuffle on a dense-vocab 50k-doc corpus (BENCH/sf1 round 4). The trade
+    is EXACTNESS: a pair whose prefix overlap consists ONLY of excluded
+    hot shingles is missed (boilerplate-only similarity — usually exactly
+    what dedup wants to ignore); pairs sharing any rarer prefix shingle
+    are still found and still exactly verified. None (default) keeps the
+    lossless guarantee."""
     sets_ = shingle_sets(df, id_col, text_col, k, parallelism)
     pref_len = (F.size("hs") - F.ceil(F.lit(float(threshold)) * F.size("hs")) + 1).cast("int")
     pref = sets_.select(
         "id", F.explode(F.slice(F.array_sort("hs"), F.lit(1), pref_len)).alias("h")
     )
+    if max_df is not None and order != "df":
+        hot = (
+            pref.groupBy("h").agg(F.count(F.lit(1)).alias("df_h"))
+            .filter(F.col("df_h") > int(max_df))
+            .select("h")
+        )
+        pref = pref.join(hot, "h", "left_anti")
     if order == "df":
         # All-Pairs refinement: a GLOBAL order by ascending document
         # frequency puts the RAREST shingles in every prefix, so hot
@@ -312,8 +332,11 @@ def ngram_jaccard_pairs(
                 F.col("rk")
                 <= (F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1)
             )
-            .select("id", "h")
         )
+        if max_df is not None:
+            # reuse the df counts already joined for the ordering
+            pref = pref.filter(F.col("df_h") <= int(max_df))
+        pref = pref.select("id", "h")
     cands = (
         pref.alias("a")
         .join(

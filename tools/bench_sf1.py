@@ -138,6 +138,15 @@ def run_ops(spark, path: str, ui_port: int) -> dict:
         },
     )
     timed(
+        "ngram_jaccard_df_guarded",
+        lambda: {
+            "n_pairs": ngram_jaccard_pairs(
+                docs, "doc_id", threshold=0.5, parallelism=dp, order="df",
+                max_df=200,
+            ).count()
+        },
+    )
+    timed(
         "simhash_deep",
         lambda: {
             "n_pairs": simhash_near_pairs_deep(docs, "doc_id", max_hamming=3).count()
