@@ -129,3 +129,92 @@ def test_decode_media_jpeg_through_spark(spark):
         hist = np.bincount(dec.ravel().astype(np.int64) % 8, minlength=8)
         expect = (hist / (hist.sum() or 1)).tolist()
         assert np.allclose(out.loc[i, "feature"], expect)
+
+
+# --- PNG (multimodal/png.py): lossless, stdlib-zlib-backed ---
+
+
+def test_png_roundtrip_exact():
+    from timeseriestokenizer_spark.multimodal.png import decode_png, encode_png
+
+    rng = np.random.RandomState(5)
+    for h, w in ((1, 1), (16, 16), (33, 47)):
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+def test_png_all_filter_types_decode():
+    """Hand-built stream using every scanline filter (None/Sub/Up/Average/
+    Paeth) must reconstruct exactly — our encoder only emits filter 0, so
+    this covers the decode paths real-world writers use."""
+    import struct
+    import zlib
+
+    from timeseriestokenizer_spark.multimodal.png import _SIG, _chunk, decode_png
+
+    rng = np.random.RandomState(6)
+    h, w, ch = 5, 7, 3
+    px = rng.randint(0, 256, (h, w, ch), dtype=np.uint8)
+    stride = w * ch
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    def filt_line(y, ftype):
+        line = px[y].reshape(-1).astype(int)
+        prev = px[y - 1].reshape(-1).astype(int) if y else np.zeros(stride, int)
+        out = np.zeros(stride, int)
+        for i in range(stride):
+            left = line[i - ch] if i >= ch else 0
+            ul = prev[i - ch] if i >= ch else 0
+            up = prev[i]
+            pred = [0, left, up, (left + up) >> 1, paeth(left, up, ul)][ftype]
+            out[i] = (line[i] - pred) & 0xFF
+        return bytes([ftype]) + bytes(out.astype(np.uint8))
+
+    raw = b"".join(filt_line(y, y % 5) for y in range(h))
+    stream = (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(stream), px)
+
+
+def test_png_gray_and_rgba_and_rejects():
+    import struct
+    import zlib
+
+    from timeseriestokenizer_spark.multimodal.png import _SIG, _chunk, decode_png, encode_png
+
+    def build(color, channels, w=4, h=3, interlace=0, depth=8):
+        rng = np.random.RandomState(8)
+        px = rng.randint(0, 256, (h, w, channels), dtype=np.uint8)
+        raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+        return px, (
+            _SIG
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace))
+            + _chunk(b"IDAT", zlib.compress(raw))
+            + _chunk(b"IEND", b"")
+        )
+
+    gray, stream = build(0, 1)
+    assert np.array_equal(decode_png(stream), np.repeat(gray, 3, axis=2))
+    rgba, stream = build(6, 4)
+    assert np.array_equal(decode_png(stream), rgba[:, :, :3])
+    _, inter = build(2, 3, interlace=1)
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_png(inter)
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"nope")
+
+
+def test_decode_media_png_real():
+    from timeseriestokenizer_spark.multimodal.binary_ops import decode_media
+    from timeseriestokenizer_spark.multimodal.png import encode_png
+
+    img = _gradient(9, 13)
+    assert np.array_equal(decode_media(encode_png(img), "image/png"), img)

@@ -89,7 +89,7 @@ def test_multimodal_pipeline(spark, texts):
 
 def test_decode_media_stub_raises():
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x00\x01", "image/png", fake=False)
+        decode_media(b"\x00\x01", "audio/mp3", fake=False)
     arr = decode_media(b"\x00\x01\x02\x03\x04", "image/fake", fake=True)
     assert arr.shape == (1, 4)
 
@@ -159,7 +159,7 @@ def test_unknown_kind_raises_without_fake():
     from timeseriestokenizer_spark.multimodal.binary_ops import decode_media
 
     with _pytest.raises(NotImplementedError, match="no pure-numpy codec"):
-        decode_media(b"\x89PNG", "image/png")
+        decode_media(b"\xff\xfb\x90", "audio/mp3")
 
 
 def test_resize_and_frame_sampling(spark):

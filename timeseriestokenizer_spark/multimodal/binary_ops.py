@@ -1,12 +1,14 @@
 """Multimodal columns: opaque binary payloads with typed metadata.
 
 Image/audio/video ride as BinaryType columns; decode/feature-extraction run
-as Arrow-batched pandas UDFs over mapInPandas. THREE containers decode for
-REAL with pure numpy/struct (no codec libraries needed): RIFF/WAVE PCM-16
-(`decode_wav`), BMP BI_RGB-24 (`decode_bmp`) — byte-exact roundtrips — and
-baseline JPEG (`jpeg.decode_jpeg_baseline`, a full T.81 baseline-sequential
-decoder + encoder, lossy roundtrip envelope pytest-pinned). PNG/MP3 still
-need zlib-inflate/ffmpeg-grade codecs, absent here — those kinds raise
+as Arrow-batched pandas UDFs over mapInPandas. FOUR containers decode for
+REAL with pure numpy/struct/stdlib (no third-party codec libraries):
+RIFF/WAVE PCM-16 (`decode_wav`) and BMP BI_RGB-24 (`decode_bmp`) —
+byte-exact roundtrips — baseline JPEG (`jpeg.decode_jpeg_baseline`, a full
+T.81 baseline-sequential decoder + encoder, lossy envelope pytest-pinned),
+and PNG (`png.decode_png`, stdlib zlib + all five scanline filters,
+LOSSLESS roundtrip pytest-pinned). Only perceptual audio/video codecs
+(MP3/MP4) remain out — they genuinely need a DSP stack; those kinds raise
 NotImplementedError; `fake=True` keeps the deterministic byte-derived
 stand-in for pipeline-shape tests.
 """
@@ -141,12 +143,17 @@ def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
         from .jpeg import decode_jpeg_baseline
 
         return decode_jpeg_baseline(bytes(payload))
+    if kind == "image/png":
+        from .png import decode_png
+
+        return decode_png(bytes(payload))
     if fake:
         arr = np.frombuffer(payload, dtype=np.uint8)
         return arr[: (len(arr) // 4) * 4].reshape(-1, 4)
     raise NotImplementedError(
-        f"no pure-numpy codec for {kind!r}; PNG/MP3 require image/audio "
-        "libraries not present in this environment (fake=True for the stand-in)"
+        f"no pure-numpy codec for {kind!r}; MP3/MP4-grade audio/video "
+        "decoding requires codec libraries not present in this environment "
+        "(fake=True for the stand-in)"
     )
 
 
