@@ -1329,6 +1329,34 @@ def q_asof_join(spark, sf_dir):
     return out.select("event_id", F.col("asof_level"))
 
 
+def q_asof_join_nulls(spark, sf_dir):
+    """AS-OF JOIN with NULL fields in the matched right row (round-4 ADVICE
+    fix): asof_join carries the ENTIRE matched right row as one struct, so
+    a NULL in one value column of the latest right row is returned
+    VERBATIM — never silently backfilled from an older row per-column
+    (which stitched output from different right rows). Right rows NULL the
+    level on every third day; the companion n_src column proves both
+    outputs come from the same matched row. Oracle: DuckDB's native ASOF
+    LEFT JOIN, which returns matched-row values verbatim by construction."""
+    from .operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    lvl = ev.groupBy(
+        "user_id",
+        (F.date_trunc("day", "ts") + F.expr("INTERVAL 1 DAY")).alias("day_ts"),
+    ).agg(
+        F.when(F.count(F.lit(1)) % 3 == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.avg("value"), 6))
+        .alias("level"),
+        F.count(F.lit(1)).alias("n_src"),
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"), lvl, "user_id",
+        left_ts="ts", right_ts="day_ts", value_cols=["level", "n_src"],
+    )
+    return out.select("event_id", "asof_level", "asof_n_src")
+
+
 def q_sessionize(spark, sf_dir):
     """Inactivity-gap SESSIONIZATION (operators/session.py): each user's
     event stream splits at gaps > 30 min; per-event 0-based session index
@@ -1880,6 +1908,18 @@ SELECT e.event_id, l.level AS asof_level
 FROM events e ASOF LEFT JOIN lvl l
   ON e.user_id = l.user_id AND e.ts >= l.day_ts
 """,
+    "asof_join_nulls": """
+WITH lvl AS (
+  SELECT user_id,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS day_ts,
+         CASE WHEN count(*) % 3 = 0 THEN NULL
+              ELSE round(avg(value), 6) END AS level,
+         count(*) AS n_src
+  FROM events GROUP BY 1, 2)
+SELECT e.event_id, l.level AS asof_level, l.n_src AS asof_n_src
+FROM events e ASOF LEFT JOIN lvl l
+  ON e.user_id = l.user_id AND e.ts >= l.day_ts
+""",
     "ngram_contamination": """
 WITH w AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
@@ -2401,6 +2441,7 @@ QUERIES = {
     "corpus_report": q_corpus_report,
     "jaccard_topk": q_jaccard_topk,
     "asof_join": q_asof_join,
+    "asof_join_nulls": q_asof_join_nulls,
     "range_join": q_range_join,
     "sessionize": q_sessionize,
     "dedup_clusters": q_dedup_clusters,
@@ -2441,7 +2482,8 @@ QUERIES = {
     "cube_counts": q_cube_counts,
     "set_ops": q_set_ops,
     "distinct_counts": q_distinct_counts,
-    # ---- driver-cap line (entry 51+): green in CORRECTNESS_r01/r02 ----
+    # ---- driver-cap line (entry 51+): every row below is green in an
+    # earlier CORRECTNESS_r* file (ledger: COVERAGE.md + tools/check_ledger) --
     "retention_split": q_retention_split,
     "doc_lang_guess": q_doc_lang_guess,
     "universal_vocab": q_universal_vocab,
