@@ -59,13 +59,16 @@ def test_incremental_store_equals_from_scratch(spark, tmp_path):
     assert len(days) >= 4  # conv starts spread over ~30 days
     store = str(tmp_path / "store")
 
-    # initial ingest: all but the last two days
+    # initial ingest: all but the last two days — auto mode takes the
+    # BATCH path (one cascade, dynamic day-partition overwrite)
     head = raw.filter(F.to_date("ts") <= F.lit(days[-3]))
     stats = refresh_tiers(spark, head, store)
-    assert [s["day"] for s in stats] == days[:-2]
+    assert len(stats) == 1 and stats[0]["mode"] == "batch"
+    assert stats[0]["days"] == days[:-2]
     assert completed_days(spark, store) == days[:-2]
 
-    # append day -2, then a PARTIAL day -1 (late rows withheld)
+    # append day -2, then a PARTIAL day -1 (late rows withheld) — two new
+    # days, auto mode takes the per-day path (snapshot per day)
     part = raw.filter(
         (F.to_date("ts") <= F.lit(days[-2]))
         | ((F.to_date("ts") == F.lit(days[-1])) & (F.crc32("conv_id") % 2 == 0))
@@ -117,8 +120,64 @@ def test_store_layout_prunes_by_day(spark, tmp_path):
     north-rule retention engine requires)."""
     raw = transcripts_df(spark, C=10, seed=3)
     store = str(tmp_path / "store3")
-    stats = refresh_tiers(spark, raw, store)
-    some_day = stats[0]["day"]
+    stats = refresh_tiers(spark, raw, store)  # auto → batch for a fresh load
+    some_day = (stats[0].get("days") or [stats[0]["day"]])[0]
     assert os.path.isdir(os.path.join(store, "1h", f"day={some_day}"))
     one = spark.read.parquet(os.path.join(store, "1h", f"day={some_day}"))
-    assert one.count() == stats[0]["tiers"]["1h"]
+    assert one.count() > 0
+    total = sum(
+        spark.read.parquet(os.path.join(store, "1h", d)).count()
+        for d in os.listdir(os.path.join(store, "1h"))
+        if d.startswith("day=")
+    )
+    assert total == stats[0]["tiers"]["1h"]
+
+
+def test_batch_equals_per_day_equals_scratch(spark, tmp_path):
+    """The bulk-load batch path (one cascade, dynamic partition overwrite)
+    must produce byte-identical stores to the per-day path — and both to
+    the from-scratch cascade."""
+    raw = transcripts_df(spark, C=25, seed=13).cache()
+    s_batch, s_daily = str(tmp_path / "b"), str(tmp_path / "d")
+    out_b = refresh_tiers(spark, raw, s_batch, mode="batch")
+    assert out_b[0]["mode"] == "batch"
+    refresh_tiers(spark, raw, s_daily, mode="per_day")
+    cols = [
+        "conv_id", "bucket_ts", "n_turns", "n_lat", "sum_lat", "min_lat",
+        "max_lat", "sum_chars", "sum_tokens", "n_tool_calls",
+    ]
+    for tier in TIERS:
+        b = _rows(read_tier(spark, s_batch, tier), cols)
+        d = _rows(read_tier(spark, s_daily, tier), cols)
+        assert b == d, f"tier {tier}: batch != per_day"
+    _assert_store_equals_scratch(spark, s_batch, raw)
+    # a later single-day append continues from the batch's final snapshot
+    raw.unpersist()
+
+
+def test_batch_snapshot_gap_guard(spark, tmp_path):
+    """After a batch load (only the LAST day's conv-state snapshot exists),
+    replaying an INTERIOR day must refuse with a replay instruction, not
+    silently compute wrong cross-midnight latencies from stale state."""
+    raw = transcripts_df(spark, C=15, seed=9)
+    days = sorted(
+        str(r["d"]) for r in raw.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    assert len(days) >= 4
+    store = str(tmp_path / "g")
+    refresh_tiers(spark, raw, store, mode="batch")
+    with pytest.raises(ValueError, match="replay"):
+        refresh_tiers(spark, raw, store, days=days[-2:-1], mode="per_day")
+
+
+def test_batch_rejects_holes(spark, tmp_path):
+    raw = transcripts_df(spark, C=15, seed=9)
+    days = sorted(
+        str(r["d"]) for r in raw.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    from timeseriestokenizer_spark.plans.incremental import refresh_days_batch
+
+    with pytest.raises(ValueError, match="skips raw day"):
+        refresh_days_batch(
+            spark, raw, str(tmp_path / "h"), [days[0], days[2]]
+        )

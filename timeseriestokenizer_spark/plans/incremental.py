@@ -141,6 +141,30 @@ def _signals_for_day(day_raw: DataFrame, prev_state: DataFrame | None) -> DataFr
     )
 
 
+def _prev_state_checked(
+    spark: SparkSession, store_root: str, done: list[str], first_day: str
+):
+    """State snapshot covering every completed day before ``first_day``.
+    Batch refreshes only write the snapshot for their LAST day, so an
+    interior snapshot can be missing — silently proceeding with an older
+    one would compute wrong cross-midnight latencies. Raise with the exact
+    replay range instead."""
+    prev_days = [d for d in done if d < first_day]
+    if not prev_days:
+        return None
+    want = max(prev_days)
+    state = read_conv_state(spark, store_root, want)
+    if state is None:
+        have = [d for d in prev_days if os.path.exists(_state_path(store_root, d))]
+        anchor = max(have) if have else "the beginning"
+        raise ValueError(
+            f"no conv-state snapshot through {want} (batch refreshes keep "
+            f"only their last day's snapshot); replay forward from "
+            f"{anchor} — pass days covering ({anchor}, {first_day}] too"
+        )
+    return state
+
+
 def refresh_day(
     spark: SparkSession,
     raw: DataFrame,
@@ -157,8 +181,7 @@ def refresh_day(
     t0 = time.time()
     day_raw = raw.filter(F.to_date(ts_col) == F.lit(day))
     done = completed_days(spark, store_root)
-    prev_days = [d for d in done if d < day]
-    prev_state = read_conv_state(spark, store_root, max(prev_days)) if prev_days else None
+    prev_state = _prev_state_checked(spark, store_root, done, day)
 
     signals = _signals_for_day(day_raw, prev_state).persist()
     n_raw = signals.count()
@@ -227,6 +250,137 @@ def refresh_day(
     return stats
 
 
+def refresh_days_batch(
+    spark: SparkSession,
+    raw: DataFrame,
+    store_root: str,
+    days: list[str],
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    with_hll: bool = True,
+    lg_k: int = 12,
+) -> dict:
+    """Refresh a CONTIGUOUS run of days as ONE cascade — the bulk-load /
+    backfill path. The per-day loop costs O(days) Spark job rounds (fine
+    for the nightly single day, serial for a year of history); here the
+    whole range derives signals once (the in-range lag window spans
+    midnights natively; only the leading edge needs the state snapshot) and
+    each tier writes ALL its day partitions in one dynamic-partition-
+    overwrite job: O(1) job rounds for N days.
+
+    Only the LAST day's conv-state snapshot is written (state for interior
+    days never existed as a boundary); a later replay of an interior day
+    detects the missing snapshot and instructs a forward replay
+    (_prev_state_checked). ``days`` must include EVERY raw day inside its
+    span — a hole would make the in-range lag silently bridge over the
+    excluded day's turns."""
+    days = sorted(days)
+    day_lo, day_hi = days[0], days[-1]
+    range_raw = raw.filter(
+        (F.to_date(ts_col) >= F.lit(day_lo)) & (F.to_date(ts_col) <= F.lit(day_hi))
+    )
+    in_range = sorted(
+        str(r["d"])
+        for r in range_raw.select(F.to_date(ts_col).alias("d")).distinct().collect()
+    )
+    missing = [d for d in in_range if d not in set(days)]
+    if missing:
+        raise ValueError(
+            f"batch range [{day_lo}, {day_hi}] skips raw day(s) {missing}; "
+            "the in-range lag would bridge over their turns — include them"
+        )
+    t0 = time.time()
+    done = completed_days(spark, store_root)
+    prev_state = _prev_state_checked(spark, store_root, done, day_lo)
+    signals = _signals_for_day(range_raw, prev_state).persist()
+    day_counts = {
+        str(r["d"]): r["n"]
+        for r in signals.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    manifest = os.path.join(store_root, "_manifest")
+    stats = {"days": days, "n_raw": sum(day_counts.values()), "tiers": {}}
+
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        tier_df, prev_cache = None, None
+        for i, tier in enumerate(TIER_ORDER):
+            tier_df = (
+                rollup_tier(signals, tier, key=key)
+                if i == 0
+                else rollup_from_finer(tier_df, tier, key=key)
+            ).persist()
+            tier_df.withColumn("day", F.to_date("bucket_ts")).write.mode(
+                "overwrite"
+            ).partitionBy("day").parquet(os.path.join(store_root, tier))
+            per_day = {
+                str(r["d"]): r["n"]
+                for r in tier_df.groupBy(F.to_date("bucket_ts").alias("d"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            stats["tiers"][tier] = sum(per_day.values())
+            for d in days:
+                commit_partition(
+                    spark, manifest, "incremental", tier, d,
+                    per_day.get(d, 0), wall_s=time.time() - t0,
+                )
+            if prev_cache is not None:
+                prev_cache.unpersist()
+            prev_cache = tier_df
+        prev_cache.unpersist()
+
+        if with_hll:
+            hll, prev_cache = None, None
+            for i, tier in enumerate(TIER_ORDER):
+                hll = (
+                    distinct_rollup_tier(signals, tier, key, lg_k)
+                    if i == 0
+                    else distinct_rollup_from_finer(hll, tier)
+                ).persist()
+                hll.withColumn("day", F.to_date("bucket_ts")).write.mode(
+                    "overwrite"
+                ).partitionBy("day").parquet(os.path.join(store_root, f"hll_{tier}"))
+                per_day = {
+                    str(r["d"]): r["n"]
+                    for r in hll.groupBy(F.to_date("bucket_ts").alias("d"))
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                for d in days:
+                    commit_partition(
+                        spark, manifest, "incremental", f"hll_{tier}", d,
+                        per_day.get(d, 0), wall_s=time.time() - t0,
+                    )
+                if prev_cache is not None:
+                    prev_cache.unpersist()
+                prev_cache = hll
+            prev_cache.unpersist()
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    batch_max = signals.groupBy("conv_id").agg(F.max("ts").alias("last_ts"))
+    merged = (
+        prev_state.unionByName(batch_max)
+        .groupBy("conv_id")
+        .agg(F.max("last_ts").alias("last_ts"))
+        if prev_state is not None
+        else batch_max
+    )
+    merged.write.mode("overwrite").parquet(_state_path(store_root, day_hi))
+    for d in days:
+        commit_partition(
+            spark, manifest, "incremental", "_day", d,
+            day_counts.get(d, 0), wall_s=time.time() - t0,
+        )
+    signals.unpersist()
+    stats["wall_s"] = round(time.time() - t0, 2)
+    stats["mode"] = "batch"
+    return stats
+
+
 def refresh_tiers(
     spark: SparkSession,
     raw: DataFrame,
@@ -236,24 +390,40 @@ def refresh_tiers(
     ts_col: str = "ts",
     with_hll: bool = True,
     lg_k: int = 12,
+    mode: str = "auto",
 ) -> list[dict]:
     """Refresh the tier store for ``days`` (default: stale_days — new days
     plus days whose raw count changed). Days run in ascending order so each
     day's state snapshot feeds the next. Forward-only: refreshing a day
     earlier than an already-completed LATER day raises (replay forward from
-    the backfilled day instead — its state snapshot is on disk)."""
+    the backfilled day instead — its state snapshot is on disk).
+
+    ``mode``: 'per_day' (one cascade per day, snapshot per day — the
+    nightly shape), 'batch' (one cascade for the whole contiguous run —
+    the bulk-load/backfill shape, O(1) job rounds), or 'auto' (default):
+    batch when 3+ days and none is already completed (initial load /
+    multi-day catch-up), per-day otherwise."""
     if days is None:
         days = stale_days(spark, raw, store_root, ts_col)
     days = sorted(days)
-    if days:
-        done = completed_days(spark, store_root)
-        later = [d for d in done if d > days[0]]
-        if later:
-            raise ValueError(
-                f"forward-only ingest: refreshing {days[0]} would invalidate "
-                f"completed later day(s) {later} — replay them too "
-                f"(pass days={[days[0]] + later})"
+    if not days:
+        return []
+    done = completed_days(spark, store_root)
+    later = [d for d in done if d > days[0]]
+    if any(d not in days for d in later):
+        raise ValueError(
+            f"forward-only ingest: refreshing {days[0]} would invalidate "
+            f"completed later day(s) {later} — replay them too "
+            f"(pass days={sorted(set(days) | set(later))})"
+        )
+    if mode == "auto":
+        mode = "batch" if len(days) >= 3 and not any(d in done for d in days) else "per_day"
+    if mode == "batch":
+        return [
+            refresh_days_batch(
+                spark, raw, store_root, days, key, ts_col, with_hll, lg_k
             )
+        ]
     return [
         refresh_day(spark, raw, store_root, d, key, ts_col, with_hll, lg_k)
         for d in days
