@@ -148,3 +148,26 @@ def test_quantize_catalyst_stays_in_codegen(spark):
     plan = _plan(quantize_with_edges(ev, fit_edges_df(ev, "uid", "value", 8), "uid", "value"))
     # JVM-side throughout: no Arrow/Python eval nodes, no Python UDF exec
     assert "EvalPython" not in plan and "Python" not in plan, plan
+
+
+def test_reconcile_with_batch_has_no_join(spark):
+    """The lambda read path (streaming tail + batch days) must compile to
+    two day-pruned filters and a union — any Join node means the scale
+    claim (no shuffle) is broken."""
+    import pandas as pd
+
+    from timeseriestokenizer_spark.streaming.rollup_stream import (
+        reconcile_with_batch,
+    )
+
+    cols = ["conv_id", "bucket_ts", "n_turns", "sum_chars", "sum_tokens", "n_tool_calls"]
+    pdf = pd.DataFrame(
+        [("c", pd.Timestamp("2026-01-01 00:01:00"), 1, 10, 2, 0)], columns=cols
+    )
+    stream_sink = spark.createDataFrame(pdf)
+    batch = spark.createDataFrame(pdf)
+    plan = (
+        reconcile_with_batch(stream_sink, batch, ["2026-01-01"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan and "Exchange" not in plan
