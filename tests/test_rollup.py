@@ -179,3 +179,63 @@ def test_m4_downsample_pixel_extremes(spark):
     assert (r["v_min"], r["v_max"]) == (1.0, 9.0)
     assert r["v_first"] == 5.0
     assert r["v_last"] == 7.0  # max struct at tied ts = larger value
+
+
+def test_histogram_tiers_cascade_and_percentile(spark):
+    """Histogram tier state: cascaded 1h→1d counts equal a direct 1d build
+    (binning is pointwise), and the read-time percentile interpolation
+    matches a numpy twin on the same bins."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from timeseriestokenizer_spark.operators.rollup import (
+        histogram_percentile,
+        histogram_rollup_from_finer,
+        histogram_rollup_tier,
+    )
+
+    rng = np.random.RandomState(4)
+    n = 5000
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.Timestamp("2026-03-01") + pd.to_timedelta(
+                rng.randint(0, 3 * 86400, n), unit="s"
+            ),
+            "latency_s": np.round(rng.lognormal(1.0, 1.2, n), 3),
+        }
+    )
+    pdf.loc[:20, "latency_s"] = None  # nulls skipped
+    df = spark.createDataFrame(pdf)
+    edges = [1.0, 2.0, 5.0, 10.0, 30.0]
+
+    h1h = histogram_rollup_tier(df, "1h", edges=edges)
+    h1d_cascade = histogram_rollup_from_finer(h1h, "1d")
+    h1d_direct = histogram_rollup_tier(df, "1d", edges=edges)
+    key = lambda frame: sorted(tuple(r) for r in frame.collect())
+    assert key(h1d_cascade) == key(h1d_direct)
+
+    # total count matches non-null rows
+    total = h1h.agg(F.sum("n")).first()[0]
+    assert total == int(pdf["latency_s"].notna().sum())
+
+    # percentile estimate vs numpy twin on the identical binning
+    est = {
+        r["bucket_ts"]: r["p95_est"]
+        for r in histogram_percentile(h1d_cascade, 0.95, edges=edges).collect()
+    }
+    vals = pdf.dropna(subset=["latency_s"]).assign(
+        day=lambda d: d["ts"].dt.floor("D")
+    )
+    lo = np.array([0.0] + edges)
+    hi = np.array(edges + [edges[-1]])
+    for day, grp in vals.groupby("day"):
+        x = grp["latency_s"].to_numpy()
+        bins = np.sum(x[:, None] >= np.array(edges)[None, :], axis=1)
+        counts = np.bincount(bins, minlength=len(edges) + 1)
+        cum = np.cumsum(counts)
+        rank = 0.95 * cum[-1]
+        b = int(np.searchsorted(cum, rank))
+        frac = (rank - (cum[b] - counts[b])) / counts[b]
+        expect = round(lo[b] + frac * (hi[b] - lo[b]), 6)
+        assert abs(est[day.to_pydatetime()] - expect) < 1e-9, day

@@ -1357,6 +1357,45 @@ def q_asof_join_nulls(spark, sf_dir):
     return out.select("event_id", "asof_level", "asof_n_src")
 
 
+_HIST_EDGES = [5.0, 10.0, 20.0, 40.0, 80.0, 120.0, 160.0, 240.0, 320.0, 400.0]
+
+
+def q_value_histogram(spark, sf_dir):
+    """Mergeable HISTOGRAM tier state (rollup.histogram_rollup_tier):
+    per-hour bin counts of events.value over fixed interior edges — the
+    quantile state that cascades exactly (binning is pointwise, counts sum
+    under any regrouping), unlike percentiles themselves. Long format keeps
+    the oracle a pure GROUP BY."""
+    from .operators.rollup import histogram_rollup_tier
+
+    ev = load(spark, sf_dir, "events").withColumnRenamed("value", "latency_s")
+    h = histogram_rollup_tier(
+        ev.withColumn("ts", F.col("ts").cast("timestamp")), "1h",
+        val_col="latency_s", edges=_HIST_EDGES,
+    )
+    return h.select("bucket_ts", F.col("bin").cast("int").alias("bin"), "n")
+
+
+def q_hist_p95_cascade(spark, sf_dir):
+    """p95-per-day estimated from CASCADED histogram state (1h tier summed
+    up to 1d, then read-time interpolation) — the oracle builds the daily
+    histogram DIRECTLY from raw and interpolates identically, so the hash
+    match proves cascaded == direct AND the estimator arithmetic."""
+    from .operators.rollup import (
+        histogram_percentile,
+        histogram_rollup_from_finer,
+        histogram_rollup_tier,
+    )
+
+    ev = load(spark, sf_dir, "events").withColumnRenamed("value", "latency_s")
+    h1h = histogram_rollup_tier(
+        ev.withColumn("ts", F.col("ts").cast("timestamp")), "1h",
+        val_col="latency_s", edges=_HIST_EDGES,
+    )
+    h1d = histogram_rollup_from_finer(h1h, "1d")
+    return histogram_percentile(h1d, 0.95, edges=_HIST_EDGES)
+
+
 def q_sessionize(spark, sf_dir):
     """Inactivity-gap SESSIONIZATION (operators/session.py): each user's
     event stream splits at gaps > 30 min; per-event 0-based session index
@@ -1907,6 +1946,33 @@ WITH lvl AS (
 SELECT e.event_id, l.level AS asof_level
 FROM events e ASOF LEFT JOIN lvl l
   ON e.user_id = l.user_id AND e.ts >= l.day_ts
+""",
+    "value_histogram": """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_ts,
+       CAST((CASE WHEN value >= 5.0 THEN 1 ELSE 0 END) + (CASE WHEN value >= 10.0 THEN 1 ELSE 0 END) + (CASE WHEN value >= 20.0 THEN 1 ELSE 0 END) + (CASE WHEN value >= 40.0 THEN 1 ELSE 0 END) + (CASE WHEN value >= 80.0 THEN 1 ELSE 0 END) + (CASE WHEN value >= 120.0 THEN 1 ELSE 0 END) + (CASE WHEN value >= 160.0 THEN 1 ELSE 0 END) + (CASE WHEN value >= 240.0 THEN 1 ELSE 0 END) + (CASE WHEN value >= 320.0 THEN 1 ELSE 0 END) + (CASE WHEN value >= 400.0 THEN 1 ELSE 0 END) AS INT) AS bin,
+       count(*) AS n
+FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+""",
+    "hist_p95_cascade": """
+WITH h AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+         CAST((CASE WHEN value >= 5.0 THEN 1 ELSE 0 END) + (CASE WHEN value >= 10.0 THEN 1 ELSE 0 END) + (CASE WHEN value >= 20.0 THEN 1 ELSE 0 END) + (CASE WHEN value >= 40.0 THEN 1 ELSE 0 END) + (CASE WHEN value >= 80.0 THEN 1 ELSE 0 END) + (CASE WHEN value >= 120.0 THEN 1 ELSE 0 END) + (CASE WHEN value >= 160.0 THEN 1 ELSE 0 END) + (CASE WHEN value >= 240.0 THEN 1 ELSE 0 END) + (CASE WHEN value >= 320.0 THEN 1 ELSE 0 END) + (CASE WHEN value >= 400.0 THEN 1 ELSE 0 END) AS INT) AS bin,
+         count(*) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+c AS (
+  SELECT bucket_ts, bin, n,
+         sum(n) OVER (PARTITION BY bucket_ts ORDER BY bin) AS cum,
+         sum(n) OVER (PARTITION BY bucket_ts) AS total
+  FROM h),
+f AS (SELECT *, 0.95 * total AS rnk FROM c WHERE cum >= 0.95 * total),
+g AS (SELECT bucket_ts, min(bin) AS mb FROM f GROUP BY 1),
+sel AS (SELECT f.* FROM f JOIN g ON f.bucket_ts = g.bucket_ts AND f.bin = g.mb),
+e AS (SELECT [0.0,5.0,10.0,20.0,40.0,80.0,120.0,160.0,240.0,320.0,400.0]::DOUBLE[] AS lo, [5.0,10.0,20.0,40.0,80.0,120.0,160.0,240.0,320.0,400.0,400.0]::DOUBLE[] AS hi)
+SELECT bucket_ts,
+       round(e.lo[bin + 1]
+             + ((rnk - (cum - n)) / n) * (e.hi[bin + 1] - e.lo[bin + 1]),
+             6) AS p95_est
+FROM sel, e
 """,
     "asof_join_nulls": """
 WITH lvl AS (
@@ -2468,6 +2534,8 @@ QUERIES = {
     "gorilla_roundtrip": q_gorilla_roundtrip,
     "rollup_1m": q_rollup_1m,
     "m4_downsample": q_m4_downsample,
+    "value_histogram": q_value_histogram,
+    "hist_p95_cascade": q_hist_p95_cascade,
     "counter_rate": q_counter_rate,
     "rolling_zscore": q_rolling_zscore,
     "ewma": q_ewma,
@@ -2480,10 +2548,10 @@ QUERIES = {
     "semi_anti_join": q_semi_anti_join,
     "pivot_counts": q_pivot_counts,
     "cube_counts": q_cube_counts,
-    "set_ops": q_set_ops,
-    "distinct_counts": q_distinct_counts,
     # ---- driver-cap line (entry 51+): every row below is green in an
     # earlier CORRECTNESS_r* file (ledger: COVERAGE.md + tools/check_ledger) --
+    "set_ops": q_set_ops,
+    "distinct_counts": q_distinct_counts,
     "retention_split": q_retention_split,
     "doc_lang_guess": q_doc_lang_guess,
     "universal_vocab": q_universal_vocab,

@@ -166,3 +166,96 @@ def m4_downsample(
         F.min(pair).getField("v").alias("v_first"),
         F.max(pair).getField("v").alias("v_last"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram tiers (mergeable quantile state)
+# ---------------------------------------------------------------------------
+
+def histogram_rollup_tier(
+    signals: DataFrame,
+    tier: str,
+    val_col: str = "latency_s",
+    edges: list[float] | None = None,
+) -> DataFrame:
+    """Per-bucket value HISTOGRAM in long format (bucket_ts, bin, n) — the
+    mergeable quantile state the sum/count tier cannot express.
+
+    Percentiles do not cascade (p95-per-hour is not a function of
+    p95-per-minute), and Spark's percentile_approx state is not a storable
+    column. Fixed-BIN counts are: binning is pointwise, so bin counts sum
+    exactly under any regrouping — coarser tiers and incremental day
+    refreshes merge by addition, like the counts/sums state, and a
+    read-time interpolation (histogram_percentile) serves p50/p95/p99 per
+    bucket with error bounded by bin width. The classic Prometheus-
+    histogram design, here as engine tier state.
+
+    ``edges`` are the INTERIOR bin boundaries (ascending); values < first
+    edge fall in bin 0, >= last edge in bin len(edges). NULLs are skipped
+    (they carry no latency). Long format keeps the oracle and the cascade
+    pure GROUP BYs."""
+    if edges is None:
+        edges = DEFAULT_LATENCY_EDGES
+    v = F.col(val_col)
+    # bin index = number of interior edges <= v  (width_bucket semantics)
+    bin_expr = F.aggregate(
+        F.array(*[F.lit(float(e)) for e in edges]),
+        F.lit(0),
+        lambda acc, e: acc + F.when(v >= e, 1).otherwise(0),
+    )
+    return (
+        signals.filter(v.isNotNull())
+        .withColumn("bucket_ts", bucket_ts(tier))
+        .groupBy("bucket_ts", bin_expr.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+DEFAULT_LATENCY_EDGES = [1.0, 2.0, 5.0, 10.0, 30.0, 60.0, 120.0, 300.0, 1800.0]
+
+
+def histogram_rollup_from_finer(finer: DataFrame, tier: str) -> DataFrame:
+    """Coarser histogram tier by pure addition (exact — binning is
+    pointwise, so cascaded == direct; pytest-pinned)."""
+    return (
+        finer.withColumn("bucket_ts2", bucket_ts(tier, "bucket_ts"))
+        .groupBy(F.col("bucket_ts2").alias("bucket_ts"), "bin")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def histogram_percentile(
+    hist: DataFrame, p: float, edges: list[float] | None = None
+) -> DataFrame:
+    """Read-time percentile estimate per bucket_ts from long-format
+    histogram state: find the bin holding the p-quantile rank via a
+    cumulative window, then interpolate linearly inside it. Error is
+    bounded by the bin's width; the open-ended tail bins report their
+    finite boundary (the Prometheus histogram_quantile convention).
+
+    One window + one aggregate, both partitioned by bucket_ts."""
+    from pyspark.sql import Window as W
+
+    if edges is None:
+        edges = DEFAULT_LATENCY_EDGES
+    lo = F.array(*[F.lit(float(x)) for x in [0.0] + list(edges)])
+    hi = F.array(*[F.lit(float(x)) for x in list(edges) + [edges[-1]]])
+    w = W.partitionBy("bucket_ts").orderBy("bin")
+    wtot = W.partitionBy("bucket_ts")
+    ranked = (
+        hist.withColumn("cum", F.sum("n").over(w))
+        .withColumn("total", F.sum("n").over(wtot))
+        .withColumn("rank", F.lit(float(p)) * F.col("total"))
+        .filter(F.col("cum") >= F.col("rank"))
+    )
+    first = ranked.groupBy("bucket_ts").agg(
+        F.min_by(F.struct("bin", "cum", "n", "rank"), "bin").alias("s")
+    )
+    b = first["s.bin"].cast("int")
+    frac = (first["s.rank"] - (first["s.cum"] - first["s.n"])) / first["s.n"]
+    est = F.element_at(lo, b + 1) + frac * (
+        F.element_at(hi, b + 1) - F.element_at(lo, b + 1)
+    )
+    return first.select(
+        "bucket_ts", F.round(est, 6).alias(f"p{int(p * 100)}_est")
+    )
