@@ -181,3 +181,19 @@ def test_batch_rejects_holes(spark, tmp_path):
         refresh_days_batch(
             spark, raw, str(tmp_path / "h"), [days[0], days[2]]
         )
+
+
+def test_incremental_histogram_tiers(spark, tmp_path):
+    """Histogram tier state refreshes incrementally by the same day-
+    partition scheme; union of day partitions == direct build from all
+    signals (counts merge by addition)."""
+    from timeseriestokenizer_spark.operators.rollup import histogram_rollup_tier
+
+    raw = transcripts_df(spark, C=20, seed=21).cache()
+    store = str(tmp_path / "hist")
+    refresh_tiers(spark, raw, store, with_hll=False)
+    direct = histogram_rollup_tier(derive_signals(raw), "1h")
+    got = _rows(read_tier(spark, store, "hist_1h"), ["bucket_ts", "bin", "n"])
+    exp = _rows(direct, ["bucket_ts", "bin", "n"])
+    assert got == exp
+    raw.unpersist()

@@ -45,6 +45,8 @@ from ..operators.rollup import (
     TIERS,
     distinct_rollup_from_finer,
     distinct_rollup_tier,
+    histogram_rollup_from_finer,
+    histogram_rollup_tier,
     rollup_from_finer,
     rollup_tier,
 )
@@ -174,6 +176,7 @@ def refresh_day(
     ts_col: str = "ts",
     with_hll: bool = True,
     lg_k: int = 12,
+    with_hist: bool = True,
 ) -> dict:
     """Refresh every tier's ``day=<day>`` partition (and the conv-state
     snapshot ``through=<day>``) from that day's raw rows + the previous
@@ -229,6 +232,26 @@ def refresh_day(
             prev_cache = hll
         prev_cache.unpersist()
 
+    if with_hist:
+        hist, prev_cache = None, None
+        for i, tier in enumerate(TIER_ORDER):
+            hist = (
+                histogram_rollup_tier(signals, tier)
+                if i == 0
+                else histogram_rollup_from_finer(hist, tier)
+            ).persist()
+            hist.write.mode("overwrite").parquet(
+                os.path.join(store_root, f"hist_{tier}", f"day={day}")
+            )
+            commit_partition(
+                spark, manifest, "incremental", f"hist_{tier}", day,
+                hist.count(), wall_s=time.time() - t0,
+            )
+            if prev_cache is not None:
+                prev_cache.unpersist()
+            prev_cache = hist
+        prev_cache.unpersist()
+
     # state through this day = merge(previous state, today's last turn)
     day_max = signals.groupBy("conv_id").agg(F.max("ts").alias("last_ts"))
     if prev_state is not None:
@@ -259,6 +282,7 @@ def refresh_days_batch(
     ts_col: str = "ts",
     with_hll: bool = True,
     lg_k: int = 12,
+    with_hist: bool = True,
 ) -> dict:
     """Refresh a CONTIGUOUS run of days as ONE cascade — the bulk-load /
     backfill path. The per-day loop costs O(days) Spark job rounds (fine
@@ -358,6 +382,33 @@ def refresh_days_batch(
                     prev_cache.unpersist()
                 prev_cache = hll
             prev_cache.unpersist()
+
+        if with_hist:
+            hist, prev_cache = None, None
+            for i, tier in enumerate(TIER_ORDER):
+                hist = (
+                    histogram_rollup_tier(signals, tier)
+                    if i == 0
+                    else histogram_rollup_from_finer(hist, tier)
+                ).persist()
+                hist.withColumn("day", F.to_date("bucket_ts")).write.mode(
+                    "overwrite"
+                ).partitionBy("day").parquet(os.path.join(store_root, f"hist_{tier}"))
+                per_day = {
+                    str(r["d"]): r["n"]
+                    for r in hist.groupBy(F.to_date("bucket_ts").alias("d"))
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                for d in days:
+                    commit_partition(
+                        spark, manifest, "incremental", f"hist_{tier}", d,
+                        per_day.get(d, 0), wall_s=time.time() - t0,
+                    )
+                if prev_cache is not None:
+                    prev_cache.unpersist()
+                prev_cache = hist
+            prev_cache.unpersist()
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
@@ -391,6 +442,7 @@ def refresh_tiers(
     with_hll: bool = True,
     lg_k: int = 12,
     mode: str = "auto",
+    with_hist: bool = True,
 ) -> list[dict]:
     """Refresh the tier store for ``days`` (default: stale_days — new days
     plus days whose raw count changed). Days run in ascending order so each
@@ -421,11 +473,14 @@ def refresh_tiers(
     if mode == "batch":
         return [
             refresh_days_batch(
-                spark, raw, store_root, days, key, ts_col, with_hll, lg_k
+                spark, raw, store_root, days, key, ts_col, with_hll, lg_k,
+                with_hist,
             )
         ]
     return [
-        refresh_day(spark, raw, store_root, d, key, ts_col, with_hll, lg_k)
+        refresh_day(
+            spark, raw, store_root, d, key, ts_col, with_hll, lg_k, with_hist
+        )
         for d in days
     ]
 
