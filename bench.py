@@ -145,10 +145,12 @@ def incremental_refresh_bench(spark) -> dict:
         # history: all but the newest day (setup, untimed)
         refresh_tiers(
             spark, raw5.filter(F.to_date("ts") < F.lit(days[-1])), store,
-            with_hll=False,
+            with_hll=False, with_hist=False,
         )
         t0 = time.time()
-        refresh_tiers(spark, raw5, store, days=[days[-1]], with_hll=False)
+        refresh_tiers(
+            spark, raw5, store, days=[days[-1]], with_hll=False, with_hist=False
+        )
         incr_s = time.time() - t0
 
         work = tempfile.mkdtemp(prefix="bench_incr_scratch_")
