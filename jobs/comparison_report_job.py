@@ -16,6 +16,13 @@ dataset's target columns).
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+# allow plain `python jobs/<job>.py` without --py-files (spark-submit with
+# --py-files and in-process test callers are unaffected)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import time

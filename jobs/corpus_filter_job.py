@@ -30,6 +30,13 @@ a cached frame each — at real scale, drop --funnel to skip them.
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+# allow plain `python jobs/<job>.py` without --py-files (spark-submit with
+# --py-files and in-process test callers are unaffected)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import time
@@ -41,6 +48,10 @@ def main(argv=None):
     p.add_argument("--output", required=True)
     p.add_argument("--min-quality", type=float, default=0.3)
     p.add_argument("--jaccard", type=float, default=0.5)
+    p.add_argument("--max-bucket", type=int, default=None,
+                   help="hot-bucket guard for MinHash banding (drops viral "
+                        "boilerplate buckets larger than this; recall trade "
+                        "documented on jaccard_verified_pairs)")
     p.add_argument("--lang-fractions", default=None,
                    help='JSON dict lang->fraction; unlisted langs keep 1.0')
     p.add_argument("--test-fraction", type=float, default=0.1)
@@ -105,6 +116,7 @@ def main(argv=None):
     pairs = jaccard_verified_pairs(
         kept, "doc_id", threshold=args.jaccard,
         parallelism=spark.sparkContext.defaultParallelism,
+        max_bucket=args.max_bucket,
     )
     # deep=True: large-star/small-star O(log n) cluster resolution — the
     # corpus-scale default (plain propagation is O(chain diameter) rounds)
