@@ -280,3 +280,56 @@ def test_stream_backfill_reconciliation(spark, tmp_path):
     )
     assert got == expected
     raw.unpersist()
+
+
+def test_streaming_histogram_matches_batch(spark, tmp_path):
+    """Streaming 1m histogram (availableNow, append) == batch
+    histogram_rollup_tier on the finalized windows."""
+    import pyspark.sql.types as T
+
+    from timeseriestokenizer_spark.operators.rollup import histogram_rollup_tier
+    from timeseriestokenizer_spark.streaming.rollup_stream import (
+        streaming_histogram_1m,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("series", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("latency_s", T.DoubleType()),
+        ]
+    )
+    base = pd.Timestamp("2026-05-01 00:00:00")
+    rows = [
+        ("s", base + pd.Timedelta(seconds=30 * i), float(0.5 + (i % 40)))
+        for i in range(240)
+    ]
+    src, ckpt, out = (str(tmp_path / d) for d in ("hsrc", "hck", "hout"))
+    pdf = pd.DataFrame(rows, columns=["series", "ts", "latency_s"])
+    spark.createDataFrame(pdf, schema=schema).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_histogram_1m(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["bucket_ts"], r["bin"]): r["n"] for r in spark.read.parquet(out).collect()
+    }
+    batch = histogram_rollup_tier(spark.createDataFrame(pdf, schema=schema), "1m")
+    exp = {
+        (r["bucket_ts"], r["bin"]): r["n"] for r in batch.collect()
+    }
+    # append mode withholds windows the watermark has not passed (the hot
+    # tail); every finalized streaming row must equal its batch twin, and
+    # all but the tail minutes must have finalized
+    assert got and all(exp[k] == v for k, v in got.items())
+    finalized_minutes = {k[0] for k in got}
+    all_minutes = {k[0] for k in exp}
+    assert len(all_minutes - finalized_minutes) <= 3

@@ -146,3 +146,34 @@ def reconcile_with_batch(
         ~F.to_date("bucket_ts").isin(completed_days)
     ).select(common)
     return batch_part.unionByName(stream_tail)
+
+
+def streaming_histogram_1m(
+    stream_df: DataFrame,
+    val_col: str = "latency_s",
+    edges: list[float] | None = None,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Streaming twin of rollup.histogram_rollup_tier: tumbling 1-minute
+    windows of fixed-bin counts (long format). Bin counts are pure
+    additive aggregation state, so append mode finalizes each
+    (bucket, bin) row once the watermark passes — and the batch refresh
+    reconciles late drops exactly as for the sum/count tier
+    (reconcile semantics identical: day-filter + union, no join)."""
+    from ..operators.rollup import DEFAULT_LATENCY_EDGES
+
+    if edges is None:
+        edges = DEFAULT_LATENCY_EDGES
+    v = F.col(val_col)
+    bin_expr = F.aggregate(
+        F.array(*[F.lit(float(e)) for e in edges]),
+        F.lit(0),
+        lambda acc, e: acc + F.when(v >= e, 1).otherwise(0),
+    )
+    return (
+        stream_df.filter(v.isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 minute").alias("w"), bin_expr.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("bucket_ts"), "bin", "n")
+    )
