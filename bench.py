@@ -54,6 +54,9 @@ EXTRA = [
     "sessionize",
     "m4_downsample",
     "distinct_rollup",
+    "value_histogram",
+    "hist_p95_cascade",
+    "asof_join_nulls",
 ]
 
 BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "20000"))
