@@ -152,6 +152,14 @@ def run_ops(spark, path: str, ui_port: int) -> dict:
             "n_pairs": simhash_near_pairs_deep(docs, "doc_id", max_hamming=3).count()
         },
     )
+    timed(
+        "simhash_deep_guarded",
+        lambda: {
+            "n_pairs": simhash_near_pairs_deep(
+                docs, "doc_id", max_hamming=3, max_bucket=200
+            ).count()
+        },
+    )
 
     pairs = jaccard_verified_pairs(
         docs, "doc_id", threshold=0.5, parallelism=dp, max_bucket=200
