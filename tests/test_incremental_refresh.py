@@ -197,3 +197,71 @@ def test_incremental_histogram_tiers(spark, tmp_path):
     exp = _rows(direct, ["bucket_ts", "bin", "n"])
     assert got == exp
     raw.unpersist()
+
+
+def test_retention_sweep_store(spark, tmp_path):
+    """Store-level TTL enforcement: expired 1m day partitions are Gorilla-
+    packed then DROPPED as whole directories; coarser tiers keep history
+    per policy; cold blobs unpack to the exact expired points; side states
+    expire with their base tier; the manifest records every retirement."""
+    import os as _os
+
+    from timeseriestokenizer_spark.operators.gorilla import gorilla_unpack
+    from timeseriestokenizer_spark.plans.incremental import retention_sweep
+    from timeseriestokenizer_spark.plans.manifest import read_manifest
+
+    raw = transcripts_df(spark, C=20, seed=17).cache()
+    days = sorted(
+        str(r["d"]) for r in raw.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    assert len(days) >= 5
+    store = str(tmp_path / "ret")
+    refresh_tiers(spark, raw, store, mode="batch")
+
+    full_1m = _rows(
+        read_tier(spark, store, "1m"), ["conv_id", "bucket_ts", "sum_lat"]
+    )
+    # policy: 1m keeps 2 days, 5m keeps 4, 1h/1d forever
+    keep_1m = 2 * 86400
+    policy = {"1m": keep_1m, "5m": 4 * 86400, "1h": None, "1d": None}
+    retired = retention_sweep(spark, store, days[-1], policy=policy)
+
+    import pandas as pd
+    cut_1m = (pd.Timestamp(days[-1]) - pd.Timedelta(seconds=keep_1m)).strftime("%Y-%m-%d")
+    expect_retired = [d for d in days if d < cut_1m]
+    assert retired["1m"] == expect_retired
+    assert retired.get("hist_1m") == expect_retired  # side state expires too
+    left = sorted(
+        d.split("=", 1)[1] for d in _os.listdir(_os.path.join(store, "1m"))
+        if d.startswith("day=")
+    )
+    assert left == [d for d in days if d >= cut_1m]
+    assert _os.path.isdir(_os.path.join(store, "1h"))  # keep-forever intact
+    assert sorted(
+        d.split("=", 1)[1] for d in _os.listdir(_os.path.join(store, "1h"))
+        if d.startswith("day=")
+    ) == days
+
+    # cold blobs unpack to EXACTLY the expired (conv, bucket_ts, sum_lat)
+    cold = spark.read.option(
+        "basePath", _os.path.join(store, "cold_1m")
+    ).parquet(_os.path.join(store, "cold_1m"))
+    unpacked = gorilla_unpack(cold).select(
+        F.split("series_id", r"\|")[0].alias("conv_id"),
+        F.col("ts").alias("bucket_ts"),
+        F.col("value").alias("sum_lat"),
+    )
+    hot = read_tier(spark, store, "1m").select("conv_id", "bucket_ts", "sum_lat")
+    merged = sorted(
+        tuple(r) for r in unpacked.unionByName(hot).collect()
+    )
+    # sum_lat can be NULL for single-turn minutes — gorilla packs doubles;
+    # compare on the non-null subset both ways
+    full_nonnull = [t for t in full_1m if t[2] is not None]
+    merged_nonnull = [t for t in merged if t[2] is not None]
+    assert merged_nonnull == full_nonnull
+
+    m = read_manifest(spark, _os.path.join(store, "_manifest"))
+    rows = m.filter(F.col("tier") == "retired_1m").select("part_key").collect()
+    assert sorted(r["part_key"] for r in rows) == expect_retired
+    raw.unpersist()

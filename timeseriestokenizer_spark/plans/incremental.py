@@ -500,3 +500,90 @@ def store_summary(spark: SparkSession, store_root: str) -> str:
         F.countDistinct("part_key").alias("days"), F.sum("n_rows").alias("rows")
     ).collect()
     return json.dumps({r["tier"]: {"days": r["days"], "rows": r["rows"]} for r in rows})
+
+
+def retention_sweep(
+    spark: SparkSession,
+    store_root: str,
+    now_day: str,
+    policy: dict[str, int | None] | None = None,
+    cold_pack_tiers: tuple[str, ...] = ("1m",),
+    key: str = "conv_id",
+    value_col: str = "sum_lat",
+    side_prefixes: tuple[str, ...] = ("hll_", "hist_"),
+) -> dict:
+    """Enforce TTLs on the tier store PHYSICALLY — the retention leg of the
+    north rule applied to storage, not just DataFrames: day partitions
+    older than a tier's TTL are dropped as WHOLE DIRECTORIES (a partition
+    drop / object-store prefix delete at scale — surviving data is never
+    rewritten), after the finest tier's expiring days are packed into
+    Gorilla cold blobs (``store/cold_<tier>/day=D``, exact unpack
+    pytest-pinned). Coarser tiers retain the history per the policy, so
+    dropping expired fine buckets loses nothing the policy wants kept
+    (operators/retention.py docstring; this is its store-level twin).
+
+    Side states (``hll_<tier>``, ``hist_<tier>``) expire with their base
+    tier. Every retired day commits a ``retired_<tier>`` manifest row, so
+    stale-day detection never resurrects an expired day as "missing".
+
+    Returns {tier: [retired days]}."""
+    import shutil
+
+    from ..operators.gorilla import gorilla_pack
+    from ..operators.retention import DEFAULT_POLICY
+
+    policy = policy or DEFAULT_POLICY
+    manifest = os.path.join(store_root, "_manifest")
+    retired: dict[str, list[str]] = {}
+    t0 = time.time()
+    for tier, keep_seconds in policy.items():
+        if keep_seconds is None:
+            continue
+        cutoff = (
+            pd_timestamp(now_day) - pd_timedelta(seconds=keep_seconds)
+        ).strftime("%Y-%m-%d")
+        tier_dirs = [tier] + [
+            f"{p}{tier}" for p in side_prefixes
+            if os.path.isdir(os.path.join(store_root, f"{p}{tier}"))
+        ]
+        for tdir in tier_dirs:
+            root = os.path.join(store_root, tdir)
+            if not os.path.isdir(root):
+                continue
+            days = sorted(
+                d.split("=", 1)[1]
+                for d in os.listdir(root)
+                if d.startswith("day=")
+            )
+            for day in days:
+                if day >= cutoff:
+                    continue
+                part = os.path.join(root, f"day={day}")
+                if tdir == tier and tier in cold_pack_tiers:
+                    expiring = spark.read.parquet(part).withColumn(
+                        "_day", F.lit(day)
+                    )
+                    packed = gorilla_pack(expiring, [key, "_day"], "bucket_ts", value_col)
+                    packed.write.mode("overwrite").parquet(
+                        os.path.join(store_root, f"cold_{tier}", f"day={day}")
+                    )
+                n = spark.read.parquet(part).count()
+                shutil.rmtree(part)
+                commit_partition(
+                    spark, manifest, "retention", f"retired_{tdir}", day, n,
+                    wall_s=time.time() - t0,
+                )
+                retired.setdefault(tdir, []).append(day)
+    return retired
+
+
+def pd_timestamp(day: str):
+    import pandas as pd
+
+    return pd.Timestamp(day)
+
+
+def pd_timedelta(**kw):
+    import pandas as pd
+
+    return pd.Timedelta(**kw)
