@@ -265,3 +265,37 @@ def test_retention_sweep_store(spark, tmp_path):
     rows = m.filter(F.col("tier") == "retired_1m").select("part_key").collect()
     assert sorted(r["part_key"] for r in rows) == expect_retired
     raw.unpersist()
+
+
+def test_compact_store(spark, tmp_path):
+    """Compaction rewrites many-file day partitions to the target file
+    count with identical rows, skips already-compact days (idempotent)."""
+    import os as _os
+
+    from timeseriestokenizer_spark.plans.incremental import compact_store
+
+    raw = transcripts_df(spark, C=15, seed=19)
+    store = str(tmp_path / "cmp")
+    refresh_tiers(spark, raw, store, with_hll=False, with_hist=False)
+    before = _rows(read_tier(spark, store, "1m"), ["conv_id", "bucket_ts", "n_turns"])
+    n_files_before = {}
+    for d in _os.listdir(_os.path.join(store, "1m")):
+        if d.startswith("day="):
+            n_files_before[d] = len([
+                f for f in _os.listdir(_os.path.join(store, "1m", d))
+                if f.endswith(".parquet")
+            ])
+    assert any(v > 1 for v in n_files_before.values())  # fixture really fragmented
+
+    report = compact_store(spark, store, target_bytes=1 << 30, tiers=("1m",))
+    assert report["1m"]  # something compacted
+    for day, (nb, na) in report["1m"].items():
+        assert na == 1 and nb > 1
+        files = [
+            f for f in _os.listdir(_os.path.join(store, "1m", f"day={day}"))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1
+    after = _rows(read_tier(spark, store, "1m"), ["conv_id", "bucket_ts", "n_turns"])
+    assert after == before
+    assert compact_store(spark, store, target_bytes=1 << 30, tiers=("1m",)) == {}

