@@ -299,3 +299,38 @@ def test_compact_store(spark, tmp_path):
     after = _rows(read_tier(spark, store, "1m"), ["conv_id", "bucket_ts", "n_turns"])
     assert after == before
     assert compact_store(spark, store, target_bytes=1 << 30, tiers=("1m",)) == {}
+
+
+def test_read_tier_with_cold(spark, tmp_path):
+    """After a sweep, the full-history read (hot ∪ unpacked cold) returns
+    every non-null 1m sum_lat point the store ever held."""
+    from timeseriestokenizer_spark.plans.incremental import (
+        read_tier_with_cold,
+        retention_sweep,
+    )
+
+    raw = transcripts_df(spark, C=15, seed=23).cache()
+    days = sorted(
+        str(r["d"]) for r in raw.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    store = str(tmp_path / "rc")
+    refresh_tiers(spark, raw, store, mode="batch", with_hll=False, with_hist=False)
+    full = [
+        t for t in _rows(read_tier(spark, store, "1m"),
+                         ["conv_id", "bucket_ts", "sum_lat"])
+        if t[2] is not None
+    ]
+    retention_sweep(
+        spark, store, days[-1],
+        policy={"1m": 3 * 86400, "5m": None, "1h": None, "1d": None},
+    )
+    got = read_tier_with_cold(spark, store, "1m")
+    rows = [
+        t for t in sorted(
+            tuple(r) for r in got.select("conv_id", "bucket_ts", "sum_lat").collect()
+        )
+        if t[2] is not None
+    ]
+    assert rows == full
+    assert got.filter("is_cold").count() > 0  # sweep really moved data cold
+    raw.unpersist()

@@ -635,3 +635,35 @@ def compact_store(
             os.rename(tmp, part)
             out.setdefault(tdir, {})[dname.split("=", 1)[1]] = (len(files), want)
     return out
+
+
+def read_tier_with_cold(
+    spark: SparkSession,
+    store_root: str,
+    tier: str,
+    value_col: str = "sum_lat",
+    key: str = "conv_id",
+) -> DataFrame:
+    """Full-history read of a tier after retention sweeps: hot day
+    partitions as-is, UNION the Gorilla cold blobs unpacked back to
+    (key, bucket_ts, value). Cold rows carry is_cold=true and only the
+    packed value column (the TTL policy's documented trade: expired fine
+    buckets keep one metric in cold, full state lives in the coarser
+    tiers). Day-pruned scans on both sides, no join."""
+    from ..operators.gorilla import gorilla_unpack
+
+    hot = read_tier(spark, store_root, tier).select(
+        key, "bucket_ts", F.col(value_col), F.lit(False).alias("is_cold")
+    )
+    cold_root = os.path.join(store_root, f"cold_{tier}")
+    if not os.path.isdir(cold_root):
+        return hot
+    cold = gorilla_unpack(
+        spark.read.option("basePath", cold_root).parquet(cold_root)
+    ).select(
+        F.split("series_id", r"\|")[0].alias(key),
+        F.col("ts").alias("bucket_ts"),
+        F.col("value").alias(value_col),
+        F.lit(True).alias("is_cold"),
+    )
+    return hot.unionByName(cold)
