@@ -239,3 +239,42 @@ def test_histogram_tiers_cascade_and_percentile(spark):
         frac = (rank - (cum[b] - counts[b])) / counts[b]
         expect = round(lo[b] + frac * (hi[b] - lo[b]), 6)
         assert abs(est[day.to_pydatetime()] - expect) < 1e-9, day
+
+
+def test_lttb_downsample(spark):
+    """LTTB vs the scalar oracle twin: same selections across series sizes,
+    endpoints always kept, output ranks dense."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from timeseriestokenizer_spark.operators.downsample import (
+        lttb_downsample,
+        lttb_select,
+    )
+    from timeseriestokenizer_spark.oracle.numpy_oracle import lttb_reference
+
+    rng = np.random.RandomState(2)
+    for n, t in [(400, 30), (31, 7), (6, 4), (3, 3), (10, 20)]:
+        xs = np.sort(rng.uniform(0, 1e12, n))
+        ys = rng.standard_normal(n).cumsum()
+        assert list(lttb_select(xs, ys, t)) == list(lttb_reference(xs, ys, t))
+
+    rows = []
+    for sid in range(5):
+        base = pd.Timestamp("2026-06-01") + pd.Timedelta(hours=sid)
+        for i in range(200):
+            rows.append((
+                f"s{sid}",
+                (base + pd.Timedelta(seconds=37 * i + sid)).to_pydatetime(),
+                float(np.sin(i / 9.0) * 10 + (i % 7)),
+            ))
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp, value double")
+    out = lttb_downsample(df, n_out=25).toPandas()
+    assert len(out) == 5 * 25
+    for sid, grp in out.groupby("series_id"):
+        g = grp.sort_values("sel_idx")
+        assert list(g["sel_idx"]) == list(range(25))
+        assert g["ts"].is_monotonic_increasing
+        src = df.filter(F.col("conv_id") == sid).orderBy("ts").collect()
+        assert g.iloc[0]["ts"] == src[0]["ts"] and g.iloc[-1]["ts"] == src[-1]["ts"]

@@ -1396,6 +1396,20 @@ def q_hist_p95_cascade(spark, sf_dir):
     return histogram_percentile(h1d, 0.95, edges=_HIST_EDGES)
 
 
+def q_lttb_downsample(spark, sf_dir):
+    """LTTB perceptual downsampling (operators/downsample.py, Steinarsson
+    2013) to 12 points per user series. The oracle is a DuckDB RECURSIVE
+    CTE stepping the greedy bucket selection with correlated argmax
+    subqueries — bit-exact parity holds because x is rebased per series
+    (epoch µs minus the first µs), keeping every value and bucket-mean
+    partial sum below 2^53: all the arithmetic is exact on both engines,
+    so no rounding is needed anywhere."""
+    from .operators.downsample import lttb_downsample
+
+    ev = load(spark, sf_dir, "events")
+    return lttb_downsample(ev, key="user_id", ts_col="ts", val_col="value", n_out=12)
+
+
 def q_sessionize(spark, sf_dir):
     """Inactivity-gap SESSIONIZATION (operators/session.py): each user's
     event stream splits at gaps > 30 min; per-event 0-based session index
@@ -1946,6 +1960,47 @@ WITH lvl AS (
 SELECT e.event_id, l.level AS asof_level
 FROM events e ASOF LEFT JOIN lvl l
   ON e.user_id = l.user_id AND e.ts >= l.day_ts
+""",
+    "lttb_downsample": """
+WITH RECURSIVE
+pts AS (
+  SELECT CAST(user_id AS VARCHAR) AS sid, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, value) - 1 AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         min(epoch_us(ts)) OVER (PARTITION BY user_id) AS base
+  FROM events),
+px AS (SELECT sid, ts, value, rn, n, (epoch_us(ts) - base)::DOUBLE AS x FROM pts),
+b AS (
+  SELECT *, CAST(((rn - 1) * 10) // (n - 2) AS INT) AS bucket
+  FROM px WHERE rn >= 1 AND rn <= n - 2),
+cent AS (
+  SELECT sid, bucket, avg(x) AS cx, avg(value) AS cy FROM b GROUP BY 1, 2),
+lastp AS (SELECT sid, ts, value, x FROM px WHERE rn = n - 1),
+firstp AS (SELECT sid, ts, value, x FROM px WHERE rn = 0),
+rec AS (
+  SELECT sid, -1 AS i, ts AS sts, value AS sval, x AS sx FROM firstp
+  UNION ALL
+  SELECT q.sid, q.i, (q.s).t AS sts, (q.s).v AS sval, (q.s).xx AS sx FROM (
+    SELECT r.sid, r.i + 1 AS i,
+      (SELECT struct_pack(t := p.ts, v := p.value, xx := p.x)
+       FROM b p
+       WHERE p.sid = r.sid AND p.bucket = r.i + 1
+       ORDER BY
+         -abs( (r.sx - coalesce((SELECT c.cx FROM cent c WHERE c.sid = r.sid AND c.bucket = r.i + 2),
+                                 (SELECT l.x FROM lastp l WHERE l.sid = r.sid)))
+               * (p.value - r.sval)
+             - (r.sx - p.x)
+               * (coalesce((SELECT c.cy FROM cent c WHERE c.sid = r.sid AND c.bucket = r.i + 2),
+                           (SELECT l.value FROM lastp l WHERE l.sid = r.sid)) - r.sval) ),
+         p.ts, p.value
+       LIMIT 1) AS s
+    FROM rec r
+    WHERE r.i + 1 < 10
+  ) q
+)
+SELECT sid AS series_id, sts AS ts, sval AS value, CAST(i + 1 AS INT) AS sel_idx FROM rec
+UNION ALL
+SELECT sid, ts, value, CAST(10 + 1 AS INT) FROM lastp
 """,
     "value_histogram": """
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_ts,
@@ -2534,6 +2589,7 @@ QUERIES = {
     "gorilla_roundtrip": q_gorilla_roundtrip,
     "rollup_1m": q_rollup_1m,
     "m4_downsample": q_m4_downsample,
+    "lttb_downsample": q_lttb_downsample,
     "value_histogram": q_value_histogram,
     "hist_p95_cascade": q_hist_p95_cascade,
     "counter_rate": q_counter_rate,
@@ -2547,9 +2603,9 @@ QUERIES = {
     "regex_config_extract": q_regex_config_extract,
     "semi_anti_join": q_semi_anti_join,
     "pivot_counts": q_pivot_counts,
-    "cube_counts": q_cube_counts,
     # ---- driver-cap line (entry 51+): every row below is green in an
     # earlier CORRECTNESS_r* file (ledger: COVERAGE.md + tools/check_ledger) --
+    "cube_counts": q_cube_counts,
     "set_ops": q_set_ops,
     "distinct_counts": q_distinct_counts,
     "retention_split": q_retention_split,

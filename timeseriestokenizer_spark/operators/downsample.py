@@ -1,0 +1,113 @@
+"""LTTB downsampling (Steinarsson, "Downsampling Time Series for Visual
+Representation", 2013) — the perceptual companion to the pixel-exact M4
+reduction (operators/rollup.m4_downsample): pick ``n_out`` points per
+series that preserve the line's visual shape by maximizing triangle areas.
+
+Semantics (deterministic, engine- and oracle-pinned):
+* points sort by (ts, value); first and last are always kept;
+* interior points map to ``n_out - 2`` equal-count buckets via the INVERSE
+  index map bucket(j) = floor(j * (n_out-2) / n_interior) — self-consistent
+  on both engines, monotone, covers all points (LTTB variants differ only
+  in this boundary convention; ours is pinned by the oracle);
+* buckets resolve left to right: each keeps the point with the LARGEST
+  triangle area against the previously selected point and the NEXT
+  bucket's centroid (the final point for the last bucket); area ties break
+  to the earliest timestamp.
+
+Spark shape: series collapse to sorted arrays (collect_list struct — ONE
+exchange) and stream through mapInPandas batches, the same
+grouped-dispatch-free pattern as gorilla/TPE (CLAUDE.md gotcha: per-group
+applyInPandas costs ~25 ms/group). The greedy recurrence is sequential per
+series but two-at-a-time vectorized per bucket in numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LTTB_SCHEMA = T.StructType(
+    [
+        T.StructField("series_id", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("sel_idx", T.IntegerType()),  # 0-based output rank
+    ]
+)
+
+
+def lttb_select(xs: np.ndarray, ys: np.ndarray, n_out: int) -> np.ndarray:
+    """Indices of the selected points (ascending). xs/ys sorted by x."""
+    n = len(xs)
+    if n_out >= n or n <= 2:
+        return np.arange(n)
+    if n_out < 3:
+        return np.array([0, n - 1])
+    nb = n_out - 2
+    interior = n - 2
+    # inverse map: interior point j (0-based) → bucket floor(j*nb/interior)
+    bucket = (np.arange(interior, dtype=np.int64) * nb) // interior
+    starts = np.searchsorted(bucket, np.arange(nb), side="left") + 1
+    ends = np.searchsorted(bucket, np.arange(nb), side="right") + 1
+    sel = [0]
+    for i in range(nb):
+        lo, hi = starts[i], ends[i]
+        if i + 1 < nb:
+            nlo, nhi = starts[i + 1], ends[i + 1]
+            cx = xs[nlo:nhi].mean()
+            cy = ys[nlo:nhi].mean()
+        else:
+            cx, cy = xs[n - 1], ys[n - 1]
+        ax, ay = xs[sel[-1]], ys[sel[-1]]
+        bx, by = xs[lo:hi], ys[lo:hi]
+        area = np.abs((ax - cx) * (by - ay) - (ax - bx) * (cy - ay))
+        sel.append(lo + int(np.argmax(area)))  # first max → earliest ts
+    sel.append(n - 1)
+    return np.asarray(sel)
+
+
+def lttb_downsample(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    n_out: int = 100,
+) -> DataFrame:
+    """Per-series LTTB to ``n_out`` points. One exchange (the collect_list
+    group-by); the per-series greedy loop runs inside Arrow batches."""
+    packed = (
+        df.select(
+            F.col(key).cast("string").alias("series_id"),
+            F.col(ts_col).cast("timestamp").alias("ts"),
+            F.col(val_col).cast("double").alias("value"),
+        )
+        .groupBy("series_id")
+        .agg(F.sort_array(F.collect_list(F.struct("ts", "value"))).alias("pts"))
+    )
+
+    def _run(batches):
+        for pdf in batches:
+            rows = []
+            for sid, pts in zip(pdf["series_id"], pdf["pts"]):
+                # x = epoch µs MINUS the series' first µs: keeps every
+                # x (and every partial sum inside a bucket mean) below
+                # 2^53, so the arithmetic is EXACT and bit-identical to
+                # the SQL oracle's epoch_us(ts) - min(...) regardless of
+                # either engine's summation order (the raw-ns form is not
+                # even double-representable)
+                xi = np.array(
+                    [pd.Timestamp(p["ts"]).value // 1000 for p in pts],
+                    dtype=np.int64,
+                )
+                xs = (xi - xi[0]).astype(np.float64)
+                ys = np.array([p["value"] for p in pts], dtype=np.float64)
+                for rank, j in enumerate(lttb_select(xs, ys, n_out)):
+                    rows.append((sid, pts[j]["ts"], float(ys[j]), rank))
+            yield pd.DataFrame(
+                rows, columns=["series_id", "ts", "value", "sel_idx"]
+            )
+
+    return packed.mapInPandas(_run, LTTB_SCHEMA)

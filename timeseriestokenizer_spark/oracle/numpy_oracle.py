@@ -450,3 +450,37 @@ def calculate_metrics(trues, preds, ignore_nan: bool = True) -> dict[str, float]
         "R2": 1 - float(np.sum(err ** 2)) / ss_tot if ss_tot != 0 else float("nan"),
         "valid_samples": int(len(trues)),
     }
+
+
+def lttb_reference(xs, ys, n_out):
+    """Scalar (loop-based) LTTB twin of operators/downsample.lttb_select —
+    independent implementation for parity tests: same bucket convention
+    (inverse index map), same next-bucket centroid anchor, same
+    first-max/earliest-ts tie-break. Returns selected indices."""
+    n = len(xs)
+    if n_out >= n or n <= 2:
+        return list(range(n))
+    if n_out < 3:
+        return [0, n - 1]
+    nb = n_out - 2
+    interior = n - 2
+    buckets = [[] for _ in range(nb)]
+    for j in range(interior):
+        buckets[(j * nb) // interior].append(j + 1)
+    sel = [0]
+    for i in range(nb):
+        if i + 1 < nb:
+            nxt = buckets[i + 1]
+            cx = sum(xs[k] for k in nxt) / len(nxt)
+            cy = sum(ys[k] for k in nxt) / len(nxt)
+        else:
+            cx, cy = xs[n - 1], ys[n - 1]
+        ax, ay = xs[sel[-1]], ys[sel[-1]]
+        best, best_area = None, -1.0
+        for k in buckets[i]:
+            area = abs((ax - cx) * (ys[k] - ay) - (ax - xs[k]) * (cy - ay))
+            if area > best_area:
+                best, best_area = k, area
+        sel.append(best)
+    sel.append(n - 1)
+    return sel
