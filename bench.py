@@ -57,6 +57,7 @@ EXTRA = [
     "value_histogram",
     "hist_p95_cascade",
     "asof_join_nulls",
+    "lttb_downsample",
 ]
 
 BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "20000"))
