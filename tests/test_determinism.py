@@ -255,3 +255,28 @@ def test_asof_join_null_right_field_is_verbatim(spark):
     assert out[1] == (5.0, "old")
     # ts=200 matches the ts=180 row: level must be NULL (not 5.0 from ts=150)
     assert out[2] == (None, "new")
+
+
+def test_asof_join_forward_direction(spark):
+    """direction='forward' pairs each left row with the EARLIEST right row
+    at-or-after it (ties included), NULL when no later right row exists."""
+    from timeseriestokenizer_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 100, 1), ("k", 150, 2), ("k", 300, 3)],
+        "key string, ts long, row_id int",
+    )
+    right = spark.createDataFrame(
+        [("k", 150, 1.5), ("k", 200, 2.0)], "key string, ts long, level double"
+    )
+    out = {
+        r["row_id"]: r["asof_level"]
+        for r in asof_join(left, right, "key", direction="forward").collect()
+    }
+    assert out == {1: 1.5, 2: 1.5, 3: None}  # tie at 150 included; 300 → none
+    # backward on the same data, for contrast
+    back = {
+        r["row_id"]: r["asof_level"]
+        for r in asof_join(left, right, "key", direction="backward").collect()
+    }
+    assert back == {1: None, 2: 1.5, 3: 2.0}

@@ -106,3 +106,68 @@ def test_adaptive_bins_edge_count_property(values, n_bins, k):
     assert len(edges) == n_bins
     assert int(alloc.sum()) >= n_bins
     assert np.all(np.diff(edges) >= 0)
+
+
+def test_histogram_properties(spark):
+    """Property sweep: for random value sets, (1) bin counts sum to the
+    non-null row count, (2) cascaded == direct at every coarser tier,
+    (3) percentile estimates are monotone in p and inside [lo_edge, hi_edge]."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from timeseriestokenizer_spark.operators.rollup import (
+        histogram_percentile,
+        histogram_rollup_from_finer,
+        histogram_rollup_tier,
+    )
+
+    rng = np.random.RandomState(11)
+    edges = [0.5, 1.0, 4.0, 9.0]
+    for seed in range(3):
+        rng = np.random.RandomState(seed)
+        n = 800
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.Timestamp("2026-04-01")
+                + pd.to_timedelta(rng.randint(0, 2 * 86400, n), unit="s"),
+                "latency_s": np.abs(rng.standard_normal(n)) * 3,
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        h1h = histogram_rollup_tier(df, "1h", edges=edges)
+        assert h1h.agg(F.sum("n")).first()[0] == n
+        direct = histogram_rollup_tier(df, "1d", edges=edges)
+        cascade = histogram_rollup_from_finer(h1h, "1d")
+        assert sorted(map(tuple, cascade.collect())) == sorted(map(tuple, direct.collect()))
+        prev = None
+        for p in (0.25, 0.5, 0.9):
+            est = {
+                r["bucket_ts"]: r[f"p{int(p*100)}_est"]
+                for r in histogram_percentile(cascade, p, edges=edges).collect()
+            }
+            for day, v in est.items():
+                assert 0.0 <= v <= edges[-1]
+                if prev is not None:
+                    assert v >= prev[day] - 1e-12  # monotone in p
+            prev = est
+
+
+def test_lttb_properties(spark):
+    """Property sweep: LTTB selections are strictly increasing, include
+    both endpoints, and have size min(n, n_out); every selected point is a
+    real input point."""
+    import numpy as np
+
+    from timeseriestokenizer_spark.operators.downsample import lttb_select
+
+    rng = np.random.RandomState(5)
+    for trial in range(30):
+        n = int(rng.randint(2, 400))
+        t = int(rng.randint(3, 60))
+        xs = np.sort(rng.uniform(0, 1e9, n))
+        ys = rng.standard_normal(n)
+        sel = list(lttb_select(xs, ys, t))
+        assert sel == sorted(set(sel))
+        assert sel[0] == 0 and sel[-1] == n - 1
+        assert len(sel) == min(n, t) or (t >= n and len(sel) == n)

@@ -1410,6 +1410,27 @@ def q_lttb_downsample(spark, sf_dir):
     return lttb_downsample(ev, key="user_id", ts_col="ts", val_col="value", n_out=12)
 
 
+def q_asof_join_forward(spark, sf_dir):
+    """FORWARD as-of join (direction='forward'): each event picks up the
+    EARLIEST per-user daily reference level at or after its timestamp —
+    the schedule-lookahead twin of the backward form, same linear window
+    plan with the sort reversed. Oracle: DuckDB native ASOF LEFT JOIN with
+    a <= condition (DuckDB infers direction from the inequality)."""
+    from .operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    lvl = ev.groupBy(
+        "user_id",
+        (F.date_trunc("day", "ts") + F.expr("INTERVAL 1 DAY")).alias("day_ts"),
+    ).agg(F.round(F.avg("value"), 6).alias("level"))
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"), lvl, "user_id",
+        left_ts="ts", right_ts="day_ts", value_cols=["level"],
+        direction="forward",
+    )
+    return out.select("event_id", F.col("asof_level"))
+
+
 def q_sessionize(spark, sf_dir):
     """Inactivity-gap SESSIONIZATION (operators/session.py): each user's
     event stream splits at gaps > 30 min; per-event 0-based session index
@@ -1960,6 +1981,16 @@ WITH lvl AS (
 SELECT e.event_id, l.level AS asof_level
 FROM events e ASOF LEFT JOIN lvl l
   ON e.user_id = l.user_id AND e.ts >= l.day_ts
+""",
+    "asof_join_forward": """
+WITH lvl AS (
+  SELECT user_id,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS day_ts,
+         round(avg(value), 6) AS level
+  FROM events GROUP BY 1, 2)
+SELECT e.event_id, l.level AS asof_level
+FROM events e ASOF LEFT JOIN lvl l
+  ON e.user_id = l.user_id AND e.ts <= l.day_ts
 """,
     "lttb_downsample": """
 WITH RECURSIVE
@@ -2563,6 +2594,7 @@ QUERIES = {
     "jaccard_topk": q_jaccard_topk,
     "asof_join": q_asof_join,
     "asof_join_nulls": q_asof_join_nulls,
+    "asof_join_forward": q_asof_join_forward,
     "range_join": q_range_join,
     "sessionize": q_sessionize,
     "dedup_clusters": q_dedup_clusters,
@@ -2602,12 +2634,12 @@ QUERIES = {
     "comparison_grid": q_comparison_grid,
     "regex_config_extract": q_regex_config_extract,
     "semi_anti_join": q_semi_anti_join,
-    "pivot_counts": q_pivot_counts,
     # ---- driver-cap line (entry 51+): every row below is green in an
     # earlier CORRECTNESS_r* file (ledger: COVERAGE.md + tools/check_ledger) --
     "cube_counts": q_cube_counts,
     "set_ops": q_set_ops,
     "distinct_counts": q_distinct_counts,
+    "pivot_counts": q_pivot_counts,
     "retention_split": q_retention_split,
     "doc_lang_guess": q_doc_lang_guess,
     "universal_vocab": q_universal_vocab,

@@ -43,9 +43,18 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     value_cols: list[str] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left-outer as-of join: every left row + the latest right ``value_cols``
-    with right_ts <= left_ts for the same ``key``. One shuffle on key."""
+    """Left-outer as-of join: every left row + the matched right
+    ``value_cols`` for the same ``key``. One shuffle on key.
+
+    direction='backward' (default): the LATEST right row with
+    right_ts <= left_ts (trades to the prevailing quote). 'forward': the
+    EARLIEST right row with right_ts >= left_ts (events to the next
+    scheduled checkpoint) — the same linear window form with the sort
+    reversed; DuckDB's native ASOF with a <= condition is the oracle."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
     value_cols = value_cols or [
         c for c in right.columns if c not in (key, right_ts)
     ]
@@ -78,9 +87,10 @@ def asof_join(
     # right rows (_side 0) sort before left rows at equal _ts → ties included;
     # the trailing _r struct key makes duplicate-(key, ts) right rows
     # deterministic (struct ordering = lexicographic over fields)
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     w = (
         W.partitionBy(key)
-        .orderBy("_ts", "_side", "_r")
+        .orderBy(ts_order, "_side", "_r")
         .rowsBetween(W.unboundedPreceding, 0)
     )
     carried = F.last("_r", ignorenulls=True).over(w)
