@@ -1508,6 +1508,23 @@ def q_ngram_contamination(spark, sf_dir):
     )
 
 
+def q_session_agg(spark, sf_dir):
+    """Native session_window aggregation (operators/session.session_agg —
+    the per-SESSION form; sessionize is the per-event twin): maximal
+    bursts where consecutive gaps are < 30 min, session_end = last event
+    + gap (Spark's half-open [start, last+gap) convention). The oracle
+    rebuilds exactly that semantics from lag + running-sum SQL, so the
+    hash match pins the session_window operator's merge behavior — note
+    the boundary differs from sessionize (>= gap breaks here, > gap
+    there; both documented)."""
+    from .operators.session import session_agg
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return session_agg(ev, key="user_id", ts_col="ts", gap="30 minutes")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTER RESOLUTION: verified pairs → connected components
     (min-label propagation, operators/dedup.py) — the step between pair
@@ -1981,6 +1998,24 @@ WITH lvl AS (
 SELECT e.event_id, l.level AS asof_level
 FROM events e ASOF LEFT JOIN lvl l
   ON e.user_id = l.user_id AND e.ts >= l.day_ts
+""",
+    "session_agg": """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts) >= 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM o)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
 """,
     "asof_join_forward": """
 WITH lvl AS (
@@ -2597,6 +2632,7 @@ QUERIES = {
     "asof_join_forward": q_asof_join_forward,
     "range_join": q_range_join,
     "sessionize": q_sessionize,
+    "session_agg": q_session_agg,
     "dedup_clusters": q_dedup_clusters,
     "multimodal_features": q_multimodal_features,
     "ann_bruteforce": q_ann_bruteforce,
@@ -2633,12 +2669,12 @@ QUERIES = {
     "wide_melt_stats": q_wide_melt_stats,
     "comparison_grid": q_comparison_grid,
     "regex_config_extract": q_regex_config_extract,
-    "semi_anti_join": q_semi_anti_join,
     # ---- driver-cap line (entry 51+): every row below is green in an
     # earlier CORRECTNESS_r* file (ledger: COVERAGE.md + tools/check_ledger) --
     "cube_counts": q_cube_counts,
     "set_ops": q_set_ops,
     "distinct_counts": q_distinct_counts,
+    "semi_anti_join": q_semi_anti_join,
     "pivot_counts": q_pivot_counts,
     "retention_split": q_retention_split,
     "doc_lang_guess": q_doc_lang_guess,
