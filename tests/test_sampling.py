@@ -100,3 +100,36 @@ def test_oracle_parity_hash_bucket(spark):
         ).fetchall()
     )
     assert got == exp
+
+
+def test_weighted_sample_topk_properties(spark):
+    """Weighted sampling: deterministic across repartition, excludes
+    non-positive weights, exact k, and heavier rows are sampled more often
+    across seeds (statistical sanity on a 10x weight skew)."""
+    from pyspark.sql import functions as F
+
+    from timeseriestokenizer_spark.functions.sampling import weighted_sample_topk
+
+    rows = [(i, 100 if i < 50 else 10) for i in range(500)] + [(999, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+
+    a = sorted(
+        r["doc_id"]
+        for r in weighted_sample_topk(df, ["doc_id"], "w", 40).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in weighted_sample_topk(df.repartition(13), ["doc_id"], "w", 40).collect()
+    )
+    assert a == b and len(a) == 40 and 999 not in a
+
+    heavy_hits = 0
+    for seed in range(5):
+        got = {
+            r["doc_id"]
+            for r in weighted_sample_topk(df, ["doc_id"], "w", 40, seed=seed).collect()
+        }
+        heavy_hits += sum(1 for d in got if d < 50)
+    # heavy rows are 10% of the population but 53% of total weight; across
+    # 5 seeds they must dominate well beyond their population share
+    assert heavy_hits / (5 * 40) > 0.3

@@ -1207,6 +1207,22 @@ def q_gorilla_roundtrip(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (functions/
+    sampling.weighted_sample_topk — Efraimidis-Spirakis A-Res with
+    hash-derived uniforms): 100 documents drawn proportional to n_chars,
+    identical on every rerun/repartition. Oracle reproduces the exp-key
+    -ln(u)/w arithmetic exactly (md5 uniforms are engine-portable; the key
+    is rounded to 9 dp with a doc_id tie-break so ln() ulps cannot flip
+    the cut)."""
+    from .functions.sampling import weighted_sample_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return weighted_sample_topk(docs, ["doc_id"], "n_chars", 100).select(
+        "doc_id", "sample_key"
+    )
+
+
 def q_doc_exact_dedup(spark, sf_dir):
     """Exact dedup by content hash, keep-first (operators/dedup.py)."""
     from .operators.dedup import exact_dedup
@@ -1999,6 +2015,15 @@ SELECT e.event_id, l.level AS asof_level
 FROM events e ASOF LEFT JOIN lvl l
   ON e.user_id = l.user_id AND e.ts >= l.day_ts
 """,
+    "weighted_sample": """
+WITH u AS (
+  SELECT doc_id, n_chars,
+         (CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':', '42')), 1, 15)) AS BIGINT) + 1)::DOUBLE
+           / (16.0^15 + 1) AS uu
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, round(-ln(uu) / n_chars::DOUBLE, 9) AS sample_key
+FROM u ORDER BY sample_key, doc_id LIMIT 100
+""",
     "session_agg": """
 WITH o AS (
   SELECT user_id, ts,
@@ -2647,6 +2672,7 @@ QUERIES = {
     "chronos_rebin_tokens": q_chronos_rebin_tokens,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
+    "weighted_sample": q_weighted_sample,
     "shard_packing": q_shard_packing,
     "quantile_edges": q_quantile_edges,
     "gapfill_locf": q_gapfill_locf,
@@ -2668,12 +2694,12 @@ QUERIES = {
     "detokenize_score": q_detokenize_score,
     "wide_melt_stats": q_wide_melt_stats,
     "comparison_grid": q_comparison_grid,
-    "regex_config_extract": q_regex_config_extract,
     # ---- driver-cap line (entry 51+): every row below is green in an
     # earlier CORRECTNESS_r* file (ledger: COVERAGE.md + tools/check_ledger) --
     "cube_counts": q_cube_counts,
     "set_ops": q_set_ops,
     "distinct_counts": q_distinct_counts,
+    "regex_config_extract": q_regex_config_extract,
     "semi_anti_join": q_semi_anti_join,
     "pivot_counts": q_pivot_counts,
     "retention_split": q_retention_split,

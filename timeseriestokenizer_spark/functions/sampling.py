@@ -82,3 +82,36 @@ def stratified_sample(
             F.col(strata_col) == F.lit(k), F.lit(int(frac * _HASH_SPACE))
         ).otherwise(thresh)
     return df.filter(_hash_u(key_cols, seed) < thresh)
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key_cols: list[str],
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis-Spirakis A-Res scheme, hash-determinized: each row draws
+    u in (0, 1] from its content hash and keeps exp-key
+    -ln(u) / w; the k SMALLEST keys are the sample, which is distributed
+    exactly like sequential weighted draws without replacement. The
+    training-data use: sample documents proportional to quality/length
+    without an RNG, so reruns, retries, and repartitions pick the SAME
+    rows (same property as deterministic_sample, extended to weights).
+
+    Scale shape: the key is a row-local expression; orderBy+limit compiles
+    to TakeOrderedAndProject — per-partition top-k heaps merged on the
+    driver side of the exchange, no global sort. Rows with w <= 0 are
+    excluded (they'd have infinite keys anyway). The emitted sample_key is
+    rounded to 9 dp with a content tie-break so the DuckDB oracle's ln()
+    ulps cannot flip the selection order."""
+    u = (_hash_u(key_cols, seed) + 1).cast("double") / float(_HASH_SPACE + 1)
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    ranked = (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("sample_key", F.round(key, 9))
+        .orderBy("sample_key", *key_cols)
+        .limit(int(k))
+    )
+    return ranked
