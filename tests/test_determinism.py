@@ -280,3 +280,31 @@ def test_asof_join_forward_direction(spark):
         for r in asof_join(left, right, "key", direction="backward").collect()
     }
     assert back == {1: None, 2: 1.5, 3: 2.0}
+
+
+def test_range_anti_join_semantics_and_plan(spark):
+    """Exclusion twin of range_join: boundary-inclusive exclusion, events
+    outside all intervals kept, plan stays hash-join (no nested loop)."""
+    from pyspark.sql import functions as F
+
+    from timeseriestokenizer_spark.operators.asof import range_anti_join
+
+    ev = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:00", 1),   # == start → excluded
+         ("u", "2024-01-01 05:00:00", 2),   # == end → excluded
+         ("u", "2024-01-01 05:00:01", 3),   # just outside → kept
+         ("v", "2024-01-01 01:00:00", 4)],  # other key → kept
+        "user_id string, ts_s string, event_id int",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_id")
+    win = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:00", "2024-01-01 05:00:00")],
+        "user_id string, s string, e string",
+    ).select(
+        "user_id",
+        F.col("s").cast("timestamp").alias("start_ts"),
+        F.col("e").cast("timestamp").alias("end_ts"),
+    )
+    out = range_anti_join(ev, win, keys=["user_id"], granularity_s=3600)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert sorted(r["event_id"] for r in out.collect()) == [3, 4]

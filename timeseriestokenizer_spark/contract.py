@@ -1447,6 +1447,25 @@ def q_asof_join_forward(spark, sf_dir):
     return out.select("event_id", F.col("asof_level"))
 
 
+def q_range_anti_join(spark, sf_dir):
+    """RANGE ANTI join (operators/asof.range_anti_join): events outside
+    every per-user high-activity interval — the exclusion twin of
+    range_join, decomposed into the tiled hash join + a left_anti on the
+    covered keys (a bare NOT BETWEEN nested-loops). Intervals: each user's
+    per-day [first event, first event + 2h] window."""
+    from .operators.asof import range_anti_join
+
+    ev = load(spark, sf_dir, "events")
+    win = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.min("ts").alias("start_ts")).select(
+        "user_id", "start_ts",
+        (F.col("start_ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    out = range_anti_join(ev, win, keys=["user_id"], granularity_s=3600)
+    return out.select("event_id")
+
+
 def q_sessionize(spark, sf_dir):
     """Inactivity-gap SESSIONIZATION (operators/session.py): each user's
     event stream splits at gaps > 30 min; per-event 0-based session index
@@ -2014,6 +2033,16 @@ WITH lvl AS (
 SELECT e.event_id, l.level AS asof_level
 FROM events e ASOF LEFT JOIN lvl l
   ON e.user_id = l.user_id AND e.ts >= l.day_ts
+""",
+    "range_anti_join": """
+WITH win AS (
+  SELECT user_id, min(ts) AS start_ts, min(ts) + INTERVAL 2 HOUR AS end_ts
+  FROM events GROUP BY user_id, date_trunc('day', ts))
+SELECT e.event_id
+FROM events e
+WHERE NOT EXISTS (
+  SELECT 1 FROM win w
+  WHERE w.user_id = e.user_id AND e.ts BETWEEN w.start_ts AND w.end_ts)
 """,
     "weighted_sample": """
 WITH u AS (
@@ -2656,6 +2685,7 @@ QUERIES = {
     "asof_join_nulls": q_asof_join_nulls,
     "asof_join_forward": q_asof_join_forward,
     "range_join": q_range_join,
+    "range_anti_join": q_range_anti_join,
     "sessionize": q_sessionize,
     "session_agg": q_session_agg,
     "dedup_clusters": q_dedup_clusters,
@@ -2693,12 +2723,12 @@ QUERIES = {
     "rollup_1h_cascade": q_rollup_1h_cascade,
     "detokenize_score": q_detokenize_score,
     "wide_melt_stats": q_wide_melt_stats,
-    "comparison_grid": q_comparison_grid,
     # ---- driver-cap line (entry 51+): every row below is green in an
     # earlier CORRECTNESS_r* file (ledger: COVERAGE.md + tools/check_ledger) --
     "cube_counts": q_cube_counts,
     "set_ops": q_set_ops,
     "distinct_counts": q_distinct_counts,
+    "comparison_grid": q_comparison_grid,
     "regex_config_extract": q_regex_config_extract,
     "semi_anti_join": q_semi_anti_join,
     "pivot_counts": q_pivot_counts,

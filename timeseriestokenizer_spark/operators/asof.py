@@ -140,3 +140,27 @@ def range_join(
         .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col)))
         .drop("_tile")
     )
+
+
+def range_anti_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    keys: list[str] | None = None,
+    granularity_s: int = 3600,
+) -> DataFrame:
+    """Events contained in NO interval — the exclusion twin of range_join
+    (drop maintenance windows from SLO stats, strip outage periods before
+    training). Same time-tiling trick, then a LEFT ANTI join against the
+    distinct covered event keys: a bare NOT (ts BETWEEN ...) predicate has
+    no equi-key and nested-loops, while covered-key materialization keeps
+    both joins hash joins (the same decomposition as the outer-join
+    broadcast workaround in operators/report.py)."""
+    id_cols = (keys or []) + [ts_col]
+    covered = range_join(
+        left.select(*id_cols).distinct(), intervals, ts_col, start_col,
+        end_col, keys, granularity_s,
+    ).select(*id_cols).distinct()
+    return left.join(covered, id_cols, "left_anti")
