@@ -171,3 +171,33 @@ def test_reconcile_with_batch_has_no_join(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_round4_rows_stay_join_free(spark):
+    """The round-4 contract rows' scale claims, pinned: the histogram rows
+    and both as-of directions must contain NO join (they are aggregation/
+    window forms), and the exchange counts must not grow."""
+    from timeseriestokenizer_spark import contract
+
+    budgets = {  # (max joins, max exchanges)
+        "value_histogram": (0, 1),
+        "hist_p95_cascade": (0, 3),
+        "asof_join_nulls": (0, 2),
+        "asof_join_forward": (0, 2),
+    }
+    for name, (max_j, max_x) in budgets.items():
+        df = contract.QUERIES[name](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Join") <= max_j, (name, plan.count("Join"))
+        assert plan.count("Exchange") <= max_x, (name, plan.count("Exchange"))
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """weighted_sample_topk must compile to TakeOrderedAndProject —
+    per-partition top-k heaps, never a global sort."""
+    from timeseriestokenizer_spark import contract
+
+    df = contract.QUERIES["weighted_sample"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
