@@ -308,3 +308,44 @@ def test_range_anti_join_semantics_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert sorted(r["event_id"] for r in out.collect()) == [3, 4]
+
+
+def test_asof_join_forward_matches_pandas_merge_asof(spark):
+    """Forward-direction randomized cross-check: pandas.merge_asof
+    (direction='forward', allow_exact_matches=True) must agree exactly
+    with the reversed-sort union+window form."""
+    import numpy as np
+
+    from timeseriestokenizer_spark.operators.asof import asof_join
+
+    rng = np.random.RandomState(21)
+    base = pd.Timestamp("2024-01-01")
+    left_rows, right_rows = [], []
+    rid = 0
+    for k in ("a", "b", "c"):
+        lt = np.sort(rng.choice(np.arange(0, 10_000), 40, replace=False))
+        rt = np.sort(rng.choice(np.arange(500, 12_000), 15, replace=False))
+        for t in lt:
+            left_rows.append((k, base + pd.Timedelta(seconds=int(t)), rid))
+            rid += 1
+        for t in rt:
+            right_rows.append(
+                (k, base + pd.Timedelta(seconds=int(t)), float(rng.randint(0, 1000)))
+            )
+    lpdf = pd.DataFrame(left_rows, columns=["key", "ts", "row_id"])
+    rpdf = pd.DataFrame(right_rows, columns=["key", "ts", "level"])
+
+    expected = pd.merge_asof(
+        lpdf.sort_values("ts"), rpdf.sort_values("ts"),
+        on="ts", by="key", direction="forward", allow_exact_matches=True,
+    ).set_index("row_id")["level"]
+
+    out = asof_join(
+        spark.createDataFrame(lpdf), spark.createDataFrame(rpdf), "key",
+        direction="forward",
+    )
+    got = {r["row_id"]: r["asof_level"] for r in out.collect()}
+    assert len(got) == len(lpdf)
+    for rid_, exp in expected.items():
+        g = got[rid_]
+        assert (g is None and pd.isna(exp)) or g == exp, (rid_, g, exp)
