@@ -143,3 +143,54 @@ def test_ewma_matches_explicit_recurrence(spark):
             y[eid] = prev
             eid += 1
     assert all(abs(got3[k] - y[k]) < 1e-9 for k in y)  # non-dyadic: tolerance
+
+
+def test_holt_matches_explicit_recurrence(spark):
+    """Holt smoothing vs an explicit Python recurrence: bit-exact at
+    dyadic (0.5, 0.5); 1e-9 tolerance at non-dyadic coefficients (same
+    float contract as ewma)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from timeseriestokenizer_spark.operators.smoothing import holt
+
+    rng = np.random.RandomState(13)
+    rows = []
+    eid = 0
+    base = pd.Timestamp("2026-07-01")
+    for k in ("a", "b"):
+        for i in range(60):
+            rows.append((k, (base + pd.Timedelta(seconds=5 * i)).to_pydatetime(),
+                         eid, round(float(rng.uniform(0, 100)), 2)))
+            eid += 1
+    rows.append(("solo", base.to_pydatetime(), eid, 42.0))  # singleton: trend 0
+    df = spark.createDataFrame(rows, "k string, ts timestamp, event_id long, value double")
+
+    def reference(vals, a, bcf):
+        l = vals[0]
+        b = vals[1] - vals[0] if len(vals) >= 2 else 0.0
+        out = [(l, b)]
+        for x in vals[1:]:
+            ln = a * x + (1 - a) * (l + b)
+            b = bcf * (ln - l) + (1 - bcf) * b
+            l = ln
+            out.append((l, b))
+        return out
+
+    for a, bcf, exact in ((0.5, 0.5, True), (0.3, 0.2, False)):
+        got = {
+            r["event_id"]: (r["holt_level"], r["holt_trend"])
+            for r in holt(df, key="k", alpha=a, beta=bcf).collect()
+        }
+        eid = 0
+        for k in ("a", "b"):
+            vals = [v for kk, _, _, v in rows if kk == k]
+            for l, b in reference(vals, a, bcf):
+                gl, gb = got[eid]
+                if exact:
+                    assert (gl, gb) == (l, b), eid
+                else:
+                    assert abs(gl - l) < 1e-9 and abs(gb - b) < 1e-9, eid
+                eid += 1
+        assert got[max(got)] == (42.0, 0.0)  # singleton series

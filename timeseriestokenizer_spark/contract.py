@@ -100,6 +100,21 @@ def q_ewma(spark, sf_dir):
     )
 
 
+def q_holt_smoothing(spark, sf_dir):
+    """Holt double exponential smoothing (operators/smoothing.holt) at
+    DYADIC alpha=beta=0.5: level AND trend recurrences are exact exponent
+    shifts, so both output columns are bit-identical to the DuckDB
+    recursive-CTE oracle stepping the same formulas — emitted UNROUNDED
+    per the ewma float contract (rounding is what breaks parity, not the
+    arithmetic)."""
+    from .operators.smoothing import holt
+
+    return holt(
+        load(spark, sf_dir, "events"), key="user_id", ts_col="ts",
+        val_col="value", id_col="event_id", alpha=0.5, beta=0.5,
+    )
+
+
 def q_rolling_zscore(spark, sf_dir):
     """Rolling anomaly score (functions/signals.rolling_zscore): each
     event's z against its series' preceding 10 points, from explicit power
@@ -2034,6 +2049,27 @@ SELECT e.event_id, l.level AS asof_level
 FROM events e ASOF LEFT JOIN lvl l
   ON e.user_id = l.user_id AND e.ts >= l.day_ts
 """,
+    "holt_smoothing": """
+WITH RECURSIVE p AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+rec AS (
+  SELECT p.user_id, p.rn, p.event_id,
+         p.value AS l,
+         CASE WHEN p.n >= 2
+              THEN (SELECT p2.value FROM p p2 WHERE p2.user_id = p.user_id AND p2.rn = 2) - p.value
+              ELSE 0.0 END AS b
+  FROM p WHERE p.rn = 1
+  UNION ALL
+  SELECT p.user_id, p.rn, p.event_id,
+         0.5 * p.value + 0.5 * (r.l + r.b) AS l,
+         0.5 * ((0.5 * p.value + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b AS b
+  FROM rec r JOIN p ON p.user_id = r.user_id AND p.rn = r.rn + 1
+)
+SELECT event_id, l AS holt_level, b AS holt_trend FROM rec
+""",
     "range_anti_join": """
 WITH win AS (
   SELECT user_id, min(ts) AS start_ts, min(ts) + INTERVAL 2 HOUR AS end_ts
@@ -2719,15 +2755,16 @@ QUERIES = {
     "counter_rate": q_counter_rate,
     "rolling_zscore": q_rolling_zscore,
     "ewma": q_ewma,
+    "holt_smoothing": q_holt_smoothing,
     "distinct_rollup": q_distinct_rollup,
     "rollup_1h_cascade": q_rollup_1h_cascade,
     "detokenize_score": q_detokenize_score,
-    "wide_melt_stats": q_wide_melt_stats,
     # ---- driver-cap line (entry 51+): every row below is green in an
     # earlier CORRECTNESS_r* file (ledger: COVERAGE.md + tools/check_ledger) --
     "cube_counts": q_cube_counts,
     "set_ops": q_set_ops,
     "distinct_counts": q_distinct_counts,
+    "wide_melt_stats": q_wide_melt_stats,
     "comparison_grid": q_comparison_grid,
     "regex_config_extract": q_regex_config_extract,
     "semi_anti_join": q_semi_anti_join,

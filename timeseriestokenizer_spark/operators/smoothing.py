@@ -77,3 +77,68 @@ def ewma(
     # round-both-sides rule is for order-dependent aggregates; here the
     # raw value IS deterministic.
     return seqs.mapInPandas(_smooth, out_schema).withColumnRenamed("out_id", id_col)
+
+
+def holt(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    alpha: float = 0.5,
+    beta: float = 0.5,
+) -> DataFrame:
+    """Holt double exponential smoothing (level + linear trend) per series:
+
+        l_0 = x_0,  b_0 = x_1 - x_0  (0 for singleton series)
+        l_i = a*x_i + (1-a)*(l_{i-1} + b_{i-1})
+        b_i = b_coef*(l_i - l_{i-1}) + (1-b_coef)*b_{i-1}
+
+    Returns (id_col, holt_level, holt_trend) — UNROUNDED, same float
+    contract as ewma: at DYADIC alpha/beta every multiply is an exact
+    exponent shift, so the recurrence is bit-identical across engines and
+    the contract oracle (a DuckDB recursive CTE stepping the same
+    formulas) hash-matches without rounding; at non-dyadic coefficients
+    formulations drift in last ulps (engine-tested with tolerance).
+    Same one-exchange batched-arrays shape as ewma."""
+    seqs = (
+        df.select(
+            F.col(key).alias("k"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+            F.col(id_col).alias("i"),
+            F.col(val_col).cast("double").alias("v"),
+        )
+        .groupBy("k")
+        .agg(F.expr("array_sort(collect_list(struct(t, i, v)))").alias("seq"))
+        .select(
+            F.expr("transform(seq, x -> x.i)").alias("ids"),
+            F.expr("transform(seq, x -> x.v)").alias("vals"),
+        )
+    )
+    a, bcf = float(alpha), float(beta)
+    out_schema = T.StructType(
+        [
+            T.StructField("out_id", df.schema[id_col].dataType),
+            T.StructField("holt_level", T.DoubleType()),
+            T.StructField("holt_trend", T.DoubleType()),
+        ]
+    )
+
+    def _smooth(batches):
+        for pdf in batches:
+            ids_all, l_all, b_all = [], [], []
+            for ids, vals in zip(pdf["ids"], pdf["vals"]):
+                l = float(vals[0])
+                b = float(vals[1]) - float(vals[0]) if len(vals) >= 2 else 0.0
+                ids_all.append(ids[0]); l_all.append(l); b_all.append(b)
+                for x in vals[1:]:
+                    l_new = a * float(x) + (1.0 - a) * (l + b)
+                    b = bcf * (l_new - l) + (1.0 - bcf) * b
+                    l = l_new
+                    l_all.append(l); b_all.append(b)
+                ids_all.extend(ids[1:])
+            yield pd.DataFrame(
+                {"out_id": ids_all, "holt_level": l_all, "holt_trend": b_all}
+            )
+
+    return seqs.mapInPandas(_smooth, out_schema).withColumnRenamed("out_id", id_col)
