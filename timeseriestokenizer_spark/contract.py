@@ -1434,10 +1434,22 @@ def q_lttb_downsample(spark, sf_dir):
     subqueries — bit-exact parity holds because x is rebased per series
     (epoch µs minus the first µs), keeping every value and bucket-mean
     partial sum below 2^53: all the arithmetic is exact on both engines,
-    so no rounding is needed anywhere."""
+    so no rounding is needed anywhere.
+
+    Both sides restrict to series with MORE than n_out points (round-5
+    ADVICE fix): the oracle CTE hardcodes 10 interior buckets and a pinned
+    last point, which diverges from lttb_select's return-all-points
+    passthrough at n <= 12 and divides by zero at n <= 2 — the guard
+    removes the latent mismatch if a future datagen yields short series
+    (the engine passthrough itself stays pytest-covered)."""
     from .operators.downsample import lttb_downsample
 
     ev = load(spark, sf_dir, "events")
+    big = (
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 12).select("user_id")
+    )
+    ev = ev.join(F.broadcast(big), "user_id", "left_semi")
     return lttb_downsample(ev, key="user_id", ts_col="ts", val_col="value", n_out=12)
 
 
@@ -2125,7 +2137,10 @@ pts AS (
          count(*) OVER (PARTITION BY user_id) AS n,
          min(epoch_us(ts)) OVER (PARTITION BY user_id) AS base
   FROM events),
-px AS (SELECT sid, ts, value, rn, n, (epoch_us(ts) - base)::DOUBLE AS x FROM pts),
+-- n > 12 guard mirrors the Spark side: the 10-interior-bucket recursion
+-- below is only the correct LTTB for series longer than n_out
+px AS (SELECT sid, ts, value, rn, n, (epoch_us(ts) - base)::DOUBLE AS x
+       FROM pts WHERE n > 12),
 b AS (
   SELECT *, CAST(((rn - 1) * 10) // (n - 2) AS INT) AS bucket
   FROM px WHERE rn >= 1 AND rn <= n - 2),

@@ -82,9 +82,12 @@ def completed_days(spark: SparkSession, store_root: str) -> list[str]:
 def stale_days(spark: SparkSession, raw: DataFrame, store_root: str,
                ts_col: str = "ts") -> list[str]:
     """Days present in the raw table whose row count differs from what the
-    manifest recorded at last refresh — new days plus late-data days. At
-    scale this reads only the day partition column (count pushdown /
-    partition listing), never the data columns."""
+    manifest recorded at last refresh — new days plus late-data days. The
+    scan touches ONLY the ``ts`` column (column pruning drops text/value
+    columns before the count aggregate); when the raw table is physically
+    day-partitioned the group-by collapses onto the partition value and
+    the scan is listing-cheap, otherwise it is a single narrow-column
+    pass — not free, but never a full-width read."""
     counts = {
         str(r["_day"]): r["n"]
         for r in raw.groupBy(F.to_date(ts_col).alias("_day"))
@@ -326,91 +329,95 @@ def refresh_days_batch(
     manifest = os.path.join(store_root, "_manifest")
     stats = {"days": days, "n_raw": sum(day_counts.values()), "tiers": {}}
 
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        tier_df, prev_cache = None, None
+    # dynamic partition overwrite is scoped to each WRITE via the
+    # DataFrameWriter option (round-5 ADVICE fix) — the old session-wide
+    # conf set/restore raced with concurrent jobs sharing the session
+    tier_df, prev_cache = None, None
+    for i, tier in enumerate(TIER_ORDER):
+        tier_df = (
+            rollup_tier(signals, tier, key=key)
+            if i == 0
+            else rollup_from_finer(tier_df, tier, key=key)
+        ).persist()
+        tier_df.withColumn("day", F.to_date("bucket_ts")).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "day"
+        ).parquet(os.path.join(store_root, tier))
+        per_day = {
+            str(r["d"]): r["n"]
+            for r in tier_df.groupBy(F.to_date("bucket_ts").alias("d"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        stats["tiers"][tier] = sum(per_day.values())
+        for d in days:
+            commit_partition(
+                spark, manifest, "incremental", tier, d,
+                per_day.get(d, 0), wall_s=time.time() - t0,
+            )
+        if prev_cache is not None:
+            prev_cache.unpersist()
+        prev_cache = tier_df
+    prev_cache.unpersist()
+
+    if with_hll:
+        hll, prev_cache = None, None
         for i, tier in enumerate(TIER_ORDER):
-            tier_df = (
-                rollup_tier(signals, tier, key=key)
+            hll = (
+                distinct_rollup_tier(signals, tier, key, lg_k)
                 if i == 0
-                else rollup_from_finer(tier_df, tier, key=key)
+                else distinct_rollup_from_finer(hll, tier)
             ).persist()
-            tier_df.withColumn("day", F.to_date("bucket_ts")).write.mode(
+            hll.withColumn("day", F.to_date("bucket_ts")).write.mode(
                 "overwrite"
-            ).partitionBy("day").parquet(os.path.join(store_root, tier))
+            ).option("partitionOverwriteMode", "dynamic").partitionBy(
+                "day"
+            ).parquet(os.path.join(store_root, f"hll_{tier}"))
             per_day = {
                 str(r["d"]): r["n"]
-                for r in tier_df.groupBy(F.to_date("bucket_ts").alias("d"))
+                for r in hll.groupBy(F.to_date("bucket_ts").alias("d"))
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             }
-            stats["tiers"][tier] = sum(per_day.values())
             for d in days:
                 commit_partition(
-                    spark, manifest, "incremental", tier, d,
+                    spark, manifest, "incremental", f"hll_{tier}", d,
                     per_day.get(d, 0), wall_s=time.time() - t0,
                 )
             if prev_cache is not None:
                 prev_cache.unpersist()
-            prev_cache = tier_df
+            prev_cache = hll
         prev_cache.unpersist()
 
-        if with_hll:
-            hll, prev_cache = None, None
-            for i, tier in enumerate(TIER_ORDER):
-                hll = (
-                    distinct_rollup_tier(signals, tier, key, lg_k)
-                    if i == 0
-                    else distinct_rollup_from_finer(hll, tier)
-                ).persist()
-                hll.withColumn("day", F.to_date("bucket_ts")).write.mode(
-                    "overwrite"
-                ).partitionBy("day").parquet(os.path.join(store_root, f"hll_{tier}"))
-                per_day = {
-                    str(r["d"]): r["n"]
-                    for r in hll.groupBy(F.to_date("bucket_ts").alias("d"))
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .collect()
-                }
-                for d in days:
-                    commit_partition(
-                        spark, manifest, "incremental", f"hll_{tier}", d,
-                        per_day.get(d, 0), wall_s=time.time() - t0,
-                    )
-                if prev_cache is not None:
-                    prev_cache.unpersist()
-                prev_cache = hll
-            prev_cache.unpersist()
-
-        if with_hist:
-            hist, prev_cache = None, None
-            for i, tier in enumerate(TIER_ORDER):
-                hist = (
-                    histogram_rollup_tier(signals, tier)
-                    if i == 0
-                    else histogram_rollup_from_finer(hist, tier)
-                ).persist()
-                hist.withColumn("day", F.to_date("bucket_ts")).write.mode(
-                    "overwrite"
-                ).partitionBy("day").parquet(os.path.join(store_root, f"hist_{tier}"))
-                per_day = {
-                    str(r["d"]): r["n"]
-                    for r in hist.groupBy(F.to_date("bucket_ts").alias("d"))
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .collect()
-                }
-                for d in days:
-                    commit_partition(
-                        spark, manifest, "incremental", f"hist_{tier}", d,
-                        per_day.get(d, 0), wall_s=time.time() - t0,
-                    )
-                if prev_cache is not None:
-                    prev_cache.unpersist()
-                prev_cache = hist
-            prev_cache.unpersist()
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    if with_hist:
+        hist, prev_cache = None, None
+        for i, tier in enumerate(TIER_ORDER):
+            hist = (
+                histogram_rollup_tier(signals, tier)
+                if i == 0
+                else histogram_rollup_from_finer(hist, tier)
+            ).persist()
+            hist.withColumn("day", F.to_date("bucket_ts")).write.mode(
+                "overwrite"
+            ).option("partitionOverwriteMode", "dynamic").partitionBy(
+                "day"
+            ).parquet(os.path.join(store_root, f"hist_{tier}"))
+            per_day = {
+                str(r["d"]): r["n"]
+                for r in hist.groupBy(F.to_date("bucket_ts").alias("d"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            for d in days:
+                commit_partition(
+                    spark, manifest, "incremental", f"hist_{tier}", d,
+                    per_day.get(d, 0), wall_s=time.time() - t0,
+                )
+            if prev_cache is not None:
+                prev_cache.unpersist()
+            prev_cache = hist
+        prev_cache.unpersist()
 
     batch_max = signals.groupBy("conv_id").agg(F.max("ts").alias("last_ts"))
     merged = (
@@ -560,13 +567,24 @@ def retention_sweep(
                     continue
                 part = os.path.join(root, f"day={day}")
                 if tdir == tier and tier in cold_pack_tiers:
+                    # round-5 ADVICE fix: land the cold blob in a DOT-prefixed
+                    # temp (invisible to Spark file listing), finalize with one
+                    # atomic rename BEFORE dropping the hot partition. A crash
+                    # at any point leaves either (hot only), (hot + finalized
+                    # cold) — which read_tier_with_cold de-dupes by excluding
+                    # cold days whose hot partition still exists — or (cold
+                    # only). No window loses the day or double-counts it.
+                    cold_root = os.path.join(store_root, f"cold_{tier}")
+                    cold_tmp = os.path.join(cold_root, f".day={day}.pack.tmp")
+                    cold_final = os.path.join(cold_root, f"day={day}")
                     expiring = spark.read.parquet(part).withColumn(
                         "_day", F.lit(day)
                     )
                     packed = gorilla_pack(expiring, [key, "_day"], "bucket_ts", value_col)
-                    packed.write.mode("overwrite").parquet(
-                        os.path.join(store_root, f"cold_{tier}", f"day={day}")
-                    )
+                    packed.write.mode("overwrite").parquet(cold_tmp)
+                    if os.path.isdir(cold_final):
+                        shutil.rmtree(cold_final)  # re-run after crash
+                    os.rename(cold_tmp, cold_final)
                 n = spark.read.parquet(part).count()
                 shutil.rmtree(part)
                 commit_partition(
@@ -601,9 +619,20 @@ def compact_store(
     incremental-ingest problem; at scale this is what an Iceberg
     rewrite_data_files action does). Each day directory whose file count
     exceeds ceil(bytes/target) is rewritten to that many files via
-    coalesce — data unchanged (row-identity pytest-pinned), then the old
-    directory is atomically swapped out. Idempotent: a compacted day is
-    skipped on the next pass.
+    coalesce — data unchanged (row-identity pytest-pinned), then swapped
+    in. Idempotent: a compacted day is skipped on the next pass.
+
+    Crash-safety (round-5 ADVICE fix): the rewrite lands in a DOT-prefixed
+    temp dir (`.day=D.compact.tmp`) — Spark's file listing ignores
+    dot/underscore-prefixed paths, so a concurrent or post-crash
+    `read_tier` never sees it as a `day=` partition (the old name
+    `day=D.compact.tmp` WAS discovered as a real partition and
+    double-counted the day). The swap is rename-rename: old partition is
+    renamed aside to `.day=D.compact.old` (single rename — atomic on
+    POSIX), the temp renamed in, then the old copy deleted. Every crash
+    point leaves at most ONE visible copy of the day; `_recover_compact`
+    restores the `.old` copy on the next pass if the crash landed in the
+    one window where the day is briefly invisible.
 
     Returns {tier: {day: (files_before, files_after)}}."""
     import math
@@ -616,6 +645,7 @@ def compact_store(
     ]
     for tdir in roots:
         root = os.path.join(store_root, tdir)
+        _recover_compact(root)
         for dname in sorted(os.listdir(root)):
             if not dname.startswith("day="):
                 continue
@@ -629,12 +659,36 @@ def compact_store(
             if len(files) <= want:
                 continue
             df = spark.read.parquet(part)
-            tmp = part + ".compact.tmp"
+            tmp = os.path.join(root, "." + dname + ".compact.tmp")
+            old = os.path.join(root, "." + dname + ".compact.old")
             df.coalesce(want).write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(part)
+            os.rename(part, old)
             os.rename(tmp, part)
+            shutil.rmtree(old)
             out.setdefault(tdir, {})[dname.split("=", 1)[1]] = (len(files), want)
     return out
+
+
+def _recover_compact(root: str) -> None:
+    """Repair a tier root after a compact_store crash: a `.day=D.compact.old`
+    whose visible `day=D` is missing means the crash hit between the two
+    renames — restore the old copy (the rewrite is re-done next pass).
+    Orphaned `.compact.tmp`/`.compact.old` dirs (visible partition intact)
+    are stale debris — delete them."""
+    import shutil
+
+    for dname in list(os.listdir(root)):
+        if not dname.startswith(".day="):
+            continue
+        hidden = os.path.join(root, dname)
+        if dname.endswith(".compact.old"):
+            visible = os.path.join(root, dname[1:-len(".compact.old")])
+            if not os.path.exists(visible):
+                os.rename(hidden, visible)
+            else:
+                shutil.rmtree(hidden)
+        elif dname.endswith(".compact.tmp"):
+            shutil.rmtree(hidden)
 
 
 def read_tier_with_cold(
@@ -649,7 +703,12 @@ def read_tier_with_cold(
     (key, bucket_ts, value). Cold rows carry is_cold=true and only the
     packed value column (the TTL policy's documented trade: expired fine
     buckets keep one metric in cold, full state lives in the coarser
-    tiers). Day-pruned scans on both sides, no join."""
+    tiers). Day-pruned scans on both sides, no join.
+
+    Crash-consistency (round-5 ADVICE fix): a cold day whose HOT partition
+    still exists (retention_sweep crashed between cold finalize and hot
+    drop) is excluded from the cold side — the hot copy wins, so the day
+    is never returned twice; the next sweep completes the drop."""
     from ..operators.gorilla import gorilla_unpack
 
     hot = read_tier(spark, store_root, tier).select(
@@ -658,9 +717,24 @@ def read_tier_with_cold(
     cold_root = os.path.join(store_root, f"cold_{tier}")
     if not os.path.isdir(cold_root):
         return hot
-    cold = gorilla_unpack(
-        spark.read.option("basePath", cold_root).parquet(cold_root)
-    ).select(
+    hot_root = os.path.join(store_root, tier)
+    hot_days = {
+        d.split("=", 1)[1]
+        for d in (os.listdir(hot_root) if os.path.isdir(hot_root) else [])
+        if d.startswith("day=")
+    }
+    cold_src = spark.read.option("basePath", cold_root).parquet(cold_root)
+    overlap = sorted(
+        hot_days
+        & {
+            d.split("=", 1)[1]
+            for d in os.listdir(cold_root)
+            if d.startswith("day=")
+        }
+    )
+    if overlap:
+        cold_src = cold_src.filter(~F.col("day").cast("string").isin(overlap))
+    cold = gorilla_unpack(cold_src).select(
         F.split("series_id", r"\|")[0].alias(key),
         F.col("ts").alias("bucket_ts"),
         F.col("value").alias(value_col),

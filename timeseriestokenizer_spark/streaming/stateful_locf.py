@@ -35,6 +35,15 @@ LOCF_OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
+# STATE SCHEMA v2 (round-4: grew from 2 to 3 fields). Spark's state-store
+# schema validation REJECTS restarting a checkpoint written with the v1
+# 2-field schema against this 3-field schema — upgrading a live stream
+# therefore requires a FRESH checkpoint directory (drain the old stream,
+# start the new one with a new checkpointLocation; the first micro-batch
+# rebuilds carry-forward state from the stream head). The in-UDF
+# `len(st) > 2` probe below is defensive only — it cannot paper over a
+# checkpoint upgrade, because Spark refuses the restart before the UDF
+# ever runs.
 LOCF_STATE_SCHEMA = T.StructType(
     [
         T.StructField("last_slot_us", T.LongType()),
