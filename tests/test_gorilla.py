@@ -194,3 +194,65 @@ def test_holt_matches_explicit_recurrence(spark):
                     assert abs(gl - l) < 1e-9 and abs(gb - b) < 1e-9, eid
                 eid += 1
         assert got[max(got)] == (42.0, 0.0)  # singleton series
+
+def test_holt_winters_matches_explicit_recurrence(spark):
+    """Holt-Winters triple smoothing vs an explicit Python recurrence:
+    bit-exact at the contract coefficients (0.5, 0.25, 0.25, m=4) AND at
+    a second parameter set; checks the seasonal ring wraps correctly
+    (series longer than several periods), the t<m zero-season cold start,
+    and the singleton/short-series branches."""
+    import numpy as np
+    import pandas as pd
+
+    from timeseriestokenizer_spark.operators.smoothing import holt_winters
+
+    rng = np.random.RandomState(29)
+    rows = []
+    eid = 0
+    base = pd.Timestamp("2026-07-01")
+    # seasonal signal: sin wave + noise so the season slots matter
+    for k in ("a", "b"):
+        for i in range(50):
+            v = round(10.0 * float(np.sin(2 * np.pi * (i % 4) / 4))
+                      + float(rng.uniform(0, 5)), 2)
+            rows.append((k, (base + pd.Timedelta(seconds=5 * i)).to_pydatetime(),
+                         eid, v))
+            eid += 1
+    rows.append(("short", base.to_pydatetime(), eid, 7.0))
+    rows.append(("short", (base + pd.Timedelta(seconds=5)).to_pydatetime(), eid + 1, 9.0))
+    rows.append(("solo", base.to_pydatetime(), eid + 2, 42.0))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, event_id long, value double")
+
+    def reference(vals, a, bcf, g, m):
+        l = vals[0]
+        b = vals[1] - vals[0] if len(vals) >= 2 else 0.0
+        seas = [0.0] * m
+        out = [(l, b, 0.0)]
+        for t, x in enumerate(vals[1:], start=1):
+            s_old = seas[t % m]
+            ln = a * (x - s_old) + (1.0 - a) * (l + b)
+            b = bcf * (ln - l) + (1.0 - bcf) * b
+            sn = g * (x - ln) + (1.0 - g) * s_old
+            seas[t % m] = sn
+            l = ln
+            out.append((l, b, sn))
+        return out
+
+    for a, bcf, g, m in ((0.5, 0.25, 0.25, 4), (0.5, 0.5, 0.5, 3)):
+        got = {
+            r["event_id"]: (r["hw_level"], r["hw_trend"], r["hw_season"])
+            for r in holt_winters(
+                df, key="k", alpha=a, beta=bcf, gamma=g, period=m
+            ).collect()
+        }
+        assert len(got) == len(rows)
+        eid = 0
+        for k in ("a", "b"):
+            vals = [v for kk, _, _, v in rows if kk == k]
+            for want in reference(vals, a, bcf, g, m):
+                assert got[eid] == want, (k, eid)
+                eid += 1
+        assert got[eid] == (7.0, 2.0, 0.0)       # short: b = x1-x0, s0 = 0
+        want_short = reference([7.0, 9.0], a, bcf, g, m)[1]
+        assert got[eid + 1] == want_short
+        assert got[eid + 2] == (42.0, 0.0, 0.0)  # singleton

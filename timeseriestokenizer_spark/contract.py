@@ -115,6 +115,23 @@ def q_holt_smoothing(spark, sf_dir):
     )
 
 
+def q_holt_winters(spark, sf_dir):
+    """Holt-Winters TRIPLE smoothing (operators/smoothing.holt_winters):
+    additive seasonality, period m=4, alpha=0.5 / beta=gamma=0.25,
+    zero-seasonal cold-start init. All THREE columns (level, trend,
+    season) are emitted UNROUNDED and hash-match a DuckDB recursive CTE
+    that steps the identical IEEE-754 operation sequence while carrying
+    the m-slot season ring as a LIST column — the seasonal extension of
+    the holt_smoothing proof."""
+    from .operators.smoothing import holt_winters
+
+    return holt_winters(
+        load(spark, sf_dir, "events"), key="user_id", ts_col="ts",
+        val_col="value", id_col="event_id",
+        alpha=0.5, beta=0.25, gamma=0.25, period=4,
+    )
+
+
 def q_rolling_zscore(spark, sf_dir):
     """Rolling anomaly score (functions/signals.rolling_zscore): each
     event's z against its series' preceding 10 points, from explicit power
@@ -2082,6 +2099,47 @@ rec AS (
 )
 SELECT event_id, l AS holt_level, b AS holt_trend FROM rec
 """,
+    # Holt-Winters additive triple smoothing, period m=4: the recursive
+    # CTE carries the m-slot season ring as a LIST column (sl), reads slot
+    # j = (rn_prev % 4) + 1 as s_{t-m} (zero while t < m — the cold-start
+    # init), and steps the IDENTICAL IEEE operation order as the Python
+    # recurrence, so level/trend/season hash-match UNROUNDED. The inner
+    # subquery names l_new once so trend/season reference the same value.
+    "holt_winters": """
+WITH RECURSIVE p AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+rec AS (
+  SELECT p.user_id, p.rn, p.event_id,
+         p.value AS l,
+         CASE WHEN p.n >= 2
+              THEN (SELECT p2.value FROM p p2 WHERE p2.user_id = p.user_id AND p2.rn = 2) - p.value
+              ELSE 0.0 END AS b,
+         CAST(0.0 AS DOUBLE) AS s,
+         [0.0, 0.0, 0.0, 0.0]::DOUBLE[] AS sl
+  FROM p WHERE p.rn = 1
+  UNION ALL
+  SELECT z.user_id, z.rn, z.event_id,
+         z.l_new AS l,
+         0.25 * (z.l_new - z.l_prev) + 0.75 * z.b_prev AS b,
+         0.25 * (z.value - z.l_new) + 0.75 * z.s_old AS s,
+         list_transform(range(1, 5),
+             i -> CASE WHEN i = z.j
+                       THEN 0.25 * (z.value - z.l_new) + 0.75 * z.s_old
+                       ELSE z.sl[i] END) AS sl
+  FROM (
+    SELECT p.user_id, p.rn, p.event_id, p.value,
+           r.l AS l_prev, r.b AS b_prev, r.sl AS sl,
+           (r.rn % 4) + 1 AS j,
+           r.sl[(r.rn % 4) + 1] AS s_old,
+           0.5 * (p.value - r.sl[(r.rn % 4) + 1]) + 0.5 * (r.l + r.b) AS l_new
+    FROM rec r JOIN p ON p.user_id = r.user_id AND p.rn = r.rn + 1
+  ) z
+)
+SELECT event_id, l AS hw_level, b AS hw_trend, s AS hw_season FROM rec
+""",
     "range_anti_join": """
 WITH win AS (
   SELECT user_id, min(ts) AS start_ts, min(ts) + INTERVAL 2 HOUR AS end_ts
@@ -2748,7 +2806,6 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_assign": q_ann_ivf_assign,
     "ann_ivf_search": q_ann_ivf_search,
-    "dequantize_recon": q_dequantize_recon,
     "quantize_catalyst": q_quantize_catalyst,
     "chronos_rebin_tokens": q_chronos_rebin_tokens,
     "hash_split": q_hash_split,
@@ -2771,11 +2828,13 @@ QUERIES = {
     "rolling_zscore": q_rolling_zscore,
     "ewma": q_ewma,
     "holt_smoothing": q_holt_smoothing,
+    "holt_winters": q_holt_winters,
     "distinct_rollup": q_distinct_rollup,
     "rollup_1h_cascade": q_rollup_1h_cascade,
     "detokenize_score": q_detokenize_score,
     # ---- driver-cap line (entry 51+): every row below is green in an
     # earlier CORRECTNESS_r* file (ledger: COVERAGE.md + tools/check_ledger) --
+    "dequantize_recon": q_dequantize_recon,
     "cube_counts": q_cube_counts,
     "set_ops": q_set_ops,
     "distinct_counts": q_distinct_counts,

@@ -142,3 +142,97 @@ def holt(
             )
 
     return seqs.mapInPandas(_smooth, out_schema).withColumnRenamed("out_id", id_col)
+
+
+def holt_winters(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+    period: int = 4,
+) -> DataFrame:
+    """Holt-Winters TRIPLE exponential smoothing (additive seasonality,
+    period ``m``) per series — the seasonal extension the reference's
+    hourly/10-min datasets call for (reference
+    docs/EXPERIMENT_DESIGN.md:106-120: ETTh1, weather are explicitly
+    seasonal; reference has no smoothing operator at all — graft-new).
+
+        l_0 = x_0,  b_0 = x_1 - x_0 (0 for singletons),  s_{<0} = 0
+        s_old_t = s_{t-m}            (0.0 while t < m — cold-start init)
+        l_t = a*(x_t - s_old_t) + (1-a)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+        s_t = g*(x_t - l_t) + (1-g)*s_old_t
+
+    Seasonal init convention: the pre-history season slots are ZERO (the
+    first period's seasonal indices are learned through gamma, not
+    pre-fit) — chosen because it is exactly replicable in a recursive-CTE
+    oracle carrying the season ring as a LIST column; a mean-of-first-
+    period init would add an engine-ordered summation to the contract.
+    Note s_0 is emitted as exactly 0.0 (g*(x_0 - l_0) == 0).
+
+    Float contract (same as ewma/holt): the recurrence is written with
+    IDENTICAL operation order on both engines, so every step is the same
+    IEEE-754 double sequence and the outputs are bit-identical —
+    UNROUNDED on purpose (rounding is what breaks parity, not the
+    arithmetic). Same one-exchange batched-arrays shape as ewma: series
+    collapse to sorted arrays JVM-side, Python steps batches via
+    mapInPandas, no grouped-map dispatch tax, no per-row Python."""
+    seqs = (
+        df.select(
+            F.col(key).alias("k"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+            F.col(id_col).alias("i"),
+            F.col(val_col).cast("double").alias("v"),
+        )
+        .groupBy("k")
+        .agg(F.expr("array_sort(collect_list(struct(t, i, v)))").alias("seq"))
+        .select(
+            F.expr("transform(seq, x -> x.i)").alias("ids"),
+            F.expr("transform(seq, x -> x.v)").alias("vals"),
+        )
+    )
+    a, bcf, g, m = float(alpha), float(beta), float(gamma), int(period)
+    if m < 1:
+        raise ValueError("period must be >= 1")
+    out_schema = T.StructType(
+        [
+            T.StructField("out_id", df.schema[id_col].dataType),
+            T.StructField("hw_level", T.DoubleType()),
+            T.StructField("hw_trend", T.DoubleType()),
+            T.StructField("hw_season", T.DoubleType()),
+        ]
+    )
+
+    def _smooth(batches):
+        for pdf in batches:
+            ids_all, l_all, b_all, s_all = [], [], [], []
+            for ids, vals in zip(pdf["ids"], pdf["vals"]):
+                l = float(vals[0])
+                b = float(vals[1]) - float(vals[0]) if len(vals) >= 2 else 0.0
+                seas = [0.0] * m
+                ids_all.append(ids[0])
+                l_all.append(l); b_all.append(b); s_all.append(0.0)
+                for t, x in enumerate(vals[1:], start=1):
+                    x = float(x)
+                    s_old = seas[t % m]
+                    l_new = a * (x - s_old) + (1.0 - a) * (l + b)
+                    b = bcf * (l_new - l) + (1.0 - bcf) * b
+                    s_new = g * (x - l_new) + (1.0 - g) * s_old
+                    seas[t % m] = s_new
+                    l = l_new
+                    l_all.append(l); b_all.append(b); s_all.append(s_new)
+                ids_all.extend(ids[1:])
+            yield pd.DataFrame(
+                {
+                    "out_id": ids_all,
+                    "hw_level": l_all,
+                    "hw_trend": b_all,
+                    "hw_season": s_all,
+                }
+            )
+
+    return seqs.mapInPandas(_smooth, out_schema).withColumnRenamed("out_id", id_col)
