@@ -334,3 +334,46 @@ def test_read_tier_with_cold(spark, tmp_path):
     assert rows == full
     assert got.filter("is_cold").count() > 0  # sweep really moved data cold
     raw.unpersist()
+
+def test_incremental_kll_tiers(spark, tmp_path):
+    """KLL quantile tiers refresh incrementally: the refreshed kll_1h /
+    kll_1d state answers the same p95 as a from-scratch kll_cascade, and
+    in the small (exact) regime the same p95 as the true rank selection
+    over raw latencies."""
+    import numpy as np
+
+    from timeseriestokenizer_spark.operators.kll import kll_cascade, kll_percentile
+
+    store = str(tmp_path / "store")
+    raw = transcripts_df(spark, C=25, seed=5)
+    refresh_tiers(spark, raw, store, with_hll=False, with_hist=False)
+
+    scratch = kll_cascade(derive_signals(raw))
+    for tier in ("1h", "1d"):
+        got = _rows(
+            kll_percentile(read_tier(spark, store, f"kll_{tier}"), 0.95),
+            ["bucket_ts", "p95_est", "n"],
+        )
+        exp = _rows(kll_percentile(scratch[tier], 0.95), ["bucket_ts", "p95_est", "n"])
+        assert got == exp, f"kll tier {tier} p95 diverged from scratch"
+
+    # exact-regime ground truth straight from the raw latencies
+    lat = (
+        derive_signals(raw)
+        .filter(F.col("latency_s").isNotNull())
+        .select(F.date_trunc("day", "ts").alias("d"), "latency_s")
+        .collect()
+    )
+    by_day = {}
+    for r in lat:
+        by_day.setdefault(r["d"], []).append(r["latency_s"])
+    got_1d = {
+        r["bucket_ts"]: (r["p95_est"], r["n"])
+        for r in kll_percentile(read_tier(spark, store, "kll_1d"), 0.95).collect()
+    }
+    assert set(got_1d) == set(by_day)
+    for d, vals in by_day.items():
+        srt = np.sort(np.asarray(vals))
+        n = len(srt)
+        idx = int(np.searchsorted(np.arange(1, n + 1), 0.95 * n, side="left"))
+        assert got_1d[d] == (float(srt[min(idx, n - 1)]), n), d

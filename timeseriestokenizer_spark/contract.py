@@ -1444,6 +1444,30 @@ def q_hist_p95_cascade(spark, sf_dir):
     return histogram_percentile(h1d, 0.95, edges=_HIST_EDGES)
 
 
+def q_kll_p95_cascade(spark, sf_dir):
+    """p95-per-day from CASCADED KLL quantile-sketch state
+    (operators/kll.py): 1h sketches built from raw, MERGED up to 1d, then
+    the pure-Catalyst read-time rank query. At sf0.01 every bucket holds
+    far fewer than k=512 values, so no compaction ever fires and the
+    sketch answer is EXACT — the oracle computes the true daily p95 by
+    rank selection (smallest value whose 1-based sorted position reaches
+    0.95 * n, the cum >= rank convention shared with hist_p95_cascade)
+    and the hash match proves build + merge + query end-to-end, the
+    distinct_rollup exact-small-regime proof shape. Beyond this regime
+    the ~O(1/k) rank bound is pytest-pinned (tests/test_kll.py)."""
+    from .operators.kll import kll_percentile, kll_rollup_from_finer, kll_rollup_tier
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    s1h = kll_rollup_tier(ev, "1h", val_col="value", k=512)
+    s1d = kll_rollup_from_finer(s1h, "1d", k=512)
+    out = kll_percentile(s1d, 0.95)
+    return out.select(
+        "bucket_ts", F.col("p95_est").alias("p95"), F.col("n").alias("n_vals")
+    )
+
+
 def q_lttb_downsample(spark, sf_dir):
     """LTTB perceptual downsampling (operators/downsample.py, Steinarsson
     2013) to 12 points per user series. The oracle is a DuckDB RECURSIVE
@@ -2258,6 +2282,17 @@ SELECT bucket_ts,
              6) AS p95_est
 FROM sel, e
 """,
+    # exact daily p95 by rank selection — valid as the KLL oracle because
+    # the sf0.01 regime never compacts (sketch == sorted values, weight 1)
+    "kll_p95_cascade": """
+WITH r AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts, value,
+         row_number() OVER (PARTITION BY date_trunc('day', ts) ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY date_trunc('day', ts)) AS n
+  FROM events WHERE value IS NOT NULL)
+SELECT bucket_ts, min(value) AS p95, CAST(max(n) AS BIGINT) AS n_vals
+FROM r WHERE rn >= 0.95 * n GROUP BY bucket_ts
+""",
     "asof_join_nulls": """
 WITH lvl AS (
   SELECT user_id,
@@ -2798,7 +2833,6 @@ QUERIES = {
     "sessionize": q_sessionize,
     "session_agg": q_session_agg,
     "dedup_clusters": q_dedup_clusters,
-    "multimodal_features": q_multimodal_features,
     "ann_bruteforce": q_ann_bruteforce,
     "cosine_near_dup": q_cosine_near_dup,
     "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
@@ -2824,6 +2858,7 @@ QUERIES = {
     "lttb_downsample": q_lttb_downsample,
     "value_histogram": q_value_histogram,
     "hist_p95_cascade": q_hist_p95_cascade,
+    "kll_p95_cascade": q_kll_p95_cascade,
     "counter_rate": q_counter_rate,
     "rolling_zscore": q_rolling_zscore,
     "ewma": q_ewma,
@@ -2835,6 +2870,7 @@ QUERIES = {
     # ---- driver-cap line (entry 51+): every row below is green in an
     # earlier CORRECTNESS_r* file (ledger: COVERAGE.md + tools/check_ledger) --
     "dequantize_recon": q_dequantize_recon,
+    "multimodal_features": q_multimodal_features,
     "cube_counts": q_cube_counts,
     "set_ops": q_set_ops,
     "distinct_counts": q_distinct_counts,

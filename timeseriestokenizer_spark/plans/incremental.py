@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from ..operators.kll import kll_rollup_from_finer, kll_rollup_tier
 from ..operators.rollup import (
     TIERS,
     distinct_rollup_from_finer,
@@ -180,6 +181,8 @@ def refresh_day(
     with_hll: bool = True,
     lg_k: int = 12,
     with_hist: bool = True,
+    with_kll: bool = True,
+    kll_k: int = 512,
 ) -> dict:
     """Refresh every tier's ``day=<day>`` partition (and the conv-state
     snapshot ``through=<day>``) from that day's raw rows + the previous
@@ -255,6 +258,26 @@ def refresh_day(
             prev_cache = hist
         prev_cache.unpersist()
 
+    if with_kll:
+        kll, prev_cache = None, None
+        for i, tier in enumerate(TIER_ORDER):
+            kll = (
+                kll_rollup_tier(signals, tier, k=kll_k)
+                if i == 0
+                else kll_rollup_from_finer(kll, tier, k=kll_k)
+            ).persist()
+            kll.write.mode("overwrite").parquet(
+                os.path.join(store_root, f"kll_{tier}", f"day={day}")
+            )
+            commit_partition(
+                spark, manifest, "incremental", f"kll_{tier}", day,
+                kll.count(), wall_s=time.time() - t0,
+            )
+            if prev_cache is not None:
+                prev_cache.unpersist()
+            prev_cache = kll
+        prev_cache.unpersist()
+
     # state through this day = merge(previous state, today's last turn)
     day_max = signals.groupBy("conv_id").agg(F.max("ts").alias("last_ts"))
     if prev_state is not None:
@@ -286,6 +309,8 @@ def refresh_days_batch(
     with_hll: bool = True,
     lg_k: int = 12,
     with_hist: bool = True,
+    with_kll: bool = True,
+    kll_k: int = 512,
 ) -> dict:
     """Refresh a CONTIGUOUS run of days as ONE cascade — the bulk-load /
     backfill path. The per-day loop costs O(days) Spark job rounds (fine
@@ -419,6 +444,35 @@ def refresh_days_batch(
             prev_cache = hist
         prev_cache.unpersist()
 
+    if with_kll:
+        kll, prev_cache = None, None
+        for i, tier in enumerate(TIER_ORDER):
+            kll = (
+                kll_rollup_tier(signals, tier, k=kll_k)
+                if i == 0
+                else kll_rollup_from_finer(kll, tier, k=kll_k)
+            ).persist()
+            kll.withColumn("day", F.to_date("bucket_ts")).write.mode(
+                "overwrite"
+            ).option("partitionOverwriteMode", "dynamic").partitionBy(
+                "day"
+            ).parquet(os.path.join(store_root, f"kll_{tier}"))
+            per_day = {
+                str(r["d"]): r["n"]
+                for r in kll.groupBy(F.to_date("bucket_ts").alias("d"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            for d in days:
+                commit_partition(
+                    spark, manifest, "incremental", f"kll_{tier}", d,
+                    per_day.get(d, 0), wall_s=time.time() - t0,
+                )
+            if prev_cache is not None:
+                prev_cache.unpersist()
+            prev_cache = kll
+        prev_cache.unpersist()
+
     batch_max = signals.groupBy("conv_id").agg(F.max("ts").alias("last_ts"))
     merged = (
         prev_state.unionByName(batch_max)
@@ -450,6 +504,8 @@ def refresh_tiers(
     lg_k: int = 12,
     mode: str = "auto",
     with_hist: bool = True,
+    with_kll: bool = True,
+    kll_k: int = 512,
 ) -> list[dict]:
     """Refresh the tier store for ``days`` (default: stale_days — new days
     plus days whose raw count changed). Days run in ascending order so each
@@ -481,12 +537,13 @@ def refresh_tiers(
         return [
             refresh_days_batch(
                 spark, raw, store_root, days, key, ts_col, with_hll, lg_k,
-                with_hist,
+                with_hist, with_kll, kll_k,
             )
         ]
     return [
         refresh_day(
-            spark, raw, store_root, d, key, ts_col, with_hll, lg_k, with_hist
+            spark, raw, store_root, d, key, ts_col, with_hll, lg_k, with_hist,
+            with_kll, kll_k,
         )
         for d in days
     ]
