@@ -1468,6 +1468,28 @@ def q_kll_p95_cascade(spark, sf_dir):
     )
 
 
+def q_heavy_hitters_cascade(spark, sf_dir):
+    """Top-10 users per day from CASCADED Misra-Gries heavy-hitter state
+    (operators/heavy.py): 1h summaries built from raw, MERGED up to 1d,
+    then the pure-Catalyst read-time top-k. At sf0.01 every bucket sees
+    far fewer than k=256 distinct users, so no counter is ever evicted
+    (err = 0) and the summary holds EXACT counts — the oracle computes
+    the true daily top-10 directly (count desc, key asc tie-break) and
+    the hash match proves build + merge + rank end-to-end, the
+    kll_p95_cascade exact-small-regime proof shape. The eviction-regime
+    n/(k+1) bound is pytest-pinned (tests/test_heavy.py)."""
+    from .operators.heavy import heavy_rollup_from_finer, heavy_rollup_tier, heavy_topk
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    h1h = heavy_rollup_tier(ev, "1h", key_col="user_id", k=256)
+    h1d = heavy_rollup_from_finer(h1h, "1d", k=256)
+    return heavy_topk(h1d, 10).select(
+        "bucket_ts", "key", "est_count", "rank"
+    )
+
+
 def q_lttb_downsample(spark, sf_dir):
     """LTTB perceptual downsampling (operators/downsample.py, Steinarsson
     2013) to 12 points per user series. The oracle is a DuckDB RECURSIVE
@@ -2293,6 +2315,20 @@ WITH r AS (
 SELECT bucket_ts, min(value) AS p95, CAST(max(n) AS BIGINT) AS n_vals
 FROM r WHERE rn >= 0.95 * n GROUP BY bucket_ts
 """,
+    # exact daily top-10 — valid as the MG oracle because the sf0.01
+    # regime never evicts a counter (err = 0, counts exact)
+    "heavy_hitters_cascade": """
+WITH c AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+         CAST(user_id AS VARCHAR) AS key, count(*) AS est_count
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket_ts
+                               ORDER BY est_count DESC, key ASC) AS rank
+  FROM c)
+SELECT bucket_ts, key, est_count, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+""",
     "asof_join_nulls": """
 WITH lvl AS (
   SELECT user_id,
@@ -2834,7 +2870,6 @@ QUERIES = {
     "session_agg": q_session_agg,
     "dedup_clusters": q_dedup_clusters,
     "ann_bruteforce": q_ann_bruteforce,
-    "cosine_near_dup": q_cosine_near_dup,
     "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -2859,6 +2894,7 @@ QUERIES = {
     "value_histogram": q_value_histogram,
     "hist_p95_cascade": q_hist_p95_cascade,
     "kll_p95_cascade": q_kll_p95_cascade,
+    "heavy_hitters_cascade": q_heavy_hitters_cascade,
     "counter_rate": q_counter_rate,
     "rolling_zscore": q_rolling_zscore,
     "ewma": q_ewma,
@@ -2871,6 +2907,7 @@ QUERIES = {
     # earlier CORRECTNESS_r* file (ledger: COVERAGE.md + tools/check_ledger) --
     "dequantize_recon": q_dequantize_recon,
     "multimodal_features": q_multimodal_features,
+    "cosine_near_dup": q_cosine_near_dup,
     "cube_counts": q_cube_counts,
     "set_ops": q_set_ops,
     "distinct_counts": q_distinct_counts,
