@@ -602,3 +602,38 @@ def test_simhash_deep_max_bucket_guard(spark):
     assert not any(a < 20 and b < 20 for a, b in g_pairs)  # boiler dropped
     # cold-key pairs keep exactly the same result as unguarded
     assert {p for p in g_pairs} == {p for p in full_pairs if not (p[0] < 20 and p[1] < 20)}
+
+def test_span_contamination_planted(spark):
+    """Planted verbatim overlaps: a 7-token quote from a train doc pasted
+    inside an otherwise-unique eval doc must surface as a 7-token span
+    (5 consecutive 3-gram hits); a fully-copied doc spans its whole
+    length; a disjoint doc reports zero; a 2-word doc (shorter than w)
+    matches only via its whole-text gram."""
+    from timeseriestokenizer_spark.operators.dedup import span_contamination
+
+    quote = "the quick brown fox jumps over fences"           # 7 tokens
+    train_rows = [
+        (0, f"alpha beta {quote} gamma delta"),
+        (2, "shared full copy of this exact document text"),  # 8 tokens
+        (4, "tiny pair"),
+    ]
+    eval_rows = [
+        (1, f"unique one two three {quote} nine ten eleven twelve"),
+        (3, "shared full copy of this exact document text"),
+        (5, "totally disjoint words nothing here matches anything at all"),
+        (7, "tiny pair"),
+    ]
+    tr = spark.createDataFrame(train_rows, "doc_id long, text string")
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_hit"], r["max_span_tokens"])
+        for r in span_contamination(tr, ev, "doc_id", w=3).collect()
+    }
+    assert set(got) == {1, 3, 5, 7}
+    # doc 1: 15 tokens -> 13 grams; the 7-token quote = 5 consecutive grams
+    assert got[1] == (13, 5, 7)
+    # doc 3: full copy -> every gram hits, span = doc length
+    assert got[3] == (6, 6, 8)
+    assert got[5] == (7, 0, 0)
+    # doc 7: < w tokens -> single whole-text gram, span capped at n_words
+    assert got[7] == (1, 1, 2)

@@ -219,3 +219,58 @@ def test_quantile_edges_approx_vs_exact(spark):
     # approximations at this accuracy
     gap = np.diff(np.sort(vals)).max()
     assert np.all(np.abs(approx - exact) <= gap + 1e-12)
+
+
+def test_scale_join_path_equals_udf_path_and_plan(spark):
+    """The collect-free scale/inverse join path (scale_expr +
+    inverse_scale_expr) must equal the broadcast-dict UDF path bit-for-bit
+    on every row, compile to BroadcastHashJoin with ZERO Python stages at
+    the default, and degrade to a shuffle join (still no driver collect)
+    with broadcast=False for registry-as-data cardinalities."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from timeseriestokenizer_spark.functions.scaling import (
+        fit_scalers,
+        inverse_scale_expr,
+        make_scale_udf,
+        scale_expr,
+        scalers_to_registry,
+    )
+
+    rng = np.random.RandomState(23)
+    rows = [
+        (f"u{i % 7}", float(v), i)
+        for i, v in enumerate(rng.uniform(-50, 50, 500))
+    ]
+    rows.append(("const", 4.0, 500))  # std=0 -> 1.0 branch
+    rows.append(("const", 4.0, 501))
+    df = spark.createDataFrame(rows, "uid string, value double, rid long")
+    scalers = fit_scalers(df, "uid", "value")
+
+    reg = scalers_to_registry(scalers)
+    sc, inv = make_scale_udf(spark, reg), make_scale_udf(spark, reg, inverse=True)
+    udf_out = {
+        r["rid"]: (r["z"], r["recon"])
+        for r in df.withColumn("z", sc("uid", "value"))
+        .withColumn("recon", inv("uid", "z"))
+        .collect()
+    }
+    join_df = inverse_scale_expr(
+        scale_expr(df, scalers, "uid", "value", out_col="z"),
+        scalers, "uid", "z", out_col="recon",
+    )
+    join_out = {r["rid"]: (r["z"], r["recon"]) for r in join_df.collect()}
+    assert join_out == udf_out  # same IEEE ops -> bit-identical
+
+    plan = join_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    for py_stage in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                     "FlatMapGroupsInPandas"):
+        assert py_stage not in plan, py_stage
+
+    shuffled = inverse_scale_expr(
+        scale_expr(df, scalers, "uid", "value", out_col="z", broadcast=False),
+        scalers, "uid", "z", out_col="recon", broadcast=False,
+    )
+    assert {r["rid"]: (r["z"], r["recon"]) for r in shuffled.collect()} == udf_out

@@ -282,6 +282,28 @@ def q_zscore_roundtrip(spark, sf_dir):
     )
 
 
+def q_scale_join_roundtrip(spark, sf_dir):
+    """F11 via the COLLECT-FREE table-join path (functions/scaling
+    scale_expr + inverse_scale_expr): the fitted scalers stay a DataFrame
+    end-to-end — broadcast-hash-joined into both the scale and the
+    inverse expression, nothing ever touches the driver (the scale twin
+    of quantize_with_edges; round-5 VERDICT item). Same roundtrip
+    accounting as zscore_roundtrip, so the same SQL oracle applies; the
+    no-collect plan shape is pinned in tests/test_scale_paths.py."""
+    from .functions.scaling import fit_scalers, inverse_scale_expr, scale_expr
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "uid", F.col("user_id").cast("string")
+    )
+    scalers = fit_scalers(ev, "uid", "value")
+    z = scale_expr(ev, scalers, "uid", "value", out_col="z")
+    out = inverse_scale_expr(z, scalers, "uid", "z", out_col="recon")
+    return out.groupBy("user_id").agg(
+        F.sum((F.abs(F.col("recon") - F.col("value")) > 1e-9).cast("long")).alias("n_bad"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_chron_split(spark, sf_dir):
     """W6: chronological 70/10/20 split via percent_rank per user."""
     ev = load(spark, sf_dir, "events")
@@ -1633,6 +1655,26 @@ def q_ngram_contamination(spark, sf_dir):
     )
 
 
+def q_span_contamination(spark, sf_dir):
+    """Verbatim-SPAN contamination (operators/dedup.span_contamination):
+    same even/odd train-eval split as ngram_contamination, but reporting
+    the longest run of consecutive contaminated 3-gram positions per eval
+    doc in TOKENS — the 'verbatim overlap >= N tokens' decontamination
+    rule that a diluted shingle fraction misses. The oracle rebuilds the
+    positional gram space exhaustively and runs the same gaps-and-islands
+    (pos - row_number) grouping in SQL."""
+    from .operators.dedup import span_contamination
+
+    docs = load(spark, sf_dir, "documents")
+    return span_contamination(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "doc_id",
+        w=3,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
 def q_session_agg(spark, sf_dir):
     """Native session_window aggregation (operators/session.session_agg —
     the per-SESSION form; sessionize is the per-event twin): maximal
@@ -2367,6 +2409,40 @@ SELECT ev.doc_id,
        round(coalesce(hits.n_hit, 0) / CAST(len(ev.h) AS DOUBLE), 6) AS contamination
 FROM ev LEFT JOIN hits ON ev.doc_id = hits.doc_id
 """,
+    "span_contamination": """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents),
+sh AS (
+  SELECT doc_id, len(words) AS n_words,
+         CASE WHEN len(words) >= 3
+              THEN list_transform(range(1, len(words) - 1),
+                     i -> struct_pack(pos := i, s := array_to_string(words[i:i+2], ' ')))
+              ELSE [struct_pack(pos := 1, s := array_to_string(words, ' '))] END AS pl
+  FROM w),
+tr AS (
+  SELECT DISTINCT CAST(concat('0x', substr(md5(ps.s), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT unnest(pl) AS ps FROM sh WHERE doc_id % 2 = 0)),
+ev AS (SELECT doc_id, n_words, len(pl) AS n_grams, pl FROM sh WHERE doc_id % 2 = 1),
+hx AS (
+  SELECT doc_id, ps.pos AS pos
+  FROM (SELECT doc_id, unnest(pl) AS ps FROM ev) e
+  WHERE CAST(concat('0x', substr(md5(ps.s), 1, 15)) AS BIGINT) IN (SELECT h FROM tr)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hx),
+runs AS (
+  SELECT doc_id, max(run) AS max_run, sum(run) AS n_hit
+  FROM (SELECT doc_id, grp, count(*) AS run FROM isl GROUP BY 1, 2)
+  GROUP BY 1)
+SELECT ev.doc_id,
+       CAST(ev.n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(runs.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(CASE WHEN runs.max_run IS NULL THEN 0
+                 ELSE least(runs.max_run + 2, ev.n_words) END AS BIGINT) AS max_span_tokens
+FROM ev LEFT JOIN runs ON ev.doc_id = runs.doc_id
+""",
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "multimodal_features": """
         SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -2527,6 +2603,22 @@ FROM o
                round(stddev_pop(value), 6) AS std_value,
                CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY 1
+    """,
+    "scale_join_roundtrip": """
+        WITH s AS (
+          SELECT user_id, value,
+                 avg(value) OVER (PARTITION BY user_id) AS mu,
+                 stddev_pop(value) OVER (PARTITION BY user_id) AS sd
+          FROM events),
+        r AS (
+          SELECT user_id, value,
+                 ((value - mu) / (CASE WHEN sd = 0 THEN 1.0 ELSE sd END))
+                   * (CASE WHEN sd = 0 THEN 1.0 ELSE sd END) + mu AS recon
+          FROM s)
+        SELECT user_id,
+               CAST(sum(CASE WHEN abs(recon - value) > 1e-9 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+               CAST(count(*) AS BIGINT) AS n
+        FROM r GROUP BY 1
     """,
     "zscore_roundtrip": """
         WITH s AS (
@@ -2859,6 +2951,7 @@ QUERIES = {
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ngram_contamination": q_ngram_contamination,
+    "span_contamination": q_span_contamination,
     "corpus_report": q_corpus_report,
     "jaccard_topk": q_jaccard_topk,
     "asof_join": q_asof_join,
@@ -2869,7 +2962,6 @@ QUERIES = {
     "sessionize": q_sessionize,
     "session_agg": q_session_agg,
     "dedup_clusters": q_dedup_clusters,
-    "ann_bruteforce": q_ann_bruteforce,
     "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -2883,7 +2975,6 @@ QUERIES = {
     "shard_packing": q_shard_packing,
     "quantile_edges": q_quantile_edges,
     "gapfill_locf": q_gapfill_locf,
-    "gapfill_interp": q_gapfill_interp,
     "tpe_compression": q_tpe_compression,
     "tpe_models_roundtrip": q_tpe_models_roundtrip,
     "adaptive_quantize": q_adaptive_quantize,
@@ -2895,6 +2986,7 @@ QUERIES = {
     "hist_p95_cascade": q_hist_p95_cascade,
     "kll_p95_cascade": q_kll_p95_cascade,
     "heavy_hitters_cascade": q_heavy_hitters_cascade,
+    "scale_join_roundtrip": q_scale_join_roundtrip,
     "counter_rate": q_counter_rate,
     "rolling_zscore": q_rolling_zscore,
     "ewma": q_ewma,
@@ -2908,6 +3000,8 @@ QUERIES = {
     "dequantize_recon": q_dequantize_recon,
     "multimodal_features": q_multimodal_features,
     "cosine_near_dup": q_cosine_near_dup,
+    "ann_bruteforce": q_ann_bruteforce,
+    "gapfill_interp": q_gapfill_interp,
     "cube_counts": q_cube_counts,
     "set_ops": q_set_ops,
     "distinct_counts": q_distinct_counts,

@@ -786,6 +786,74 @@ def ngram_contamination(
     )
 
 
+def span_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    w: int = 3,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """VERBATIM-SPAN contamination: per eval doc, the longest run of
+    consecutive w-gram positions whose grams all appear in the training
+    corpus — in tokens. ngram_contamination answers "what FRACTION of
+    eval shingles leaked"; a long verbatim quote inside a long doc
+    dilutes that fraction while still being a disqualifying leak. This is
+    the companion check real decontamination runs (e.g. the 'verbatim
+    overlap of >= N tokens' rule): a max_span_tokens at or near the doc
+    length is a copy, regardless of the fraction.
+
+    Same linear scale shape as ngram_contamination: train reduces to
+    DISTINCT 60-bit gram hashes (ints, never text), eval grams explode
+    WITH POSITION, one semi-join marks contaminated positions, and a
+    gaps-and-islands window (pos - row_number) finds the longest
+    consecutive run per doc. No Python anywhere in the plan.
+
+    Returns (id_col, n_grams, n_hit, max_span_tokens); span converts from
+    gram-run length L to tokens as min(L + w - 1, n_words) — the min
+    handles the shorter-than-w doc branch, whose single whole-text gram
+    can only ever span the doc itself."""
+    from pyspark.sql import Window as W
+
+    tr = (
+        shingle_sets(train, id_col, text_col, w, parallelism)
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+    )
+    words = F.split(F.lower(F.trim(text_col)), r"\s+")
+    ev = eval_df.select(
+        F.col(id_col).alias("id"),
+        F.size(words).alias("n_words"),
+        shingle_hashes(word_shingles(text_col, w)).alias("hp"),
+    )
+    pos = ev.select(
+        "id", F.posexplode("hp").alias("pos", "h")
+    ).join(tr, "h", "left_semi")
+    isl = pos.withColumn(
+        "grp", F.col("pos") - F.row_number().over(W.partitionBy("id").orderBy("pos"))
+    )
+    runs = (
+        isl.groupBy("id", "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+        .groupBy("id")
+        .agg(F.max("run").alias("max_run"), F.sum("run").alias("n_hit"))
+    )
+    return (
+        ev.select("id", "n_words", F.size("hp").alias("n_grams"))
+        .join(runs, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.when(
+                F.col("max_run").isNull(), F.lit(0)
+            ).otherwise(
+                F.least(F.col("max_run") + F.lit(w - 1), F.col("n_words"))
+            ).cast("long").alias("max_span_tokens"),
+        )
+    )
+
+
 def jaccard_topk(
     df: DataFrame,
     id_col: str,
