@@ -149,11 +149,12 @@ def incremental_refresh_bench(spark) -> dict:
         # history: all but the newest day (setup, untimed)
         refresh_tiers(
             spark, raw5.filter(F.to_date("ts") < F.lit(days[-1])), store,
-            with_hll=False, with_hist=False,
+            with_hll=False, with_hist=False, with_kll=False,
         )
         t0 = time.time()
         refresh_tiers(
-            spark, raw5, store, days=[days[-1]], with_hll=False, with_hist=False
+            spark, raw5, store, days=[days[-1]],
+            with_hll=False, with_hist=False, with_kll=False,
         )
         incr_s = time.time() - t0
 

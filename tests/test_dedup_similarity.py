@@ -637,3 +637,34 @@ def test_span_contamination_planted(spark):
     assert got[5] == (7, 0, 0)
     # doc 7: < w tokens -> single whole-text gram, span capped at n_words
     assert got[7] == (1, 1, 2)
+
+def test_ivf_default_recall_floor(spark):
+    """Documented-default IVF setting (n_probe=4 of 16 cells) must hold
+    recall@10 >= 0.9 against brute force on a clustered corpus — the
+    regime IVF is for (BENCH/ann_recall.json records the full curve,
+    including the near-isotropic sf-embeddings regime where recall
+    necessarily tracks the probed fraction)."""
+    import numpy as np
+
+    from timeseriestokenizer_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_centroids,
+    )
+
+    rng = np.random.RandomState(31)
+    centers = rng.normal(0, 1, (16, 24))
+    vecs = [
+        (i, (centers[i % 16] + rng.normal(0, 0.15, 24)).astype(float).tolist())
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>").cache()
+    q = df.filter("vec_id < 25").cache()
+    truth = {
+        (r["query_id"], r["cand_id"])
+        for r in brute_force_topk(df, q, k=10).collect()
+    }
+    cent = train_centroids(df, n_cells=16)
+    got = ivf_topk(df, q, cent, k=10, n_probe=4).collect()
+    recall = sum((r["query_id"], r["cand_id"]) in truth for r in got) / (25 * 10)
+    assert recall >= 0.9, recall

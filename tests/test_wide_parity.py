@@ -86,3 +86,36 @@ def test_insert_drift_semantics():
     """The raw-index insert drift (SURVEY §4.3.5) — verbatim reference quirk."""
     out = O.insert_special_tokens([10, 11, 12, 13], {0: 99, 2: 99})
     assert out == [99, 10, 99, 11, 12, 13]  # second special drifts before 11
+
+
+def test_wide_321_columns(spark):
+    """Electricity-width fanout (reference process_all_results.py:32: 321
+    value columns): the melt + grouped per-column chain must emit one
+    artifact row per column and match the numpy oracle bit-for-bit on
+    sampled columns at this width — the shape where grouped-map dispatch
+    and melt fanout could regress. Wall at 2000 rows is recorded by
+    tools/bench_wide.py (BENCH/wide321.json)."""
+    n_rows, n_cols = 200, 321
+    ts = pd.date_range("2026-01-01 07:00:00", periods=n_rows, freq="h")
+    h = np.arange(n_rows)
+    rng = np.random.RandomState(41)
+    data = {"date": ts}
+    for i in range(n_cols):
+        data[f"MT_{i:03d}"] = (
+            np.sin(2 * np.pi * h / 24 + i) * (1 + i % 9)
+            + 0.1 * rng.standard_normal(n_rows)
+        )
+    pdf = pd.DataFrame(data)
+    wide = spark.createDataFrame(pdf)
+    assert len(wide.columns) == n_cols + 1
+    art = {r["series_id"]: r for r in tokenize_wide(wide, N=50, target_vocab=150).collect()}
+    assert len(art) == n_cols
+    for col in ("MT_000", "MT_160", "MT_320"):
+        mean, std, edges, base, model, encoded = _oracle_column(
+            pdf[col].to_numpy(np.float64), ts.to_numpy(), 50, 150
+        )
+        r = art[col]
+        assert (r["mean"], r["std"]) == (mean, std)
+        assert r["edges"] == list(map(float, edges))
+        assert list(r["base_tokens"]) == [int(x) for x in base]
+        assert list(r["encoded_tokens"]) == [int(x) for x in encoded]

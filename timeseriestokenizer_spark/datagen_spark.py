@@ -23,6 +23,7 @@ def transcripts_spark(
     avg_len: int = 200,
     seed: int = 42,
     n_partitions: int | None = None,
+    span_days: int = 30,
 ) -> DataFrame:
     n_partitions = n_partitions or spark.sparkContext.defaultParallelism * 2
     convs = spark.range(0, C, 1, n_partitions).select(
@@ -32,7 +33,7 @@ def transcripts_spark(
     conv_h = F.abs(F.xxhash64("conv_index", F.lit(seed)))
     convs = convs.withColumn(
         "conv_len", (F.lit(avg_len // 2) + conv_h % len_span).cast("int")
-    ).withColumn("conv_start_s", (conv_h % (86400 * 30)).cast("long"))
+    ).withColumn("conv_start_s", (conv_h % (86400 * int(span_days))).cast("long"))
 
     turns = convs.select(
         "conv_index",
