@@ -278,3 +278,44 @@ def test_lttb_downsample(spark):
         assert g["ts"].is_monotonic_increasing
         src = df.filter(F.col("conv_id") == sid).orderBy("ts").collect()
         assert g.iloc[0]["ts"] == src[0]["ts"] and g.iloc[-1]["ts"] == src[-1]["ts"]
+
+
+def test_paa_sax_semantics_and_plan(spark):
+    """PAA+SAX (operators/downsample.paa_sax): a pure sine series maps to
+    the expected coarse symbol shape (high segments 'd', low 'a', near-zero
+    crossings 'b'/'c' with a=4); a constant series z-normalizes to all-'c';
+    segment sizes are balanced; the whole query is JVM-only."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from timeseriestokenizer_spark.operators.downsample import paa_sax
+
+    base = pd.Timestamp("2026-07-01")
+    rows = []
+    n = 160
+    for i in range(n):
+        rows.append(("sine", (base + pd.Timedelta(seconds=i)).to_pydatetime(),
+                     float(np.sin(2 * np.pi * i / n))))
+        rows.append(("flat", (base + pd.Timedelta(seconds=i)).to_pydatetime(), 7.5))
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp, value double")
+    out = paa_sax(df, n_segments=16, alphabet=4)
+    got = {
+        (r["conv_id"], r["segment"]): (r["paa"], r["n_pts"], r["symbol"])
+        for r in out.collect()
+    }
+    assert len(got) == 32
+    assert all(got[k][1] == 10 for k in got)  # 160/16 balanced segments
+    assert all(got[("flat", s)][2] == "c" and got[("flat", s)][0] == 0.0
+               for s in range(16))
+    # sine: one full period over 16 segments -> peak quarter 'd', trough 'a'
+    sine_syms = "".join(got[("sine", s)][2] for s in range(16))
+    assert sine_syms[2:4] == "dd" and sine_syms[10:12] == "aa"
+    assert set(sine_syms) == {"a", "b", "c", "d"}
+    # z-normalized PAA means must average ~0 across segments
+    assert abs(sum(got[("sine", s)][0] for s in range(16))) < 1e-3
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for py_stage in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                     "FlatMapGroupsInPandas"):
+        assert py_stage not in plan, py_stage

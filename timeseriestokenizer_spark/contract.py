@@ -1490,6 +1490,23 @@ def q_kll_p95_cascade(spark, sf_dir):
     )
 
 
+def q_paa_sax(spark, sf_dir):
+    """PAA + SAX symbolic downsampling (operators/downsample.paa_sax, Lin
+    et al. 2003): per user series, z-normalize, average into 16 equal
+    segments, map each 6-dp-rounded segment mean to an a=4 letter via the
+    published standard-normal breakpoints. Pure Catalyst — two windows +
+    one groupBy; the letter derives from the ROUNDED paa so it is a pure
+    function of the emitted column (the order-dependent-aggregate float
+    rule). Oracle recomputes the identical formulas in SQL."""
+    from .operators.downsample import paa_sax
+
+    ev = load(spark, sf_dir, "events")
+    return paa_sax(
+        ev, key="user_id", ts_col="ts", val_col="value",
+        n_segments=16, alphabet=4,
+    )
+
+
 def q_heavy_hitters_cascade(spark, sf_dir):
     """Top-10 users per day from CASCADED Misra-Gries heavy-hitter state
     (operators/heavy.py): 1h summaries built from raw, MERGED up to 1d,
@@ -2357,6 +2374,28 @@ WITH r AS (
 SELECT bucket_ts, min(value) AS p95, CAST(max(n) AS BIGINT) AS n_vals
 FROM r WHERE rn >= 0.95 * n GROUP BY bucket_ts
 """,
+    "paa_sax": """
+WITH p AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, value) - 1 AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         avg(value) OVER (PARTITION BY user_id) AS mu,
+         stddev_pop(value) OVER (PARTITION BY user_id) AS sd
+  FROM events),
+z AS (
+  SELECT user_id,
+         (value - mu) / (CASE WHEN sd = 0 THEN 1.0 ELSE sd END) AS zv,
+         CAST((rn * 16) // n AS INT) AS segment
+  FROM p),
+g AS (
+  SELECT user_id, segment, round(avg(zv), 6) AS paa, count(*) AS n_pts
+  FROM z GROUP BY 1, 2)
+SELECT user_id, segment, paa, n_pts,
+       substr('abcd', (CASE WHEN paa >= -0.6744897502 THEN 1 ELSE 0 END)
+                    + (CASE WHEN paa >= 0.0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN paa >= 0.6744897502 THEN 1 ELSE 0 END) + 1, 1) AS symbol
+FROM g
+""",
     # exact daily top-10 — valid as the MG oracle because the sf0.01
     # regime never evicts a counter (err = 0, counts exact)
     "heavy_hitters_cascade": """
@@ -2974,7 +3013,6 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "shard_packing": q_shard_packing,
     "quantile_edges": q_quantile_edges,
-    "gapfill_locf": q_gapfill_locf,
     "tpe_compression": q_tpe_compression,
     "tpe_models_roundtrip": q_tpe_models_roundtrip,
     "adaptive_quantize": q_adaptive_quantize,
@@ -2986,6 +3024,7 @@ QUERIES = {
     "hist_p95_cascade": q_hist_p95_cascade,
     "kll_p95_cascade": q_kll_p95_cascade,
     "heavy_hitters_cascade": q_heavy_hitters_cascade,
+    "paa_sax": q_paa_sax,
     "scale_join_roundtrip": q_scale_join_roundtrip,
     "counter_rate": q_counter_rate,
     "rolling_zscore": q_rolling_zscore,
@@ -3002,6 +3041,7 @@ QUERIES = {
     "cosine_near_dup": q_cosine_near_dup,
     "ann_bruteforce": q_ann_bruteforce,
     "gapfill_interp": q_gapfill_interp,
+    "gapfill_locf": q_gapfill_locf,
     "cube_counts": q_cube_counts,
     "set_ops": q_set_ops,
     "distinct_counts": q_distinct_counts,

@@ -111,3 +111,87 @@ def lttb_downsample(
             )
 
     return packed.mapInPandas(_run, LTTB_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# PAA + SAX (Lin, Keogh, Lonardi, Chiu 2003: "A Symbolic Representation of
+# Time Series") — the canonical time-series-to-tokens reduction: z-normalize
+# per series, average into S equal segments (PAA), map each segment mean to
+# a letter via standard-normal breakpoints (SAX). The reference tokenizes by
+# value-quantile bins; SAX is the published symbolic cousin a time-series
+# engine is expected to serve (motif/novelty search, cheap indexing).
+# Graft-new: the reference has no symbolic representation.
+# ---------------------------------------------------------------------------
+
+# standard-normal quantiles at i/a (the published SAX breakpoint table)
+SAX_BREAKPOINTS = {
+    3: [-0.4307272993, 0.4307272993],
+    4: [-0.6744897502, 0.0, 0.6744897502],
+    5: [-0.8416212336, -0.2533471031, 0.2533471031, 0.8416212336],
+    6: [-0.9674215661, -0.4307272993, 0.0, 0.4307272993, 0.9674215661],
+    7: [-1.0675705242, -0.5659488219, -0.1800123698,
+        0.1800123698, 0.5659488219, 1.0675705242],
+    8: [-1.1503493804, -0.6744897502, -0.3186393639, 0.0,
+        0.3186393639, 0.6744897502, 1.1503493804],
+}
+
+
+def paa_sax(
+    df,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    n_segments: int = 16,
+    alphabet: int = 4,
+):
+    """Per-series PAA + SAX, entirely in Catalyst (two window passes + one
+    groupBy; no Python anywhere):
+
+      z_i   = (x_i - mean_series) / stddev_pop_series   (0 std -> 1.0)
+      seg_i = (rank_i * S) div n                        (0-based, exact ints)
+      paa_s = round(avg(z_i in seg), 6)
+      sym_s = letter[#breakpoints <= paa_s]
+
+    The symbol derives from the ROUNDED segment mean so the letter is a
+    pure function of the emitted paa column (engines' last-ulp summation
+    differences cannot flip a letter without flipping the recorded paa
+    first — the contract-row float rule for order-dependent aggregates).
+    Returns (key, segment, paa, n_pts, symbol), S rows per series: the
+    n/S-fold reduction that makes symbolic indexes cheap at 100 TB."""
+    from pyspark.sql import Window as W
+
+    if alphabet not in SAX_BREAKPOINTS:
+        raise ValueError(f"alphabet must be one of {sorted(SAX_BREAKPOINTS)}")
+    S = int(n_segments)
+    wk = W.partitionBy(key)
+    wo = wk.orderBy(ts_col, val_col)
+    z = (
+        df.withColumn("_mu", F.avg(val_col).over(wk))
+        .withColumn(
+            "_sd",
+            F.when(F.stddev_pop(val_col).over(wk) == 0.0, F.lit(1.0)).otherwise(
+                F.stddev_pop(val_col).over(wk)
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(wo) - 1)
+        .withColumn("_n", F.count(F.lit(1)).over(wk))
+        .select(
+            key,
+            ((F.col(val_col) - F.col("_mu")) / F.col("_sd")).alias("_z"),
+            F.expr(f"(_rn * {S}) div _n").cast("int").alias("segment"),
+        )
+    )
+    seg = z.groupBy(key, "segment").agg(
+        F.round(F.avg("_z"), 6).alias("paa"),
+        F.count(F.lit(1)).alias("n_pts"),
+    )
+    bps = SAX_BREAKPOINTS[alphabet]
+    letters = "abcdefgh"[:alphabet]
+    bin_expr = F.aggregate(
+        F.array(*[F.lit(float(b)) for b in bps]),
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col("paa") >= b, 1).otherwise(0),
+    )
+    return seg.withColumn(
+        "symbol", F.substring(F.lit(letters), bin_expr + 1, 1)
+    )
