@@ -58,6 +58,12 @@ EXTRA = [
     "hist_p95_cascade",
     "asof_join_nulls",
     "lttb_downsample",
+    # round-5 rows
+    "kll_p95_cascade",
+    "heavy_hitters_cascade",
+    "holt_winters",
+    "span_contamination",
+    "paa_sax",
 ]
 
 BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "20000"))
@@ -149,12 +155,12 @@ def incremental_refresh_bench(spark) -> dict:
         # history: all but the newest day (setup, untimed)
         refresh_tiers(
             spark, raw5.filter(F.to_date("ts") < F.lit(days[-1])), store,
-            with_hll=False, with_hist=False, with_kll=False,
+            with_hll=False, with_hist=False, with_kll=False, with_heavy=False,
         )
         t0 = time.time()
         refresh_tiers(
             spark, raw5, store, days=[days[-1]],
-            with_hll=False, with_hist=False, with_kll=False,
+            with_hll=False, with_hist=False, with_kll=False, with_heavy=False,
         )
         incr_s = time.time() - t0
 

@@ -377,3 +377,25 @@ def test_incremental_kll_tiers(spark, tmp_path):
         n = len(srt)
         idx = int(np.searchsorted(np.arange(1, n + 1), 0.95 * n, side="left"))
         assert got_1d[d] == (float(srt[min(idx, n - 1)]), n), d
+
+def test_incremental_heavy_tiers(spark, tmp_path):
+    """Heavy-hitter tiers refresh incrementally: refreshed heavy_1d state
+    answers the same top-5 as a from-scratch cascade, exactly, in the
+    no-eviction regime."""
+    from timeseriestokenizer_spark.operators.heavy import heavy_cascade, heavy_topk
+
+    store = str(tmp_path / "store")
+    raw = transcripts_df(spark, C=25, seed=9)
+    refresh_tiers(spark, raw, store, with_hll=False, with_hist=False, with_kll=False)
+
+    scratch = heavy_cascade(raw, "conv_id", "ts")
+    got = _rows(
+        heavy_topk(read_tier(spark, store, "heavy_1d"), 5),
+        ["bucket_ts", "key", "est_count", "rank", "n", "err"],
+    )
+    exp = _rows(
+        heavy_topk(scratch["1d"], 5),
+        ["bucket_ts", "key", "est_count", "rank", "n", "err"],
+    )
+    assert got == exp and got
+    assert all(r[5] == 0 for r in got)  # exact regime: err == 0

@@ -820,12 +820,20 @@ def span_contamination(
         .select(F.explode("hs").alias("h"))
         .distinct()
     )
+    if parallelism:
+        # same single-row-group trap as shingle_sets: without a spread the
+        # eval side's positional md5 hashing pins to the source's (often
+        # one) scan task — measured 7.1 s -> sub-second at sf0.1
+        eval_df = eval_df.repartition(parallelism, id_col)
     words = F.split(F.lower(F.trim(text_col)), r"\s+")
+    # cached for the same reason as shingle_sets: the positional explode
+    # AND the final all-docs base both read it — uncached, the eval-side
+    # md5 hashing runs twice (once per side of the left join)
     ev = eval_df.select(
         F.col(id_col).alias("id"),
         F.size(words).alias("n_words"),
         shingle_hashes(word_shingles(text_col, w)).alias("hp"),
-    )
+    ).cache()
     pos = ev.select(
         "id", F.posexplode("hp").alias("pos", "h")
     ).join(tr, "h", "left_semi")

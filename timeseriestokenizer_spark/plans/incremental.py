@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from ..operators.heavy import heavy_rollup_from_finer, heavy_rollup_tier
 from ..operators.kll import kll_rollup_from_finer, kll_rollup_tier
 from ..operators.rollup import (
     TIERS,
@@ -183,6 +184,8 @@ def refresh_day(
     with_hist: bool = True,
     with_kll: bool = True,
     kll_k: int = 512,
+    with_heavy: bool = True,
+    mg_k: int = 256,
 ) -> dict:
     """Refresh every tier's ``day=<day>`` partition (and the conv-state
     snapshot ``through=<day>``) from that day's raw rows + the previous
@@ -278,6 +281,26 @@ def refresh_day(
             prev_cache = kll
         prev_cache.unpersist()
 
+    if with_heavy:
+        hh, prev_cache = None, None
+        for i, tier in enumerate(TIER_ORDER):
+            hh = (
+                heavy_rollup_tier(signals, tier, key, "ts", mg_k)
+                if i == 0
+                else heavy_rollup_from_finer(hh, tier, mg_k)
+            ).persist()
+            hh.write.mode("overwrite").parquet(
+                os.path.join(store_root, f"heavy_{tier}", f"day={day}")
+            )
+            commit_partition(
+                spark, manifest, "incremental", f"heavy_{tier}", day,
+                hh.count(), wall_s=time.time() - t0,
+            )
+            if prev_cache is not None:
+                prev_cache.unpersist()
+            prev_cache = hh
+        prev_cache.unpersist()
+
     # state through this day = merge(previous state, today's last turn)
     day_max = signals.groupBy("conv_id").agg(F.max("ts").alias("last_ts"))
     if prev_state is not None:
@@ -311,6 +334,8 @@ def refresh_days_batch(
     with_hist: bool = True,
     with_kll: bool = True,
     kll_k: int = 512,
+    with_heavy: bool = True,
+    mg_k: int = 256,
 ) -> dict:
     """Refresh a CONTIGUOUS run of days as ONE cascade — the bulk-load /
     backfill path. The per-day loop costs O(days) Spark job rounds (fine
@@ -473,6 +498,35 @@ def refresh_days_batch(
             prev_cache = kll
         prev_cache.unpersist()
 
+    if with_heavy:
+        hh, prev_cache = None, None
+        for i, tier in enumerate(TIER_ORDER):
+            hh = (
+                heavy_rollup_tier(signals, tier, key, "ts", mg_k)
+                if i == 0
+                else heavy_rollup_from_finer(hh, tier, mg_k)
+            ).persist()
+            hh.withColumn("day", F.to_date("bucket_ts")).write.mode(
+                "overwrite"
+            ).option("partitionOverwriteMode", "dynamic").partitionBy(
+                "day"
+            ).parquet(os.path.join(store_root, f"heavy_{tier}"))
+            per_day = {
+                str(r["d"]): r["n"]
+                for r in hh.groupBy(F.to_date("bucket_ts").alias("d"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            for d in days:
+                commit_partition(
+                    spark, manifest, "incremental", f"heavy_{tier}", d,
+                    per_day.get(d, 0), wall_s=time.time() - t0,
+                )
+            if prev_cache is not None:
+                prev_cache.unpersist()
+            prev_cache = hh
+        prev_cache.unpersist()
+
     batch_max = signals.groupBy("conv_id").agg(F.max("ts").alias("last_ts"))
     merged = (
         prev_state.unionByName(batch_max)
@@ -506,6 +560,8 @@ def refresh_tiers(
     with_hist: bool = True,
     with_kll: bool = True,
     kll_k: int = 512,
+    with_heavy: bool = True,
+    mg_k: int = 256,
 ) -> list[dict]:
     """Refresh the tier store for ``days`` (default: stale_days — new days
     plus days whose raw count changed). Days run in ascending order so each
@@ -537,13 +593,13 @@ def refresh_tiers(
         return [
             refresh_days_batch(
                 spark, raw, store_root, days, key, ts_col, with_hll, lg_k,
-                with_hist, with_kll, kll_k,
+                with_hist, with_kll, kll_k, with_heavy, mg_k,
             )
         ]
     return [
         refresh_day(
             spark, raw, store_root, d, key, ts_col, with_hll, lg_k, with_hist,
-            with_kll, kll_k,
+            with_kll, kll_k, with_heavy, mg_k,
         )
         for d in days
     ]

@@ -60,12 +60,12 @@ def main():
         try:
             refresh_tiers(
                 spark, raw.filter(F.to_date("ts") < F.lit(new_day)), store,
-                with_hll=False, with_hist=False, with_kll=False,
+                with_hll=False, with_hist=False, with_kll=False, with_heavy=False,
             )
             t0 = time.time()
             refresh_tiers(
                 spark, raw, store, days=[new_day],
-                with_hll=False, with_hist=False, with_kll=False,
+                with_hll=False, with_hist=False, with_kll=False, with_heavy=False,
             )
             incr_s = time.time() - t0
 
