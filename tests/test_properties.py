@@ -171,3 +171,63 @@ def test_lttb_properties(spark):
         assert sel == sorted(set(sel))
         assert sel[0] == 0 and sel[-1] == n - 1
         assert len(sel) == min(n, t) or (t >= n and len(sel) == n)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e9, max_value=1e9, allow_nan=False),
+        min_size=1, max_size=3000,
+    ),
+    st.integers(min_value=8, max_value=128),
+    st.floats(min_value=0.01, max_value=0.99),
+)
+def test_kll_rank_bound_property(values, k, p):
+    """For ARBITRARY inputs and k: total weight == n exactly, and the
+    returned quantile's true rank is within 2/ sqrt... conservatively 3/k
+    + 1/n of p (the KLL guarantee with a wide safety factor — the measured
+    constant is far smaller)."""
+    from timeseriestokenizer_spark.operators.kll import KllSketch
+
+    sk = KllSketch(k)
+    arr = np.asarray(values, dtype=np.float64)
+    for chunk in np.array_split(arr, max(1, len(arr) // 97)):
+        sk.update_batch(chunk)
+    total_w = sum(len(lv) * (1 << i) for i, lv in enumerate(sk.levels))
+    assert total_w == sk.n == len(arr)
+    est = sk.quantile(p)
+    srt = np.sort(arr)
+    lo = np.searchsorted(srt, est, side="left") / len(srt)
+    hi = np.searchsorted(srt, est, side="right") / len(srt)
+    slack = 3.0 / k + 1.0 / len(arr) + 1e-9
+    assert lo - slack <= p <= hi + slack, (p, lo, hi, k)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=4000),
+    st.integers(min_value=4, max_value=64),
+)
+def test_misra_gries_bounds_property(keys, k):
+    """For ARBITRARY key streams and k: every reported count is in
+    [true - err, true], err <= floor(n/(k+1)) per shrink level summed, and
+    every key with true count > err is present."""
+    import pandas as pd
+
+    from timeseriestokenizer_spark.operators.heavy import _shrink
+
+    total, err = {}, 0
+    arr = np.asarray(keys, dtype=object)
+    for chunk in np.array_split(arr, max(1, len(arr) // 131)):
+        vc = pd.Series(chunk).value_counts()
+        part, d0 = _shrink({str(i): int(v) for i, v in vc.items()}, k)
+        for key, c in part.items():
+            total[key] = total.get(key, 0) + c
+        total, d = _shrink(total, k)
+        err += d0 + d
+    true = pd.Series([str(x) for x in keys]).value_counts().to_dict()
+    for key, est in total.items():
+        assert est <= true[key] <= est + err, key
+    for key, t in true.items():
+        if t > err:
+            assert key in total, (key, t, err)

@@ -168,3 +168,42 @@ def test_explode_sequence_columns_matches_pandas(spark, tmp_path):
 
     job_main(["--input", src, "--output", out, "--repartition", "4"])
     assert spark.read.parquet(out).count() == 6  # 3 + 2 + 1 NULL row
+
+
+def test_streaming_kll_matches_batch(spark, tmp_path):
+    """foreachBatch KLL state merge (streaming/rollup_stream.stream_kll_1m):
+    the stream-built per-minute sketch store answers the same p95 as a
+    batch kll_rollup_tier over the same rows — across MULTIPLE micro
+    batches (two source files => the second batch must merge with stored
+    state, not replace it), in the exact regime."""
+    from timeseriestokenizer_spark.operators.kll import kll_percentile, kll_rollup_tier
+    from timeseriestokenizer_spark.streaming.rollup_stream import stream_kll_1m
+
+    rng = np.random.RandomState(43)
+    base = pd.Timestamp("2026-07-01")
+    rows = [
+        (
+            (base + pd.Timedelta(seconds=int(rng.randint(0, 1800)))).to_pydatetime(),
+            float(np.round(rng.uniform(0, 9), 3)),
+        )
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, latency_s double")
+    src = str(tmp_path / "kll_src")
+    # two files -> two availableNow micro-batches with maxFilesPerTrigger
+    df.limit(200).coalesce(1).write.mode("append").parquet(src)
+    df.subtract(df.limit(200)).coalesce(1).write.mode("append").parquet(src)
+
+    store = str(tmp_path / "kll_store")
+    state = stream_kll_1m(
+        spark, src, df.schema, str(tmp_path / "kll_ckpt"), store
+    )
+    got = {
+        r["bucket_ts"]: (r["p95_est"], r["n"])
+        for r in kll_percentile(state, 0.95).collect()
+    }
+    exp = {
+        r["bucket_ts"]: (r["p95_est"], r["n"])
+        for r in kll_percentile(kll_rollup_tier(df, "1m", "latency_s"), 0.95).collect()
+    }
+    assert got == exp and got

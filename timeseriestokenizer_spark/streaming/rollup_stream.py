@@ -177,3 +177,73 @@ def streaming_histogram_1m(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("bucket_ts"), "bin", "n")
     )
+
+
+def stream_kll_1m(
+    spark,
+    input_dir: str,
+    schema,
+    checkpoint_dir: str,
+    store_path: str,
+    val_col: str = "latency_s",
+    k: int = 512,
+):
+    """Streaming KLL quantile tier: foreachBatch incremental sketch merge.
+
+    Unlike counts/histograms, a KLL sketch is not a Catalyst aggregate, so
+    the streaming form is the foreachBatch state-merge pattern (the same
+    one Delta/Iceberg MERGE streaming pipelines use): each micro-batch
+    builds PARTIAL sketches for the 1-minute buckets it touched
+    (operators/kll.kll_rollup_tier on the batch frame — map-side partials,
+    only sketch rows shuffle), unions them with the stored per-bucket
+    state, re-merges, and swaps the store atomically (dot-prefixed temp,
+    the compact_store crash-safety pattern). State(bucket) =
+    merge(old_state, batch_partial) is exactly the cascade/refresh merge,
+    so stream-built state equals a batch build over the same rows
+    (pytest-pinned in the exact regime; rank-bounded beyond).
+
+    At scale the store is day-partitioned and only TOUCHED day partitions
+    rewrite (buckets arrive nearly-ordered under a watermark); the full
+    rewrite here keeps the sandbox twin simple and the semantics
+    identical. Restart-safe: checkpoint tracks the input offsets, and the
+    merge is idempotent per batch only if each batch lands once —
+    availableNow + checkpoint gives exactly-once batch delivery."""
+    import os
+    import shutil
+
+    from ..operators.kll import _merge_groups, kll_rollup_tier
+
+    def _merge_batch(batch_df, batch_id):
+        if not batch_df.head(1):
+            return
+        partial = kll_rollup_tier(batch_df, "1m", val_col, k)
+        sess = batch_df.sparkSession
+        if os.path.isdir(store_path):
+            old = sess.read.parquet(store_path)
+            merged = _merge_groups(old.unionByName(partial), "bucket_ts", k)
+        else:
+            merged = partial
+        tmp = os.path.join(
+            os.path.dirname(store_path), "." + os.path.basename(store_path) + ".tmp"
+        )
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(store_path):
+            shutil.rmtree(store_path)
+        os.rename(tmp, store_path)
+
+    # one file per micro-batch: forces the merge-with-stored-state path
+    # even under availableNow catch-up (without it the whole backlog can
+    # collapse into a single batch and the merge is never exercised)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(store_path)
