@@ -90,6 +90,7 @@ def run_ops(spark, path: str, ui_port: int) -> dict:
         jaccard_verified_pairs,
         ngram_jaccard_pairs,
         simhash_near_pairs_deep,
+        span_contamination,
     )
     from timeseriestokenizer_spark.operators.similarity import (
         ivf_topk,
@@ -172,6 +173,17 @@ def run_ops(spark, path: str, ui_port: int) -> dict:
         },
     )
     pairs.unpersist()
+
+    timed(
+        "span_contamination",
+        lambda: {
+            "n_eval_docs": span_contamination(
+                docs.filter(F.col("doc_id") % 2 == 0),
+                docs.filter(F.col("doc_id") % 2 == 1),
+                "doc_id", w=3, parallelism=dp,
+            ).count()
+        },
+    )
 
     cents = train_centroids(vecs, n_cells=32)
     queries = vecs.orderBy("vec_id").limit(100).cache()
