@@ -64,3 +64,68 @@ def test_cold_pack_roundtrip(spark, transcripts):
     assert np.array_equal(back["value"].to_numpy(), exp["value"].to_numpy())
     t1h.unpersist()
     packed.unpersist()
+
+
+def test_compact_store_crash_recovery(spark, tmp_path):
+    """Simulated compact_store crash states: a hidden `.day=D.compact.old`
+    with its visible partition missing is restored on the next pass; stale
+    tmp/old debris next to an intact partition is removed; and the hidden
+    names are invisible to Spark partition discovery (the round-5 ADVICE
+    bug: the old `day=D.compact.tmp` name WAS discovered and
+    double-counted)."""
+    import os
+    import shutil
+
+    from timeseriestokenizer_spark.plans.incremental import compact_store
+
+    root = tmp_path / "store" / "1m"
+    root.mkdir(parents=True)
+    df = spark.range(10).selectExpr("cast(id as string) conv_id", "id sum_lat")
+    df.write.parquet(str(root / "day=2026-01-01"))
+    df.write.parquet(str(root / "day=2026-01-02"))
+
+    # crash window: old renamed aside, new never renamed in
+    os.rename(str(root / "day=2026-01-01"), str(root / ".day=2026-01-01.compact.old"))
+    # plus stale debris next to the intact day 2
+    shutil.copytree(str(root / "day=2026-01-02"), str(root / ".day=2026-01-02.compact.tmp"))
+    shutil.copytree(str(root / "day=2026-01-02"), str(root / ".day=2026-01-02.compact.old"))
+
+    # hidden dirs are NOT partitions: discovery sees only day 2 right now
+    seen = spark.read.parquet(str(root)).select("day").distinct().count()
+    assert seen == 1
+
+    compact_store(spark, str(tmp_path / "store"))
+    days = sorted(
+        d for d in os.listdir(str(root)) if d.startswith("day=")
+    )
+    assert days == ["day=2026-01-01", "day=2026-01-02"]
+    assert not any(d.startswith(".day=") for d in os.listdir(str(root)))
+    assert spark.read.parquet(str(root)).count() == 20  # nothing lost or doubled
+
+
+def test_retention_crash_leaves_no_double_count(spark, tmp_path):
+    """Simulated retention_sweep crash between cold finalize and hot drop:
+    both copies of the day exist on disk, and read_tier_with_cold must
+    return the day exactly once (hot wins)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from timeseriestokenizer_spark.operators.gorilla import gorilla_pack
+    from timeseriestokenizer_spark.plans.incremental import read_tier_with_cold
+
+    store = tmp_path / "store"
+    day = "2026-01-01"
+    rows = [
+        ("c1", pd.Timestamp("2026-01-01 00:01:00").to_pydatetime(), float(i))
+        for i in range(10)
+    ]
+    hot = spark.createDataFrame(rows, "conv_id string, bucket_ts timestamp, sum_lat double")
+    hot.write.parquet(str(store / "1m" / f"day={day}"))
+    packed = gorilla_pack(
+        hot.withColumn("_day", F.lit(day)), ["conv_id", "_day"], "bucket_ts", "sum_lat"
+    )
+    packed.write.parquet(str(store / "cold_1m" / f"day={day}"))
+
+    out = read_tier_with_cold(spark, str(store), "1m").collect()
+    assert len(out) == 10                       # once, not twice
+    assert all(not r["is_cold"] for r in out)   # the hot copy won

@@ -207,3 +207,45 @@ def test_streaming_kll_matches_batch(spark, tmp_path):
         for r in kll_percentile(kll_rollup_tier(df, "1m", "latency_s"), 0.95).collect()
     }
     assert got == exp and got
+
+
+def test_streaming_kll_crash_recovery_no_double_merge(spark, tmp_path):
+    """Simulated stream_kll_1m crash between store removal and tmp rename:
+    the recovery path renames the completed tmp in, and the _applied_batch
+    marker stops the replayed batch from double-merging (a KLL merge is
+    not idempotent — without the marker the replay would double n)."""
+    import os
+    import shutil
+
+    from timeseriestokenizer_spark.operators.kll import kll_percentile
+    from timeseriestokenizer_spark.streaming.rollup_stream import stream_kll_1m
+
+    rng = np.random.RandomState(47)
+    base = pd.Timestamp("2026-07-01")
+    rows = [
+        (
+            (base + pd.Timedelta(seconds=int(rng.randint(0, 600)))).to_pydatetime(),
+            float(np.round(rng.uniform(0, 5), 3)),
+        )
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, latency_s double")
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+    store = str(tmp_path / "store")
+    state = stream_kll_1m(spark, src, df.schema, str(tmp_path / "ckpt"), store)
+    want = sorted(
+        tuple(r) for r in kll_percentile(state, 0.95).collect()
+    )
+    n_total = sum(r[2] for r in want)
+    assert n_total == 150
+
+    # simulate the crash: the completed store plays the role of the tmp
+    # (it carries the marker for batch 0), no visible store remains
+    tmp = os.path.join(os.path.dirname(store), "." + os.path.basename(store) + ".tmp")
+    os.rename(store, tmp)
+    # a FRESH checkpoint replays batch 0 from scratch against the recovery
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    state2 = stream_kll_1m(spark, src, df.schema, str(tmp_path / "ckpt2"), store)
+    got = sorted(tuple(r) for r in kll_percentile(state2, 0.95).collect())
+    assert got == want  # recovered, and batch 0 NOT merged twice

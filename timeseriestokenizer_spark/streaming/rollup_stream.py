@@ -205,15 +205,46 @@ def stream_kll_1m(
     At scale the store is day-partitioned and only TOUCHED day partitions
     rewrite (buckets arrive nearly-ordered under a watermark); the full
     rewrite here keeps the sandbox twin simple and the semantics
-    identical. Restart-safe: checkpoint tracks the input offsets, and the
-    merge is idempotent per batch only if each batch lands once —
-    availableNow + checkpoint gives exactly-once batch delivery."""
+    identical. Restart-safe AND exactly-once: the checkpoint tracks input
+    offsets, and because a KLL merge is not idempotent the store carries
+    an ``_applied_batch`` marker written before the atomic swap — a
+    replayed batch that already reached the store is skipped, so no crash
+    window can double-merge or lose state (see _merge_batch)."""
     import os
     import shutil
 
     from ..operators.kll import _merge_groups, kll_rollup_tier
 
+    tmp = os.path.join(
+        os.path.dirname(store_path), "." + os.path.basename(store_path) + ".tmp"
+    )
+
+    marker = "_applied_batch"  # underscore-prefixed: invisible to Spark scans
+
+    def _applied(path):
+        try:
+            with open(os.path.join(path, marker)) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return -1
+
     def _merge_batch(batch_df, batch_id):
+        # Crash recovery (the compact_store pattern) + exactly-once: the
+        # KLL merge is NOT idempotent, so the store carries an
+        # _applied_batch marker (written into the tmp BEFORE the swap).
+        #  - tmp + store both present: crash before the swap — the replay
+        #    rebuilds the tmp, drop it.
+        #  - tmp only: crash between rmtree and rename — the tmp holds the
+        #    FULL merged state incl. this batch and its marker; rename it
+        #    in, and the replayed batch sees marker >= batch_id and skips,
+        #    so the batch is never double-merged.
+        if os.path.isdir(tmp):
+            if os.path.isdir(store_path):
+                shutil.rmtree(tmp)
+            else:
+                os.rename(tmp, store_path)
+        if _applied(store_path) >= batch_id:
+            return  # already fully applied by a crashed-then-recovered run
         if not batch_df.head(1):
             return
         partial = kll_rollup_tier(batch_df, "1m", val_col, k)
@@ -223,10 +254,9 @@ def stream_kll_1m(
             merged = _merge_groups(old.unionByName(partial), "bucket_ts", k)
         else:
             merged = partial
-        tmp = os.path.join(
-            os.path.dirname(store_path), "." + os.path.basename(store_path) + ".tmp"
-        )
         merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, marker), "w") as f:
+            f.write(str(batch_id))
         if os.path.isdir(store_path):
             shutil.rmtree(store_path)
         os.rename(tmp, store_path)
