@@ -31,6 +31,9 @@ def main(argv=None):
     p.add_argument("--store", required=True)
     p.add_argument("--days", default=None, help="comma-separated; default: stale days")
     p.add_argument("--hll", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--hist", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--kll", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--heavy", action=argparse.BooleanOptionalAction, default=True)
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -46,7 +49,9 @@ def main(argv=None):
     t0 = time.time()
     raw = read_transcripts(spark, args.input)
     days = args.days.split(",") if args.days else None
-    stats = refresh_tiers(spark, raw, args.store, days=days, with_hll=args.hll)
+    stats = refresh_tiers(spark, raw, args.store, days=days, with_hll=args.hll,
+                          with_hist=args.hist, with_kll=args.kll,
+                          with_heavy=args.heavy)
     print(json.dumps({
         "job": "incremental_refresh",
         "refreshed": stats,

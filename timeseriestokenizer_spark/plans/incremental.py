@@ -630,7 +630,7 @@ def retention_sweep(
     cold_pack_tiers: tuple[str, ...] = ("1m",),
     key: str = "conv_id",
     value_col: str = "sum_lat",
-    side_prefixes: tuple[str, ...] = ("hll_", "hist_"),
+    side_prefixes: tuple[str, ...] = ("hll_", "hist_", "kll_", "heavy_"),
 ) -> dict:
     """Enforce TTLs on the tier store PHYSICALLY — the retention leg of the
     north rule applied to storage, not just DataFrames: day partitions
