@@ -319,3 +319,35 @@ def test_paa_sax_semantics_and_plan(spark):
     for py_stage in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
                      "FlatMapGroupsInPandas"):
         assert py_stage not in plan, py_stage
+
+
+def test_sax_motifs_planted(spark):
+    """Two series sharing the same sine shape must share every SAX word;
+    a third flat series contributes only the all-'c' word; threshold
+    filtering keeps the row set deterministic."""
+    import numpy as np
+    import pandas as pd
+
+    from timeseriestokenizer_spark.operators.downsample import sax_motifs
+
+    base = pd.Timestamp("2026-07-01")
+    rows = []
+    for kname, phase in (("s1", 0.0), ("s2", 0.0)):
+        for i in range(160):
+            rows.append((kname, (base + pd.Timedelta(seconds=i)).to_pydatetime(),
+                         float(np.sin(2 * np.pi * i / 160 + phase))))
+    for i in range(160):
+        rows.append(("flat", (base + pd.Timedelta(seconds=i)).to_pydatetime(), 3.0))
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp, value double")
+    out = {r["word"]: (r["n_series"], r["n_occurrences"])
+           for r in sax_motifs(df, n_segments=16, alphabet=4,
+                               word_len=4, min_count=2).collect()}
+    # the flat series: 16 'c' segments -> 13 occurrences of 'cccc'
+    assert out["cccc"][1] >= 13
+    # every word of the shared sine shape appears in BOTH sine series
+    sine_words = [w for w, (ns, _) in out.items() if ns >= 2 and w != "cccc"]
+    # 13 sliding windows yield ~9 DISTINCT words (the symmetric sine
+    # repeats some) — every one must be shared by exactly the two series
+    assert len(sine_words) >= 8
+    for w in sine_words:
+        assert out[w][0] == 2

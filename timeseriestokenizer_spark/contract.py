@@ -1507,6 +1507,23 @@ def q_paa_sax(spark, sf_dir):
     )
 
 
+def q_sax_motifs(spark, sf_dir):
+    """SAX motif discovery (operators/downsample.sax_motifs): 4-letter
+    words slid over each user's 16-segment symbol string, counted
+    corpus-wide — recurring shapes found by groupBy instead of pairwise
+    comparison (the point of a symbolic index at 10^8 series). Threshold
+    set (n_occurrences >= 2), not top-N, so the row set is deterministic
+    under count ties. Oracle rebuilds words with a list comprehension over
+    the same SQL symbol pipeline."""
+    from .operators.downsample import sax_motifs
+
+    ev = load(spark, sf_dir, "events")
+    return sax_motifs(
+        ev, key="user_id", ts_col="ts", val_col="value",
+        n_segments=16, alphabet=4, word_len=4, min_count=2,
+    )
+
+
 def q_heavy_hitters_cascade(spark, sf_dir):
     """Top-10 users per day from CASCADED Misra-Gries heavy-hitter state
     (operators/heavy.py): 1h summaries built from raw, MERGED up to 1d,
@@ -2396,6 +2413,41 @@ SELECT user_id, segment, paa, n_pts,
                     + (CASE WHEN paa >= 0.6744897502 THEN 1 ELSE 0 END) + 1, 1) AS symbol
 FROM g
 """,
+    "sax_motifs": """
+WITH p AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, value) - 1 AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         avg(value) OVER (PARTITION BY user_id) AS mu,
+         stddev_pop(value) OVER (PARTITION BY user_id) AS sd
+  FROM events),
+z AS (
+  SELECT user_id,
+         (value - mu) / (CASE WHEN sd = 0 THEN 1.0 ELSE sd END) AS zv,
+         CAST((rn * 16) // n AS INT) AS segment
+  FROM p),
+g AS (
+  SELECT user_id, segment, round(avg(zv), 6) AS paa
+  FROM z GROUP BY 1, 2),
+sym AS (
+  SELECT user_id, segment,
+         substr('abcd', (CASE WHEN paa >= -0.6744897502 THEN 1 ELSE 0 END)
+                      + (CASE WHEN paa >= 0.0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN paa >= 0.6744897502 THEN 1 ELSE 0 END) + 1, 1) AS symbol
+  FROM g),
+sq AS (SELECT user_id, list(symbol ORDER BY segment) AS syms FROM sym GROUP BY 1),
+wl AS (
+  SELECT user_id,
+         CASE WHEN len(syms) >= 4
+              THEN [array_to_string(syms[i:i+3], '') for i in range(1, len(syms) - 2)]
+              ELSE [] END AS words
+  FROM sq),
+wd AS (SELECT user_id, unnest(words) AS word FROM wl)
+SELECT word,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_series,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM wd GROUP BY 1 HAVING count(*) >= 2
+""",
     # exact daily top-10 — valid as the MG oracle because the sf0.01
     # regime never evicts a counter (err = 0, counts exact)
     "heavy_hitters_cascade": """
@@ -3006,7 +3058,6 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_assign": q_ann_ivf_assign,
     "ann_ivf_search": q_ann_ivf_search,
-    "quantize_catalyst": q_quantize_catalyst,
     "chronos_rebin_tokens": q_chronos_rebin_tokens,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
@@ -3025,6 +3076,7 @@ QUERIES = {
     "kll_p95_cascade": q_kll_p95_cascade,
     "heavy_hitters_cascade": q_heavy_hitters_cascade,
     "paa_sax": q_paa_sax,
+    "sax_motifs": q_sax_motifs,
     "scale_join_roundtrip": q_scale_join_roundtrip,
     "counter_rate": q_counter_rate,
     "rolling_zscore": q_rolling_zscore,
@@ -3042,6 +3094,7 @@ QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "gapfill_interp": q_gapfill_interp,
     "gapfill_locf": q_gapfill_locf,
+    "quantize_catalyst": q_quantize_catalyst,
     "cube_counts": q_cube_counts,
     "set_ops": q_set_ops,
     "distinct_counts": q_distinct_counts,

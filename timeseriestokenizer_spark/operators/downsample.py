@@ -195,3 +195,58 @@ def paa_sax(
     return seg.withColumn(
         "symbol", F.substring(F.lit(letters), bin_expr + 1, 1)
     )
+
+
+def sax_motifs(
+    df,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    n_segments: int = 16,
+    alphabet: int = 4,
+    word_len: int = 4,
+    min_count: int = 2,
+):
+    """Motif discovery over the SAX layer (the query SAX exists for — Lin
+    et al. 2003 §4): slide a ``word_len``-letter window over each series'
+    symbol string, then count each word's occurrences and the number of
+    DISTINCT series containing it across the whole corpus. A word shared
+    by many series is a recurring shape (a motif) found without a single
+    pairwise comparison — the symbolic index turns similarity search into
+    a groupBy, which is what makes it tractable at 10^8 series.
+
+    All JVM: paa_sax -> per-series ordered symbol array (array_sort of
+    (segment, symbol) structs, ONE exchange on key) -> sliding-window
+    concat via transform(sequence) -> explode -> one global word groupBy.
+    Returns (word, n_series, n_occurrences), every word with
+    n_occurrences >= min_count (a threshold, not a top-N — top-N truncates
+    nondeterministically on count ties; the threshold set is exact)."""
+    from pyspark.sql import functions as F
+
+    sax = paa_sax(df, key, ts_col, val_col, n_segments, alphabet)
+    seqs = sax.groupBy(key).agg(
+        F.expr("array_sort(collect_list(struct(segment, symbol)))").alias("sq")
+    ).select(
+        key, F.expr("transform(sq, x -> x.symbol)").alias("syms")
+    )
+    w = int(word_len)
+    words = seqs.select(
+        key,
+        F.explode(
+            F.when(
+                F.size("syms") >= w,
+                F.expr(
+                    f"transform(sequence(1, size(syms) - {w} + 1), "
+                    f"i -> concat_ws('', slice(syms, i, {w})))"
+                ),
+            ).otherwise(F.array())
+        ).alias("word"),
+    )
+    return (
+        words.groupBy("word")
+        .agg(
+            F.countDistinct(key).alias("n_series"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_occurrences") >= int(min_count))
+    )
