@@ -64,6 +64,8 @@ EXTRA = [
     "holt_winters",
     "span_contamination",
     "paa_sax",
+    "sax_motifs",
+    "series_correlation",
 ]
 
 BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "20000"))

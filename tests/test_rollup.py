@@ -351,3 +351,49 @@ def test_sax_motifs_planted(spark):
     assert len(sine_words) >= 8
     for w in sine_words:
         assert out[w][0] == 2
+
+
+def test_correlation_semantics_and_one_vs_all(spark):
+    """correlate_pairs: a scaled copy correlates at exactly 1.0, a negated
+    copy at -1.0, an independent alternating series near 0, constant
+    series yield NULL; correlate_to (the linear one-vs-all shape) agrees
+    with the all-pairs output on the target's rows and compiles to a
+    broadcast join."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from timeseriestokenizer_spark.operators.correlate import (
+        correlate_pairs,
+        correlate_to,
+    )
+
+    rng = np.random.RandomState(53)
+    base = pd.Timestamp("2026-07-01")
+    rows = []
+    vals = rng.uniform(0, 10, 40)
+    for i, v in enumerate(vals):
+        ts = (base + pd.Timedelta(hours=i)).to_pydatetime()
+        rows.append(("a", ts, float(v)))
+        rows.append(("b", ts, float(3.0 * v + 7.0)))   # corr == 1
+        rows.append(("c", ts, float(-v)))              # corr == -1
+        rows.append(("d", ts, float(i % 2)))           # ~independent
+        rows.append(("e", ts, 5.0))                    # zero variance
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp, value double")
+    pairs = {
+        (r["key_a"], r["key_b"]): (r["n_overlap"], r["corr"])
+        for r in correlate_pairs(df, tier="1h", min_overlap=10).collect()
+    }
+    assert pairs[("a", "b")] == (40, 1.0)
+    assert pairs[("a", "c")] == (40, -1.0)
+    assert abs(pairs[("a", "d")][1]) < 0.5
+    assert pairs[("a", "e")][1] is None  # constant side -> NULL
+    assert len(pairs) == 10  # all 5-choose-2 pairs overlap fully
+
+    one = correlate_to(df, "a", tier="1h", min_overlap=10)
+    got = {r["key_b"]: (r["n_overlap"], r["corr"]) for r in one.collect()}
+    assert got == {k2: v for (k1, k2), v in pairs.items() if k1 == "a"} | {
+        k1: v for (k1, k2), v in pairs.items() if k2 == "a"
+    }
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

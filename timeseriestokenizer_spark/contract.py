@@ -1524,6 +1524,25 @@ def q_sax_motifs(spark, sf_dir):
     )
 
 
+def q_series_correlation(spark, sf_dir):
+    """All-pairs cross-series Pearson correlation
+    (operators/correlate.correlate_pairs): users' daily-average series
+    joined per bucket, r from EXPLICIT power sums (the rolling_zscore
+    float precedent — both engines aggregate the same terms and evaluate
+    the identical closed form, 6-dp rounded both sides; inputs are
+    pre-rounded daily averages so the joined values are engine-identical).
+    Pairs under 10 overlapping days are dropped. The linear one-vs-all
+    production shape (correlate_to) shares the same math and is
+    pytest-pinned against this output."""
+    from .operators.correlate import correlate_pairs
+
+    ev = load(spark, sf_dir, "events")
+    return correlate_pairs(
+        ev, key="user_id", ts_col="ts", val_col="value",
+        tier="1d", min_overlap=10,
+    )
+
+
 def q_heavy_hitters_cascade(spark, sf_dir):
     """Top-10 users per day from CASCADED Misra-Gries heavy-hitter state
     (operators/heavy.py): 1h summaries built from raw, MERGED up to 1d,
@@ -2448,6 +2467,29 @@ SELECT word,
        CAST(count(*) AS BIGINT) AS n_occurrences
 FROM wd GROUP BY 1 HAVING count(*) >= 2
 """,
+    "series_correlation": """
+WITH b AS (
+  SELECT CAST(user_id AS VARCHAR) AS k,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+         round(avg(value), 6) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+j AS (
+  SELECT a.k AS key_a, b2.k AS key_b, a.v AS va, b2.v AS vb
+  FROM b a JOIN b b2 ON a.bucket_ts = b2.bucket_ts AND a.k < b2.k),
+g AS (
+  SELECT key_a, key_b, count(*) AS n_overlap,
+         sum(va) AS sa, sum(vb) AS sb, sum(va * vb) AS sab,
+         sum(va * va) AS sa2, sum(vb * vb) AS sb2
+  FROM j GROUP BY 1, 2)
+SELECT key_a, key_b, CAST(n_overlap AS BIGINT) AS n_overlap,
+       round(CASE WHEN sqrt(n_overlap * sa2 - sa * sa)
+                       * sqrt(n_overlap * sb2 - sb * sb) > 0
+                  THEN (n_overlap * sab - sa * sb)
+                       / (sqrt(n_overlap * sa2 - sa * sa)
+                          * sqrt(n_overlap * sb2 - sb * sb))
+                  ELSE NULL END, 6) AS corr
+FROM g WHERE n_overlap >= 10
+""",
     # exact daily top-10 — valid as the MG oracle because the sf0.01
     # regime never evicts a counter (err = 0, counts exact)
     "heavy_hitters_cascade": """
@@ -3058,7 +3100,6 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_assign": q_ann_ivf_assign,
     "ann_ivf_search": q_ann_ivf_search,
-    "chronos_rebin_tokens": q_chronos_rebin_tokens,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
     "weighted_sample": q_weighted_sample,
@@ -3077,6 +3118,7 @@ QUERIES = {
     "heavy_hitters_cascade": q_heavy_hitters_cascade,
     "paa_sax": q_paa_sax,
     "sax_motifs": q_sax_motifs,
+    "series_correlation": q_series_correlation,
     "scale_join_roundtrip": q_scale_join_roundtrip,
     "counter_rate": q_counter_rate,
     "rolling_zscore": q_rolling_zscore,
@@ -3095,6 +3137,7 @@ QUERIES = {
     "gapfill_interp": q_gapfill_interp,
     "gapfill_locf": q_gapfill_locf,
     "quantize_catalyst": q_quantize_catalyst,
+    "chronos_rebin_tokens": q_chronos_rebin_tokens,
     "cube_counts": q_cube_counts,
     "set_ops": q_set_ops,
     "distinct_counts": q_distinct_counts,
