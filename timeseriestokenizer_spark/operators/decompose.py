@@ -1,0 +1,254 @@
+"""Series structure analysis: classical seasonal decomposition, the
+autocorrelation function, and balanced-phase period detection.
+
+Graft-new analytics over the rollup store (the reference tokenizes
+explicitly-seasonal datasets — hourly ETTh1, 10-minute weather, see
+/root/reference/docs/EXPERIMENT_DESIGN.md:106-120 — but never measures
+the seasonality itself; these operators are the engine's own surface for
+that). All three are pure Catalyst and reuse ONE hash exchange on the
+series key: every window / groupBy in the plan clusters on a superset of
+``key``, which ``HashPartitioning(key)`` satisfies (the rollup-cascade
+precedent — pinned in tests/test_plan_shapes.py).
+
+Float contract — the integer-exact family (see operators/anomaly.py):
+divisions are cleared out of every accumulation by scaling with exact
+integers (series length n, period P, 2m for the centered MA), so an
+integer-valued input column (cents) keeps every sum/product an exact
+BIGINT on any engine. The only float ops are FINAL divisions /
+subtractions of identical exact integers — bit-identical across engines,
+emitted UNROUNDED (the ewma precedent).
+
+Positional convention: like holt_winters, seasonality is over the ROW
+POSITION within a series (rn = row_number by (ts, id)), not wall-clock
+phase — the tier cascade already regularizes time, so position == bucket
+index on rollup output.
+
+Int64 ranges (documented, not checked at runtime): with cents <= 1e5 and
+series length n <= 1e4, the largest intermediate is the seasonal-strength
+term (P*S_p - S)^2 summed over P phases, bounded by S^2 * P * (P-1)
+< 1e19 only in the pathological all-mass-one-phase corner; typical
+deviations keep it orders of magnitude lower. Feed doubles if your series
+exceed that regime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _rn(key: str, ts_col: str, id_col: str):
+    return F.row_number().over(
+        W.partitionBy(key).orderBy(F.col(ts_col), F.col(id_col))
+    )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    period: int = 4,
+) -> DataFrame:
+    """Classical additive decomposition x = trend + seasonal + remainder.
+
+    Trend is the textbook centered moving average: for EVEN period m the
+    2xm MA (half-weight endpoints over m+1 rows), for odd m the plain
+    m-row centered MA — NULL where the window is incomplete (series
+    edges), exactly like statsmodels. Seasonal is the per-(series, phase)
+    mean of the detrended values; the phase means of a centered-MA
+    detrend already sum to ~0, so no extra de-meaning pass is applied
+    (convention documented here; statsmodels subtracts the period-mean —
+    a constant ~0 offset under this trend definition).
+
+    Integer-exact shape: the scaled detrended value
+    ``d = 2m*x_t - trend2m`` (where ``trend2m`` is the MA numerator
+    scaled by 2m) stays BIGINT for integer input; trend = trend2m/(2m)
+    and 2m is a power of two for the default m=4, so even the emitted
+    trend double is exact.
+    """
+    m = int(period)
+    half = m // 2
+    order = [F.col(ts_col), F.col(id_col)]
+    wsum = W.partitionBy(key).orderBy(*order)
+    if m % 2 == 0:
+        # 2xm MA: 2*sum(window of m+1) - endpoints, all integer
+        wspan = wsum.rowsBetween(-half, half)
+        cnt = F.count(val_col).over(wspan)
+        tot = F.sum(val_col).over(wspan)
+        lo = F.lag(val_col, half).over(wsum)
+        hi = F.lead(val_col, half).over(wsum)
+        scale = 2 * m
+        trend_num = F.when(cnt == m + 1, F.lit(2) * tot - lo - hi)
+    else:
+        wspan = wsum.rowsBetween(-half, half)
+        cnt = F.count(val_col).over(wspan)
+        scale = m
+        trend_num = F.when(cnt == m, F.sum(val_col).over(wspan))
+    rn = _rn(key, ts_col, id_col)
+    stage = df.select(
+        F.col(key),
+        F.col(id_col),
+        F.col(val_col).alias("value_in"),
+        ((rn - 1) % m).alias("phase"),
+        trend_num.alias("trend_num"),
+        (F.lit(scale) * F.col(val_col) - trend_num).alias("detr_num"),
+    )
+    # per-(series, phase) mean of the scaled detrended values; the window
+    # clusters on (key, phase) ⊇ key → same exchange
+    wphase = W.partitionBy(key, "phase")
+    s_sum = F.sum("detr_num").over(wphase)
+    s_cnt = F.count("detr_num").over(wphase)
+    seasonal = F.when(
+        s_cnt > 0, s_sum.cast("double") / (s_cnt * F.lit(scale)).cast("double")
+    )
+    return stage.select(
+        F.col(key),
+        F.col(id_col),
+        F.col("value_in"),
+        F.col("phase"),
+        (F.col("trend_num").cast("double") / F.lit(float(scale))).alias("trend"),
+        seasonal.alias("seasonal"),
+        (
+            F.col("detr_num").cast("double") / F.lit(float(scale)) - seasonal
+        ).alias("remainder"),
+    )
+
+
+def acf(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    max_lag: int = 5,
+) -> DataFrame:
+    """Autocorrelation function per series at lags 1..max_lag, the
+    statsmodels convention (global mean and global variance as the
+    denominator, so r_k = sum((x_t-mean)(x_{t+k}-mean)) / sum((x_t-mean)^2)
+    and r_k is comparable across lags).
+
+    Division-free accumulation: c_t = n*x_t - S is an exact integer
+    centering (n*(x_t - mean) scaled by nothing further); numerators and
+    the denominator are sums of products of the c_t — exact BIGINT for
+    integer input — and the single final division is identical on every
+    engine. One exchange: window(key) then groupBy(key).
+    """
+    order = [F.col(ts_col), F.col(id_col)]
+    wall = W.partitionBy(key)
+    wrun = W.partitionBy(key).orderBy(*order)
+    n = F.count(val_col).over(wall)
+    s = F.sum(val_col).over(wall)
+    lags = list(range(1, int(max_lag) + 1))
+    # two stages: c0 first, then its leads (windows cannot nest; both
+    # stages cluster on `key` → one exchange, chained Window nodes)
+    s1 = df.select(
+        F.col(key), *order, n.alias("n"), (F.col(val_col) * n - s).alias("c0")
+    )
+    stage = s1.select(
+        F.col(key),
+        F.col("n"),
+        F.col("c0"),
+        *[F.lead("c0", k).over(wrun).alias(f"c{k}") for k in lags],
+    )
+    aggd = stage.groupBy(key).agg(
+        F.first("n").alias("n_points"),
+        F.sum(F.col("c0") * F.col("c0")).alias("denom"),
+        *[
+            F.sum(F.col("c0") * F.col(f"c{k}")).alias(f"num{k}")
+            for k in lags
+        ],
+    )
+    pairs = ", ".join(f"{k}, num{k}" for k in lags)
+    return (
+        aggd.select(
+            F.col(key),
+            F.col("n_points"),
+            F.col("denom"),
+            F.expr(f"stack({len(lags)}, {pairs}) AS (lag, numer)"),
+        )
+        .select(
+            F.col(key),
+            F.col("lag"),
+            F.col("n_points"),
+            F.when(
+                F.col("denom") > 0,
+                F.col("numer").cast("double") / F.col("denom").cast("double"),
+            ).alias("acf"),
+        )
+    )
+
+
+def seasonal_strength(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    periods: tuple[int, ...] = (4, 6, 8, 12),
+) -> DataFrame:
+    """Dominant-period detection via BALANCED-phase between-group sum of
+    squares — the trig-free periodogram. For each candidate period P the
+    series is truncated to its largest multiple of P (m = floor(n/P)
+    complete cycles) so every phase holds exactly m points; then
+
+        strength(P) = m * sum_p (mean_p - mean)^2  =  score / (m * P^2)
+        score       = sum_p (P*S_p - S)^2          (exact BIGINT)
+
+    — the between-phase SS, large when the series repeats with period P.
+    Balancing is what makes the statistic integer-exact (equal phase
+    counts clear the per-phase divisions) AND unbiased across phases.
+    Trig (Goertzel/FFT) is deliberately avoided: libm cos/sin differ in
+    the last ulp across engines, this does not.
+
+    ``is_best`` marks each series' winning period under harmonic
+    suppression: the smallest candidate within 95% of the max strength
+    (multiples of the true period tie it in expectation — see the
+    inline comment). One exchange: every window/groupBy clusters on a
+    superset of ``key``.
+    """
+    plist = sorted(int(p) for p in periods)
+    wall = W.partitionBy(key)
+    rn = _rn(key, ts_col, id_col)
+    base = df.select(
+        F.col(key), F.col(val_col).alias("v"), rn.alias("rn"),
+        F.count(val_col).over(wall).alias("n"),
+    ).withColumn("period", F.explode(F.array(*[F.lit(p) for p in plist])))
+    trunc = base.withColumn(
+        "m_cycles", F.floor(F.col("n") / F.col("period"))
+    ).filter(F.col("rn") <= F.col("m_cycles") * F.col("period"))
+    per_phase = trunc.groupBy(
+        key, "period", "m_cycles", ((F.col("rn") - 1) % F.col("period")).alias("phase")
+    ).agg(F.sum("v").alias("s_p"))
+    s_all = F.sum("s_p").over(W.partitionBy(key, "period"))
+    dev = F.col("period") * F.col("s_p") - s_all
+    scored = (
+        per_phase.withColumn("dev", dev)
+        .groupBy(key, "period", "m_cycles")
+        .agg(F.sum(F.col("dev") * F.col("dev")).alias("score"))
+    )
+    strength = F.col("score").cast("double") / (
+        F.col("m_cycles") * F.col("period") * F.col("period")
+    ).cast("double")
+    # harmonic suppression: any multiple of the true period scores the
+    # same strength in expectation (its phase means repeat the
+    # fundamental's), so argmax alone drifts to the largest harmonic on
+    # noise. Prefer the SMALLEST period within 95% of the max — the
+    # fundamental wins unless a larger period genuinely adds structure.
+    with_max = scored.withColumn("strength", strength).withColumn(
+        "_mx", F.max("strength").over(W.partitionBy(key))
+    )
+    qualified = F.when(
+        F.col("strength") >= F.lit(0.95) * F.col("_mx"), F.lit(0)
+    ).otherwise(F.lit(1))
+    ranked = with_max.withColumn(
+        "is_best",
+        F.row_number().over(
+            W.partitionBy(key).orderBy(qualified, F.col("period"))
+        )
+        == 1,
+    )
+    return ranked.select(
+        key, "period", "m_cycles", "strength", "is_best"
+    )
