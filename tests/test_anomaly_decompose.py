@@ -296,3 +296,119 @@ def test_repetition_stats_oracle(spark):
     # tokenize projection; only fixed-width keys ride the shuffles)
     plan = _plan(repetition_stats(docs))
     assert plan.count("Exchange") <= 2
+
+
+def test_median_filter_oracle(spark, series_df):
+    """numpy truncated-frame rolling median (linear interpolation ==
+    quantile_cont == Spark percentile) must match exactly: integer input
+    keeps every median on the .5 grid."""
+    from timeseriestokenizer_spark.operators.anomaly import median_filter
+
+    df, pdf = series_df
+    res = median_filter(df, key="user_id", val_col="value", window_rows=5)
+    assert _plan(res).count("Exchange") == 1
+    got = {r["event_id"]: r for r in res.collect()}
+    for uid, x, ids in _sorted_series(pdf):
+        for t, i in enumerate(ids):
+            lo, hi = max(0, t - 2), min(len(x), t + 3)
+            expect = float(np.percentile(x[lo:hi], 50))
+            r = got[int(i)]
+            assert r["value_in"] == x[t]
+            assert r["median_smooth"] == expect, (uid, i)
+    # the planted 999 spike in series 0 must be smoothed away
+    dup_id = int(pdf[(pdf.user_id == 0) & (pdf.value == 999)].event_id.iloc[0])
+    assert got[dup_id]["median_smooth"] < 200
+
+
+def test_ar2_forecast_oracle(spark, series_df):
+    """Yule-Walker closed form replayed in numpy with the identical
+    operation sequence (BIGINT product-sums, then scalar doubles);
+    degenerate series (constant, 1-point) yield NULL coefficients."""
+    from timeseriestokenizer_spark.operators.decompose import ar2_forecast
+
+    df, pdf = series_df
+    res = ar2_forecast(df, key="user_id", val_col="value")
+    got = {r["user_id"]: r for r in res.collect()}
+    for uid, g in pdf.groupby("user_id"):
+        x = (
+            g.sort_values(["ts", "event_id"])["value"]
+            .to_numpy(dtype=np.int64)
+        )
+        n = len(x)
+        r = got[uid]
+        assert r["n_points"] == n
+        c = n * x - x.sum()  # division-free centering, exact int64
+        denom = int((c * c).sum())
+        if denom == 0 or n < 3:
+            assert r["phi1"] is None and r["forecast_next"] is None
+            continue
+        r1 = float(int((c[:-1] * c[1:]).sum())) / float(denom)
+        r2 = float(int((c[:-2] * c[2:]).sum())) / float(denom)
+        det = 1.0 - r1 * r1
+        if abs(det) <= 1e-12:
+            assert r["phi1"] is None
+            continue
+        phi1 = r1 * (1.0 - r2) / det
+        phi2 = (r2 - r1 * r1) / det
+        mean = float(int(x.sum())) / float(n)
+        fc = mean + phi1 * (x[-1] - mean) + phi2 * (x[-2] - mean)
+        assert abs(r["phi1"] - phi1) < 1e-12 * max(1, abs(phi1)), uid
+        assert abs(r["phi2"] - phi2) < 1e-12 * max(1, abs(phi2))
+        assert abs(r["forecast_next"] - fc) < 1e-9 * max(1, abs(fc))
+    # the seasonal series' AR(2) fit must be stationary-ish, not NULL
+    assert got[1]["phi1"] is not None
+
+
+def _dtw_full_matrix(a, b):
+    """Independent O(n·m) full-matrix DTW oracle (L1 cost)."""
+    n, m = len(a), len(b)
+    D = np.full((n + 1, m + 1), np.iinfo(np.int64).max // 4, dtype=np.int64)
+    D[0, 0] = 0
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            c = abs(int(a[i - 1]) - int(b[j - 1]))
+            D[i, j] = c + min(D[i - 1, j], D[i, j - 1], D[i - 1, j - 1])
+    return int(D[n, m])
+
+
+def test_dtw_known_alignments(spark):
+    """Handcrafted: identical-shape different-pacing series score 0 under
+    DTW (Euclidean would not); a constant offset costs len·offset."""
+    from timeseriestokenizer_spark.operators.dtw import dtw_to
+
+    rows = []
+    for i, v in enumerate([1, 2, 3, 4]):
+        rows.append((i, 0, i, v))
+    for i, v in enumerate([1, 1, 2, 2, 3, 3, 4]):  # same shape, slower
+        rows.append((10 + i, 1, i, v))
+    for i, v in enumerate([3, 4, 5, 6]):  # +2 offset
+        rows.append((20 + i, 2, i, v))
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "tsec", "value"])
+    pdf["ts"] = pd.Timestamp("2024-03-01") + pd.to_timedelta(pdf.pop("tsec"), unit="m")
+    df = spark.createDataFrame(pdf)
+    res = dtw_to(df, key="user_id", val_col="value")
+    assert _plan(res).count("Exchange") == 1
+    got = {r["user_id"]: r for r in res.collect()}
+    assert got[0]["dtw_dist"] == 0 and got[0]["m_points"] == 4
+    assert got[1]["dtw_dist"] == 0  # elastic alignment absorbs the pacing
+    # +2 offset: warping stretches the endpoints (3 eats b=1,2,3; 6 eats
+    # b=4 thrice → 2+1+0+0+1+2 = 6, beating the diagonal's 8) but a
+    # level shift can never reach 0 — the elastic-vs-amplitude boundary
+    assert got[2]["dtw_dist"] == 6
+
+
+def test_dtw_matches_full_matrix_oracle(spark, series_df):
+    from timeseriestokenizer_spark.operators.dtw import dtw_to
+
+    df, pdf = series_df
+    got = {r["user_id"]: r for r in dtw_to(df, key="user_id", val_col="value").collect()}
+    series = {
+        uid: g.sort_values(["ts", "event_id"])["value"].to_numpy(dtype=np.int64)
+        for uid, g in pdf.groupby("user_id")
+    }
+    b = series[min(series)]
+    for uid, a in series.items():
+        r = got[uid]
+        assert r["n_points"] == len(a) and r["m_points"] == len(b)
+        assert r["dtw_dist"] == _dtw_full_matrix(a, b), uid
+    assert got[min(series)]["dtw_dist"] == 0

@@ -279,6 +279,48 @@ def q_doc_repetition(spark, sf_dir):
     return repetition_stats(load(spark, sf_dir, "documents"))
 
 
+def q_ar2_forecast(spark, sf_dir):
+    """AR(2) Yule-Walker fit + one-step forecast (operators/decompose.
+    ar2_forecast) on integer cents: r1/r2 are single divisions of the
+    acf operator's BIGINT-exact product-sums; the closed-form phi1/phi2
+    and the forecast are the identical float operation sequence on both
+    engines — emitted unrounded."""
+    from .operators.decompose import ar2_forecast
+
+    return ar2_forecast(
+        _event_cents(spark, sf_dir), key="user_id", ts_col="ts",
+        val_col="cents", id_col="event_id",
+    )
+
+
+def q_median_filter(spark, sf_dir):
+    """Rolling median smoother (operators/anomaly.median_filter), 5-row
+    centered frame: percentile evaluates as a window aggregate over the
+    ROWS frame, exact on integer input (.5-grid doubles), truncated
+    frames at series edges — engine-identical, unrounded."""
+    from .operators.anomaly import median_filter
+
+    return median_filter(
+        _event_cents(spark, sf_dir), key="user_id", ts_col="ts",
+        val_col="cents", id_col="event_id", window_rows=5,
+    )
+
+
+def q_dtw_to_target(spark, sf_dir):
+    """Dynamic Time Warping distance from every user's series to the
+    min-user target (operators/dtw.dtw_to): L1 cost on integer cents
+    keeps every DP cell an exact int64, so the batched-arrays
+    mapInPandas result hash-matches a DuckDB recursive CTE that carries
+    the DP row as a LIST and folds the within-row recurrence with
+    list_reduce. Linear one-vs-all shape (the correlate_to precedent)."""
+    from .operators.dtw import dtw_to
+
+    return dtw_to(
+        _event_cents(spark, sf_dir), key="user_id", ts_col="ts",
+        val_col="cents", id_col="event_id",
+    )
+
+
 def q_m4_downsample(spark, sf_dir):
     """M4 visualization downsampling (operators/rollup.m4_downsample,
     Jugel et al. VLDB'14): per (user, hour) the min/max/first/last values —
@@ -3417,6 +3459,96 @@ FROM pb GROUP BY 1
 """
 
 
+ORACLE_SQL["ar2_forecast"] = """
+WITH b AS (
+  SELECT event_id, user_id, ts, CAST(round(value*100) AS BIGINT) AS c
+  FROM events),
+st AS (
+  SELECT event_id, user_id, ts, c,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         sum(c)   OVER (PARTITION BY user_id) AS s
+  FROM b),
+cc AS (
+  SELECT user_id, ts, event_id, n, c AS v,
+         row_number() OVER w AS rn,
+         c*n - s AS c0
+  FROM st WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+ld AS (
+  SELECT user_id, n, v, rn, c0,
+         lead(c0, 1) OVER w AS c1, lead(c0, 2) OVER w AS c2
+  FROM cc WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+ag AS (
+  SELECT user_id, CAST(max(n) AS BIGINT) AS n_points, sum(v) AS s_tot,
+         sum(c0*c0) AS denom, sum(c0*c1) AS num1, sum(c0*c2) AS num2,
+         max(CASE WHEN rn = n THEN v END) AS x_n,
+         max(CASE WHEN rn = n - 1 THEN v END) AS x_n1
+  FROM ld GROUP BY 1),
+f AS (
+  SELECT user_id, n_points, denom, x_n, x_n1,
+         CAST(num1 AS DOUBLE) / CAST(denom AS DOUBLE) AS r1,
+         CAST(num2 AS DOUBLE) / CAST(denom AS DOUBLE) AS r2,
+         CAST(s_tot AS DOUBLE) / CAST(n_points AS DOUBLE) AS mean
+  FROM ag),
+g AS (
+  SELECT *, CAST(1.0 AS DOUBLE) - r1*r1 AS det,
+         denom > 0 AND n_points >= 3
+           AND abs(CAST(1.0 AS DOUBLE) - r1*r1) > 1e-12 AS ok
+  FROM f)
+SELECT user_id, n_points,
+       CASE WHEN ok THEN r1 * (CAST(1.0 AS DOUBLE) - r2) / det END AS phi1,
+       CASE WHEN ok THEN (r2 - r1*r1) / det END AS phi2,
+       CASE WHEN ok THEN
+         mean + (r1 * (CAST(1.0 AS DOUBLE) - r2) / det) * (x_n - mean)
+              + ((r2 - r1*r1) / det) * (x_n1 - mean)
+       END AS forecast_next
+FROM g
+"""
+
+ORACLE_SQL["median_filter"] = """
+SELECT event_id,
+       CAST(round(value*100) AS BIGINT) AS value_in,
+       quantile_cont(CAST(round(value*100) AS BIGINT), 0.5) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS median_smooth
+FROM events
+"""
+
+ORACLE_SQL["dtw_to_target"] = """
+WITH RECURSIVE b AS (
+  SELECT event_id, user_id, ts, CAST(round(value*100) AS BIGINT) AS c
+  FROM events),
+arr AS (
+  SELECT user_id, list(c ORDER BY ts, event_id) AS v FROM b GROUP BY 1),
+tgt AS (
+  SELECT v AS bv FROM arr WHERE user_id = (SELECT min(user_id) FROM arr)),
+base AS (
+  SELECT a.user_id, a.v AS av, t.bv, len(a.v) AS n, len(t.bv) AS m
+  FROM arr a, tgt t),
+rec AS (
+  SELECT user_id, av, bv, n, m, 1 AS i,
+         list_reduce(
+           list_transform(generate_series(1, m), j -> [abs(av[1] - bv[j])]),
+           (acc, x) -> list_append(acc, acc[-1] + x[1])) AS pr
+  FROM base
+  UNION ALL
+  SELECT user_id, av, bv, n, m, i + 1,
+         list_reduce(
+           list_transform(generate_series(1, m),
+             j -> CASE WHEN j = 1
+                       THEN [pr[1] + abs(av[i+1] - bv[1])]
+                       ELSE [j] END),
+           (acc, x) -> list_append(acc,
+               abs(av[i+1] - bv[x[1]])
+               + least(pr[x[1]], pr[x[1]-1], acc[-1]))) AS pr
+  FROM rec WHERE i < n)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_points,
+       CAST(m AS BIGINT) AS m_points,
+       pr[m] AS dtw_dist
+FROM rec WHERE i = n
+"""
+
+
 QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_simhash": q_doc_simhash,
@@ -3440,9 +3572,9 @@ QUERIES = {
     "time_weighted_avg": q_time_weighted_avg,
     "counter_increase": q_counter_increase,
     "doc_repetition": q_doc_repetition,
-    "hash_split": q_hash_split,
-    "stratified_sample": q_stratified_sample,
-    "weighted_sample": q_weighted_sample,
+    "ar2_forecast": q_ar2_forecast,
+    "median_filter": q_median_filter,
+    "dtw_to_target": q_dtw_to_target,
     "shard_packing": q_shard_packing,
     "quantile_edges": q_quantile_edges,
     "tpe_compression": q_tpe_compression,
@@ -3470,6 +3602,9 @@ QUERIES = {
     "detokenize_score": q_detokenize_score,
     # ---- driver-cap line (entry 51+): every row below is green in an
     # earlier CORRECTNESS_r* file (ledger: COVERAGE.md + tools/check_ledger) --
+    "hash_split": q_hash_split,
+    "stratified_sample": q_stratified_sample,
+    "weighted_sample": q_weighted_sample,
     "sessionize": q_sessionize,
     "session_agg": q_session_agg,
     "dedup_clusters": q_dedup_clusters,

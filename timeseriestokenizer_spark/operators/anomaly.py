@@ -96,6 +96,33 @@ def cusum_changepoints(
     )
 
 
+def median_filter(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    window_rows: int = 5,
+) -> DataFrame:
+    """Rolling median smoother (the denoising classic — kills isolated
+    spikes a moving average smears): each point is replaced by the exact
+    median of the centered ``window_rows`` frame of its own series;
+    series edges use the truncated frame (median of what exists), the
+    scipy.signal.medfilt alternative convention, documented.
+
+    ``percentile`` evaluates as a window aggregate over a ROWS frame —
+    exact linear interpolation, so integer input yields exact .5-grid
+    doubles (engine-identical, unrounded). One exchange on ``key``."""
+    half = int(window_rows) // 2
+    order = [F.col(ts_col), F.col(id_col)]
+    w = W.partitionBy(key).orderBy(*order).rowsBetween(-half, half)
+    return df.select(
+        F.col(id_col),
+        F.col(val_col).alias("value_in"),
+        F.percentile(F.col(val_col), F.lit(0.5)).over(w).alias("median_smooth"),
+    )
+
+
 def mad_outliers(
     df: DataFrame,
     key: str = "conv_id",

@@ -180,6 +180,85 @@ def acf(
     )
 
 
+def ar2_forecast(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """AR(2) fit per series via Yule-Walker on the exact ACF sums, plus
+    the one-step-ahead forecast — the classical closed form:
+
+        phi1 = r1*(1 - r2) / (1 - r1^2),  phi2 = (r2 - r1^2) / (1 - r1^2)
+        x_hat = mean + phi1*(x_n - mean) + phi2*(x_{n-1} - mean)
+
+    r1/r2 are single divisions of the same BIGINT-exact product-sums the
+    ``acf`` operator builds, so the float pipeline after them is the
+    identical operation sequence on identical doubles on any engine
+    (emitted unrounded, the ewma precedent). Degenerate series (constant
+    variance, |1 - r1^2| ~ 0, or n < 3) yield NULL coefficients.
+
+    One exchange: window(key) + groupBy(key), the acf shape plus
+    conditional aggregates picking the last two observations."""
+    order = [F.col(ts_col), F.col(id_col)]
+    wall = W.partitionBy(key)
+    wrun = W.partitionBy(key).orderBy(*order)
+    n = F.count(val_col).over(wall)
+    s = F.sum(val_col).over(wall)
+    s1 = df.select(
+        F.col(key), *order,
+        F.col(val_col).alias("v"),
+        n.alias("n"),
+        F.row_number().over(wrun).alias("rn"),
+        (F.col(val_col) * n - s).alias("c0"),
+    )
+    s2 = s1.select(
+        F.col(key), F.col("v"), F.col("n"), F.col("rn"), F.col("c0"),
+        F.lead("c0", 1).over(wrun).alias("c1"),
+        F.lead("c0", 2).over(wrun).alias("c2"),
+    )
+    aggd = s2.groupBy(key).agg(
+        F.first("n").alias("n_points"),
+        F.sum("v").alias("s_tot"),
+        F.sum(F.col("c0") * F.col("c0")).alias("denom"),
+        F.sum(F.col("c0") * F.col("c1")).alias("num1"),
+        F.sum(F.col("c0") * F.col("c2")).alias("num2"),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("v"))).alias("x_n"),
+        F.max(F.when(F.col("rn") == F.col("n") - 1, F.col("v"))).alias("x_n1"),
+    )
+    # NULL-safe denominators: ANSI mode + codegen subexpression
+    # elimination evaluate shared divisions eagerly, so a `when(ok, ...)`
+    # wrapper alone does NOT protect a denom=0 (constant) series.
+    den = F.when(F.col("denom") > 0, F.col("denom").cast("double"))
+    r1 = F.col("num1").cast("double") / den
+    r2 = F.col("num2").cast("double") / den
+    det = F.lit(1.0) - r1 * r1
+    det_safe = F.when(F.abs(det) > F.lit(1e-12), det)
+    phi1 = r1 * (F.lit(1.0) - r2) / det_safe
+    phi2 = (r2 - r1 * r1) / det_safe
+    mean = F.col("s_tot").cast("double") / F.col("n_points").cast("double")
+    ok = (
+        (F.col("denom") > 0)
+        & (F.col("n_points") >= 3)
+        & (F.abs(det) > F.lit(1e-12))
+    )
+    out_phi1 = F.when(ok, phi1)
+    out_phi2 = F.when(ok, phi2)
+    return aggd.select(
+        F.col(key),
+        F.col("n_points"),
+        out_phi1.alias("phi1"),
+        out_phi2.alias("phi2"),
+        F.when(
+            ok,
+            mean
+            + out_phi1 * (F.col("x_n") - mean)
+            + out_phi2 * (F.col("x_n1") - mean),
+        ).alias("forecast_next"),
+    )
+
+
 def seasonal_strength(
     df: DataFrame,
     key: str = "conv_id",
