@@ -306,6 +306,35 @@ def q_median_filter(spark, sf_dir):
     )
 
 
+def q_trend_fit(spark, sf_dir):
+    """Per-series OLS trend (operators/trend.trend_fit) on integer
+    cents: slope/intercept/R² from n-scaled BIGINT-exact product-sums
+    over the row position (division-free centering — the acf
+    convention); the only float ops are the final divisions of
+    identical exact integers, emitted unrounded. Degenerate series
+    (n<2; constant for R²) yield NULL on both engines."""
+    from .operators.trend import trend_fit
+
+    return trend_fit(
+        _event_cents(spark, sf_dir), key="user_id", ts_col="ts",
+        val_col="cents", id_col="event_id",
+    )
+
+
+def q_spearman_trend(spark, sf_dir):
+    """Spearman monotonic-trend strength (operators/trend.
+    spearman_trend): rank correlation of value vs position with AVERAGE
+    ranks for ties carried exactly as 2·avg_rank = 2·rank + tie_count−1
+    (BIGINT); rho is one division by one sqrt of exact integers —
+    engine-identical, unrounded. Constant/1-point series yield NULL."""
+    from .operators.trend import spearman_trend
+
+    return spearman_trend(
+        _event_cents(spark, sf_dir), key="user_id", ts_col="ts",
+        val_col="cents", id_col="event_id",
+    )
+
+
 def q_dtw_to_target(spark, sf_dir):
     """Dynamic Time Warping distance from every user's series to the
     min-user target (operators/dtw.dtw_to): L1 cost on integer cents
@@ -3243,6 +3272,61 @@ WHERE list_dot_product(a.v, c.v)
 # anomaly.py docstring) — every accumulation is BIGINT-exact on both
 # engines, single final divisions, no rounding anywhere -----------------
 
+ORACLE_SQL["trend_fit"] = """
+WITH b AS (
+  SELECT event_id, user_id, ts, CAST(round(value*100) AS BIGINT) AS v
+  FROM events),
+o AS (
+  SELECT user_id, v,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x
+  FROM b),
+a AS (
+  SELECT user_id, count(*) AS n_points, sum(x) AS sx, sum(v) AS sy,
+         sum(x*x) AS sxx_raw, sum(x*v) AS sxy_raw, sum(v*v) AS syy_raw
+  FROM o GROUP BY user_id),
+s AS (
+  SELECT user_id, n_points, sx, sy,
+         n_points*sxx_raw - sx*sx AS sxx,
+         n_points*sxy_raw - sx*sy AS sxy,
+         n_points*syy_raw - sy*sy AS syy
+  FROM a),
+sl AS (
+  SELECT *, CAST(sxy AS DOUBLE)
+              / (CASE WHEN sxx > 0 THEN CAST(sxx AS DOUBLE) END) AS slope
+  FROM s)
+SELECT user_id, n_points, slope,
+       (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+         / CAST(n_points AS DOUBLE) AS intercept,
+       (CAST(sxy AS DOUBLE) * CAST(sxy AS DOUBLE))
+         / ((CASE WHEN sxx > 0 THEN CAST(sxx AS DOUBLE) END)
+          * (CASE WHEN syy > 0 THEN CAST(syy AS DOUBLE) END)) AS r2
+FROM sl
+"""
+
+ORACLE_SQL["spearman_trend"] = """
+WITH b AS (
+  SELECT event_id, user_id, ts, CAST(round(value*100) AS BIGINT) AS c
+  FROM events),
+o AS (
+  SELECT user_id,
+         2 * row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS u,
+         2 * rank() OVER (PARTITION BY user_id ORDER BY c)
+           + count(*) OVER (PARTITION BY user_id, c) - 1 AS w
+  FROM b),
+a AS (
+  SELECT user_id, count(*) AS n_points, sum(u) AS su, sum(w) AS sw,
+         sum(u*u) AS suu_raw, sum(w*w) AS sww_raw, sum(u*w) AS suw_raw
+  FROM o GROUP BY user_id)
+SELECT user_id, n_points,
+       CAST(n_points*suw_raw - su*sw AS DOUBLE)
+         / sqrt( (CASE WHEN n_points*suu_raw - su*su > 0
+                       THEN CAST(n_points*suu_raw - su*su AS DOUBLE) END)
+               * (CASE WHEN n_points*sww_raw - sw*sw > 0
+                       THEN CAST(n_points*sww_raw - sw*sw AS DOUBLE) END) )
+         AS spearman_rho
+FROM a
+"""
+
 ORACLE_SQL["cusum_changepoint"] = """
 WITH b AS (
   SELECT event_id, user_id, ts, CAST(round(value*100) AS BIGINT) AS c
@@ -3575,6 +3659,8 @@ QUERIES = {
     "ar2_forecast": q_ar2_forecast,
     "median_filter": q_median_filter,
     "dtw_to_target": q_dtw_to_target,
+    "trend_fit": q_trend_fit,
+    "spearman_trend": q_spearman_trend,
     "shard_packing": q_shard_packing,
     "quantile_edges": q_quantile_edges,
     "tpe_compression": q_tpe_compression,
@@ -3598,10 +3684,10 @@ QUERIES = {
     "holt_smoothing": q_holt_smoothing,
     "holt_winters": q_holt_winters,
     "distinct_rollup": q_distinct_rollup,
-    "rollup_1h_cascade": q_rollup_1h_cascade,
-    "detokenize_score": q_detokenize_score,
     # ---- driver-cap line (entry 51+): every row below is green in an
     # earlier CORRECTNESS_r* file (ledger: COVERAGE.md + tools/check_ledger) --
+    "rollup_1h_cascade": q_rollup_1h_cascade,
+    "detokenize_score": q_detokenize_score,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
     "weighted_sample": q_weighted_sample,
