@@ -8,7 +8,12 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from timeseriestokenizer_spark.operators.trend import spearman_trend, trend_fit
+from timeseriestokenizer_spark.operators.trend import (
+    mann_kendall,
+    spearman_trend,
+    theil_sen,
+    trend_fit,
+)
 
 
 def _plan(df) -> str:
@@ -95,9 +100,87 @@ def test_spearman_oracle(spark, trend_df):
     assert got[0]["spearman_rho"] > 0.95 and got[1]["spearman_rho"] < -0.8
 
 
+def test_mann_kendall_oracle(spark, trend_df):
+    df, pdf = trend_df
+    got = {r["user_id"]: r for r in mann_kendall(df, key="user_id").collect()}
+    assert 3 not in got  # single-point series: no pairs, absent
+    for uid, y in _series(pdf):
+        n = len(y)
+        if n < 2:
+            continue
+        r = got[uid]
+        s = sum(
+            int(np.sign(y[j] - y[i])) for i in range(n) for j in range(i + 1, n)
+        )
+        assert r["n_points"] == n and r["s_stat"] == s
+        n0 = n * (n - 1) // 2
+        _, counts = np.unique(y, return_counts=True)
+        n1 = int((counts * (counts - 1) // 2).sum())
+        var_num = n * (n - 1) * (2 * n + 5) - int(
+            (counts * (counts - 1) * (2 * counts + 5)).sum()
+        )
+        if n0 - n1 > 0:
+            assert r["tau_b"] == s / np.sqrt(float(n0 - n1) * float(n0))
+        else:
+            assert r["tau_b"] is None
+        if s == 0:
+            assert r["z_stat"] == 0.0
+        elif var_num > 0:
+            corr = s - 1 if s > 0 else s + 1
+            assert r["z_stat"] == corr / np.sqrt(var_num / 18.0)
+        else:
+            assert r["z_stat"] is None
+    # the clean up-trend is significant, the constant series is S=0/Z=0
+    assert got[0]["z_stat"] > 3 and got[1]["z_stat"] < -3
+    assert got[2]["s_stat"] == 0 and got[2]["z_stat"] == 0.0
+    assert got[4]["tau_b"] == 1.0  # strictly monotone, no ties
+
+
+def test_theil_sen_oracle(spark, trend_df):
+    df, pdf = trend_df
+    got = {r["user_id"]: r for r in theil_sen(df, key="user_id").collect()}
+    assert 3 not in got
+    for uid, y in _series(pdf):
+        n = len(y)
+        if n < 2:
+            continue
+        slopes = sorted(
+            (float(y[j]) - float(y[i])) / float(j - i)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        m = len(slopes)
+        r = got[uid]
+        assert r["n_pairs"] == m
+        assert r["theil_slope"] == slopes[(m + 1) // 2 - 1], uid
+    assert abs(got[0]["theil_slope"] - 3.0) < 0.2  # robust to the noise
+    assert got[2]["theil_slope"] == 0.0  # constant
+
+
+def test_theil_sen_ignores_outlier(spark):
+    """One wild point among 21: OLS slope bends, Theil-Sen holds 1.0."""
+    base = pd.Timestamp("2024-01-01")
+    # off-center outlier: at the midpoint its OLS leverage would be zero
+    rows = [(i, 0, base + pd.Timedelta(minutes=i), i if i != 18 else 10_000)
+            for i in range(21)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+    )
+    ts_row = theil_sen(df, key="user_id").collect()[0]
+    ols_row = trend_fit(df, key="user_id").collect()[0]
+    assert ts_row["theil_slope"] == 1.0
+    assert abs(ols_row["slope"] - 1.0) > 5
+
+
 def test_trend_plans_single_exchange(spark, trend_df):
     df, _ = trend_df
-    for res in (trend_fit(df, key="user_id"), spearman_trend(df, key="user_id")):
+    for res in (
+        trend_fit(df, key="user_id"),
+        spearman_trend(df, key="user_id"),
+        mann_kendall(df, key="user_id"),
+        theil_sen(df, key="user_id"),
+    ):
         plan = _plan(res)
-        assert plan.count("Exchange") == 1, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "Join" not in plan  # pairwise stats without a self-join
         assert "Python" not in plan  # pure Catalyst, no UDF stage

@@ -335,6 +335,34 @@ def q_spearman_trend(spark, sf_dir):
     )
 
 
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend test (operators/trend.mann_kendall): S from a
+    within-series pairwise self-join (reused-exchange bounded-length
+    shape), tie-corrected tau-b and continuity-corrected Z — S, pair
+    and tie counts all exact BIGINT; tau_b/Z are single divisions by
+    single sqrts of identical exact integers, emitted unrounded."""
+    from .operators.trend import mann_kendall
+
+    return mann_kendall(
+        _event_cents(spark, sf_dir), key="user_id", ts_col="ts",
+        val_col="cents", id_col="event_id",
+    )
+
+
+def q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust slope (operators/trend.theil_sen): the LOWER
+    MEDIAN (k-th order statistic, never interpolated) of all pairwise
+    slopes — each slope one division of exact BIGINTs, so the selected
+    value is bit-identical on both engines; deterministic under slope
+    ties because a k-th smallest VALUE doesn't depend on tie order."""
+    from .operators.trend import theil_sen
+
+    return theil_sen(
+        _event_cents(spark, sf_dir), key="user_id", ts_col="ts",
+        val_col="cents", id_col="event_id",
+    )
+
+
 def q_dtw_to_target(spark, sf_dir):
     """Dynamic Time Warping distance from every user's series to the
     min-user target (operators/dtw.dtw_to): L1 cost on integer cents
@@ -3327,6 +3355,62 @@ SELECT user_id, n_points,
 FROM a
 """
 
+ORACLE_SQL["mann_kendall"] = """
+WITH b AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+p AS (
+  SELECT a.user_id,
+         CASE WHEN y.v > a.v THEN 1 WHEN y.v < a.v THEN -1 ELSE 0 END AS sgn
+  FROM b a JOIN b y ON a.user_id = y.user_id AND a.rn < y.rn),
+ps AS (
+  SELECT user_id, CAST(sum(sgn) AS BIGINT) AS s_stat,
+         count(*) AS n0
+  FROM p GROUP BY user_id),
+tc AS (SELECT user_id, v, count(*) AS t FROM b GROUP BY 1, 2),
+ts AS (
+  SELECT user_id, CAST(sum(t) AS BIGINT) AS n_points,
+         CAST(sum(t*(t-1)) // 2 AS BIGINT) AS n1,
+         CAST(sum(t*(t-1)*(2*t+5)) AS BIGINT) AS tie_var
+  FROM tc GROUP BY user_id),
+j AS (
+  SELECT ps.user_id, n_points, s_stat, n0, n1,
+         n_points*(n_points-1)*(2*n_points+5) - tie_var AS var_num
+  FROM ps JOIN ts ON ps.user_id = ts.user_id)
+SELECT user_id, n_points, s_stat,
+       CAST(s_stat AS DOUBLE)
+         / sqrt((CASE WHEN n0 - n1 > 0 THEN CAST(n0 - n1 AS DOUBLE) END)
+                * CAST(n0 AS DOUBLE)) AS tau_b,
+       CASE WHEN s_stat = 0 THEN CAST(0.0 AS DOUBLE)
+            WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+              / sqrt((CASE WHEN var_num > 0
+                           THEN CAST(var_num AS DOUBLE) END) / 18.0)
+            ELSE CAST(s_stat + 1 AS DOUBLE)
+              / sqrt((CASE WHEN var_num > 0
+                           THEN CAST(var_num AS DOUBLE) END) / 18.0)
+       END AS z_stat
+FROM j
+"""
+
+ORACLE_SQL["theil_sen"] = """
+WITH b AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+p AS (
+  SELECT a.user_id,
+         CAST(y.v - a.v AS DOUBLE) / CAST(y.rn - a.rn AS DOUBLE) AS slope
+  FROM b a JOIN b y ON a.user_id = y.user_id AND a.rn < y.rn),
+r AS (
+  SELECT user_id, slope,
+         row_number() OVER (PARTITION BY user_id ORDER BY slope) AS k,
+         count(*) OVER (PARTITION BY user_id) AS n_pairs
+  FROM p)
+SELECT user_id, n_pairs, slope AS theil_slope
+FROM r WHERE k = (n_pairs + 1) // 2
+"""
+
 ORACLE_SQL["cusum_changepoint"] = """
 WITH b AS (
   SELECT event_id, user_id, ts, CAST(round(value*100) AS BIGINT) AS c
@@ -3661,6 +3745,8 @@ QUERIES = {
     "dtw_to_target": q_dtw_to_target,
     "trend_fit": q_trend_fit,
     "spearman_trend": q_spearman_trend,
+    "mann_kendall": q_mann_kendall,
+    "theil_sen": q_theil_sen,
     "shard_packing": q_shard_packing,
     "quantile_edges": q_quantile_edges,
     "tpe_compression": q_tpe_compression,
@@ -3681,11 +3767,11 @@ QUERIES = {
     "counter_rate": q_counter_rate,
     "rolling_zscore": q_rolling_zscore,
     "ewma": q_ewma,
-    "holt_smoothing": q_holt_smoothing,
     "holt_winters": q_holt_winters,
-    "distinct_rollup": q_distinct_rollup,
     # ---- driver-cap line (entry 51+): every row below is green in an
     # earlier CORRECTNESS_r* file (ledger: COVERAGE.md + tools/check_ledger) --
+    "holt_smoothing": q_holt_smoothing,
+    "distinct_rollup": q_distinct_rollup,
     "rollup_1h_cascade": q_rollup_1h_cascade,
     "detokenize_score": q_detokenize_score,
     "hash_split": q_hash_split,

@@ -90,6 +90,160 @@ def trend_fit(
     )
 
 
+def _series_values(df, key, ts_col, val_col, id_col):
+    """(key, vs): the BIGINT value array in time order — ONE hash
+    exchange on the series key (groupBy + row-local array_sort on
+    (ts, id, v) structs; collect_list alone has no order guarantee).
+    Bounded-series doctrine (the dtw_to precedent): series length
+    ≤ ~5·10⁴ per key; longer series should be pre-downsampled with the
+    rollup tiers / PAA first."""
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(id_col).alias("id"),
+                F.col(val_col).alias("v"),
+            )
+        )
+    )
+    return (
+        df.groupBy(key)
+        .agg(ordered.alias("arr"))
+        .select(F.col(key), F.expr("transform(arr, x -> x.v)").alias("vs"))
+        .where(F.size("vs") >= 2)
+    )
+
+
+def mann_kendall(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Mann-Kendall trend test per series: S = Σ_{i<j} sign(v_j − v_i)
+    (exact BIGINT), tie-corrected Kendall tau-b, and the
+    continuity-corrected normal statistic Z with the tie-corrected
+    variance (n(n−1)(2n+5) − Σt(t−1)(2t+5))/18 — the nonparametric "is
+    there a trend at all" answer that pairs with spearman_trend's
+    strength estimate.
+
+    Shape: NO joins and ONE exchange — each series becomes one
+    time-ordered array, S folds row-locally with a nested ``aggregate``
+    higher-order function (O(n²) runtime inside codegen, constant plan
+    size — the array_max-over-structs lesson about WHEN-chain folds
+    does not apply to runtime HOF loops), and the tie terms come from
+    ONE run-length ``aggregate`` pass over the sorted copy. The naive
+    alternative (pairwise self-join + tie groupBy) shuffles the raw
+    table three times; this shuffles it once.
+
+    Float contract: S, n0, n1, tie terms all exact BIGINT (lengths cast
+    to BIGINT before the cubic products — int32 would overflow at
+    n≈10³); tau_b and Z are single divisions by single sqrts of
+    identical exact integers. Series with n < 2 are absent (no pairs);
+    constant series get tau_b/Z NULL — except S=0 defines Z=0 (the
+    scipy kendalltau / MK-test convention)."""
+    arr = _series_values(df, key, ts_col, val_col, id_col)
+    s_expr = """
+      aggregate(
+        sequence(0, CAST(size(vs) AS INT) - 2),
+        CAST(0 AS BIGINT),
+        (acc, i) -> acc + aggregate(
+            sequence(i + 1, CAST(size(vs) AS INT) - 1),
+            CAST(0 AS BIGINT),
+            (a2, j) -> a2 + CASE WHEN vs[j] > vs[i] THEN 1
+                                 WHEN vs[j] < vs[i] THEN -1 ELSE 0 END))
+    """
+    ties_expr = """
+      aggregate(
+        array_sort(vs),
+        named_struct('prev', CAST(NULL AS BIGINT), 'run', CAST(0 AS BIGINT),
+                     'n1x2', CAST(0 AS BIGINT), 'tvar', CAST(0 AS BIGINT)),
+        (st, x) -> CASE WHEN st.prev IS NULL OR x != st.prev
+            THEN named_struct('prev', x, 'run', CAST(1 AS BIGINT),
+                              'n1x2', st.n1x2 + st.run * (st.run - 1),
+                              'tvar', st.tvar + st.run * (st.run - 1)
+                                                       * (2 * st.run + 5))
+            ELSE named_struct('prev', x, 'run', st.run + 1,
+                              'n1x2', st.n1x2, 'tvar', st.tvar) END,
+        st -> named_struct(
+            'n1', (st.n1x2 + st.run * (st.run - 1)) DIV 2,
+            'tvar', st.tvar + st.run * (st.run - 1) * (2 * st.run + 5)))
+    """
+    base = arr.select(
+        F.col(key),
+        F.size("vs").cast("long").alias("n_points"),
+        F.expr(s_expr).alias("s_stat"),
+        F.expr(ties_expr).alias("tie"),
+    )
+    n, s = F.col("n_points"), F.col("s_stat")
+    n0 = F.expr("n_points * (n_points - 1) DIV 2")
+    tau_b = s.cast("double") / F.sqrt(
+        _null_safe_pos(n0 - F.col("tie.n1")) * n0.cast("double")
+    )
+    var_num = n * (n - 1) * (2 * n + 5) - F.col("tie.tvar")
+    sd = F.sqrt(_null_safe_pos(var_num) / F.lit(18.0))
+    z = (
+        F.when(s == 0, F.lit(0.0))
+        .when(s > 0, (s - 1).cast("double") / sd)
+        .otherwise((s + 1).cast("double") / sd)
+    )
+    return base.select(
+        F.col(key), n, s, tau_b.alias("tau_b"), z.alias("z_stat")
+    )
+
+
+def theil_sen(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Theil-Sen robust slope per series: the LOWER MEDIAN of all
+    pairwise slopes (v_j − v_i)/(j − i) over row positions — resistant
+    to ~29% outliers where one wild point bends the OLS slope.
+
+    Lower median (the k = ⌈m/2⌉-th smallest) instead of the
+    interpolated median deliberately: a k-th order STATISTIC is a value
+    the data contains, well-defined under slope ties and reproducible
+    bit-exactly on any engine, while midpoint interpolation of two
+    arbitrary doubles is summation-order folklore (the ewma lesson).
+
+    Shape: ONE exchange. Series → time-ordered array, then a PIPELINED
+    double explode (outer index, then the transform over later indices)
+    streams the O(n²) slopes through codegen without ever materializing
+    a per-series slope array — explode preserves HashPartitioning(key),
+    so the rank window that selects the median needs only a sort (which
+    can spill), not a shuffle. Each slope is ONE division of exact
+    BIGINTs, ordered and selected, never averaged."""
+    arr = _series_values(df, key, ts_col, val_col, id_col)
+    e1 = arr.select(
+        F.col(key),
+        F.col("vs"),
+        F.expr("explode(sequence(0, CAST(size(vs) AS INT) - 2))").alias("i"),
+    )
+    e2 = e1.select(
+        F.col(key),
+        F.expr(
+            """explode(transform(
+                 sequence(i + 1, CAST(size(vs) AS INT) - 1),
+                 j -> CAST(vs[j] - vs[i] AS DOUBLE) / CAST(j - i AS DOUBLE)))"""
+        ).alias("slope"),
+    )
+    word = W.partitionBy(key).orderBy("slope")
+    wall = W.partitionBy(key)
+    r = e2.select(
+        F.col(key),
+        F.col("slope"),
+        F.row_number().over(word).alias("k"),
+        F.count(F.lit(1)).over(wall).alias("n_pairs"),
+    )
+    return r.where(F.col("k") == F.expr("(n_pairs + 1) DIV 2")).select(
+        F.col(key), F.col("n_pairs"), F.col("slope").alias("theil_slope")
+    )
+
+
 def spearman_trend(
     df: DataFrame,
     key: str = "conv_id",
