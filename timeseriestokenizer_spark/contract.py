@@ -363,6 +363,43 @@ def q_theil_sen(spark, sf_dir):
     )
 
 
+def q_interval_coverage(spark, sf_dir):
+    """Gaps-and-islands interval coverage (operators/intervals.
+    interval_coverage): events become [ts, ts + (1 + cents mod 7200) s)
+    intervals in exact epoch-µs BIGINTs; overlapping-or-touching
+    intervals merge via running-max-end islands, then per-user covered
+    total / island count / extent / gap total — all BIGINT arithmetic,
+    no floats. Whole pipeline on ONE exchange."""
+    from .operators.intervals import interval_coverage
+
+    ev = _event_cents(spark, sf_dir)
+    s = F.unix_micros(F.col("ts").cast("timestamp"))
+    dur = (
+        F.lit(1) + ((F.col("cents") % 7200) + 7200) % 7200
+    ).cast("long") * F.lit(1_000_000)
+    iv = ev.select(
+        F.col("user_id"), s.alias("s"), (s + dur).alias("e")
+    )
+    return interval_coverage(iv, key="user_id", start_col="s", end_col="e")
+
+
+def q_scd2_compress(spark, sf_dir):
+    """SCD2 run compression (operators/intervals.scd2_compress): the
+    banded value (cents mod 5) collapses into validity windows
+    [valid_from, valid_to) with valid_to = next run's start (NULL while
+    current) — the slowly-changing-dimension convention. Run ids,
+    aggregation, and the lead() all cluster on user_id: one exchange;
+    outputs are BIGINT µs and counts only."""
+    from .operators.intervals import scd2_compress
+
+    ev = _event_cents(spark, sf_dir).withColumn(
+        "band", ((F.col("cents") % 5) + 5) % 5
+    )
+    return scd2_compress(
+        ev, key="user_id", ts_col="ts", val_col="band", id_col="event_id"
+    )
+
+
 def q_dtw_to_target(spark, sf_dir):
     """Dynamic Time Warping distance from every user's series to the
     min-user target (operators/dtw.dtw_to): L1 cost on integer cents
@@ -3355,6 +3392,64 @@ SELECT user_id, n_points,
 FROM a
 """
 
+ORACLE_SQL["interval_coverage"] = """
+WITH b AS (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+         epoch_us(CAST(ts AS TIMESTAMP))
+           + (1 + ((CAST(round(value*100) AS BIGINT) % 7200) + 7200) % 7200)
+             * 1000000 AS e
+  FROM events),
+w AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM b),
+i AS (
+  SELECT user_id, s, e,
+         sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM w),
+m AS (
+  SELECT user_id, island, min(s) AS st, max(e) AS en, count(*) AS nm
+  FROM i GROUP BY 1, 2)
+SELECT user_id,
+       CAST(sum(en - st) AS BIGINT) AS covered,
+       count(*) AS n_islands,
+       CAST(sum(nm) AS BIGINT) AS n_intervals,
+       min(st) AS first_start,
+       max(en) AS last_end,
+       CAST(max(en) - min(st) - sum(en - st) AS BIGINT) AS gap_total
+FROM m GROUP BY user_id
+"""
+
+ORACLE_SQL["scd2_compress"] = """
+WITH b AS (
+  SELECT user_id, ts, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         ((CAST(round(value*100) AS BIGINT) % 5) + 5) % 5 AS v
+  FROM events),
+w AS (
+  SELECT user_id, ts, event_id, ts_us, v,
+         CASE WHEN row_number() OVER win = 1 THEN 1
+              WHEN v IS DISTINCT FROM lag(v) OVER win THEN 1 ELSE 0 END AS ch
+  FROM b WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+r AS (
+  SELECT user_id, ts_us, v,
+         sum(ch) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM w),
+g AS (
+  SELECT user_id, CAST(run AS BIGINT) AS run, min(ts_us) AS valid_from,
+         min(v) AS value, count(*) AS n_rows
+  FROM r GROUP BY 1, 2)
+SELECT user_id, run, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to,
+       value, n_rows
+FROM g
+"""
+
 ORACLE_SQL["mann_kendall"] = """
 WITH b AS (
   SELECT user_id, CAST(round(value*100) AS BIGINT) AS v,
@@ -3747,6 +3842,8 @@ QUERIES = {
     "spearman_trend": q_spearman_trend,
     "mann_kendall": q_mann_kendall,
     "theil_sen": q_theil_sen,
+    "interval_coverage": q_interval_coverage,
+    "scd2_compress": q_scd2_compress,
     "shard_packing": q_shard_packing,
     "quantile_edges": q_quantile_edges,
     "tpe_compression": q_tpe_compression,
@@ -3764,12 +3861,12 @@ QUERIES = {
     "sax_motifs": q_sax_motifs,
     "series_correlation": q_series_correlation,
     "scale_join_roundtrip": q_scale_join_roundtrip,
-    "counter_rate": q_counter_rate,
     "rolling_zscore": q_rolling_zscore,
-    "ewma": q_ewma,
     "holt_winters": q_holt_winters,
     # ---- driver-cap line (entry 51+): every row below is green in an
     # earlier CORRECTNESS_r* file (ledger: COVERAGE.md + tools/check_ledger) --
+    "ewma": q_ewma,
+    "counter_rate": q_counter_rate,
     "holt_smoothing": q_holt_smoothing,
     "distinct_rollup": q_distinct_rollup,
     "rollup_1h_cascade": q_rollup_1h_cascade,
