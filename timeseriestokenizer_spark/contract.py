@@ -400,6 +400,20 @@ def q_scd2_compress(spark, sf_dir):
     )
 
 
+def q_haar_dwt(spark, sf_dir):
+    """3-level Haar wavelet transform (operators/wavelet.haar_dwt) on
+    integer cents: block sums exact BIGINT via row-local slice/aggregate
+    HOFs over the per-series array (one exchange, no joins); each
+    coefficient divides by the dyadic 2^k so every double is exact —
+    hash-identical to the oracle's direct block-sum formulation."""
+    from .operators.wavelet import haar_dwt
+
+    return haar_dwt(
+        _event_cents(spark, sf_dir), key="user_id", ts_col="ts",
+        val_col="cents", id_col="event_id", levels=3,
+    )
+
+
 def q_dtw_to_target(spark, sf_dir):
     """Dynamic Time Warping distance from every user's series to the
     min-user target (operators/dtw.dtw_to): L1 cost on integer cents
@@ -3450,6 +3464,28 @@ SELECT user_id, run, valid_from,
 FROM g
 """
 
+ORACLE_SQL["haar_dwt"] = """
+WITH b AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS c,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS p
+  FROM events),
+lv AS (SELECT * FROM (VALUES (1), (2), (3)) t(level)),
+x AS (
+  SELECT b.user_id, lv.level,
+         CAST(p // (1 << level) AS BIGINT) AS idx,
+         CAST(sum(c) AS BIGINT) AS tot,
+         CAST(sum(CASE WHEN p % (1 << level) < (1 << (level - 1))
+                       THEN c ELSE -c END) AS BIGINT) AS det,
+         count(*) AS cnt
+  FROM b CROSS JOIN lv
+  GROUP BY 1, 2, 3)
+SELECT user_id, level, idx,
+       CAST(tot AS DOUBLE) / CAST(1 << level AS DOUBLE) AS approx,
+       CAST(det AS DOUBLE) / CAST(1 << level AS DOUBLE) AS detail
+FROM x WHERE cnt = 1 << level
+"""
+
 ORACLE_SQL["mann_kendall"] = """
 WITH b AS (
   SELECT user_id, CAST(round(value*100) AS BIGINT) AS v,
@@ -3844,6 +3880,7 @@ QUERIES = {
     "theil_sen": q_theil_sen,
     "interval_coverage": q_interval_coverage,
     "scd2_compress": q_scd2_compress,
+    "haar_dwt": q_haar_dwt,
     "shard_packing": q_shard_packing,
     "quantile_edges": q_quantile_edges,
     "tpe_compression": q_tpe_compression,
@@ -3861,10 +3898,10 @@ QUERIES = {
     "sax_motifs": q_sax_motifs,
     "series_correlation": q_series_correlation,
     "scale_join_roundtrip": q_scale_join_roundtrip,
-    "rolling_zscore": q_rolling_zscore,
     "holt_winters": q_holt_winters,
     # ---- driver-cap line (entry 51+): every row below is green in an
     # earlier CORRECTNESS_r* file (ledger: COVERAGE.md + tools/check_ledger) --
+    "rolling_zscore": q_rolling_zscore,
     "ewma": q_ewma,
     "counter_rate": q_counter_rate,
     "holt_smoothing": q_holt_smoothing,
