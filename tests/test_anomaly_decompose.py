@@ -412,3 +412,35 @@ def test_dtw_matches_full_matrix_oracle(spark, series_df):
         assert r["n_points"] == len(a) and r["m_points"] == len(b)
         assert r["dtw_dist"] == _dtw_full_matrix(a, b), uid
     assert got[min(series)]["dtw_dist"] == 0
+
+
+def test_diversity_stats_oracle(spark):
+    from timeseriestokenizer_spark.functions.textstats import diversity_stats
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "a a a a",        # n=4 d=1 sq=16: simpson 1, eff vocab 1
+                    "A b a B c",      # lowercased: a2 b2 c1 → n=5 d=3 sq=9
+                    "u v w x",        # uniform: simpson 1/n
+                ],
+            }
+        )
+    )
+    got = {r["doc_id"]: r for r in diversity_stats(docs).collect()}
+    r0 = got[0]
+    assert (r0["n_tokens"], r0["distinct_tokens"]) == (4, 1)
+    assert r0["simpson_d"] == 1.0 and r0["effective_vocab"] == 1.0
+    assert r0["top_token_share"] == 1.0
+    r1 = got[1]
+    assert (r1["n_tokens"], r1["distinct_tokens"]) == (5, 3)
+    assert r1["simpson_d"] == 9.0 / 25.0
+    assert r1["effective_vocab"] == 25.0 / 9.0
+    assert r1["type_token_ratio"] == 3.0 / 5.0 and r1["top_token_share"] == 2.0 / 5.0
+    r2 = got[2]
+    assert r2["simpson_d"] == 0.25 and r2["effective_vocab"] == 4.0
+    # zero shuffles: scan -> project only
+    plan = _plan(diversity_stats(docs))
+    assert "Exchange" not in plan and "Python" not in plan

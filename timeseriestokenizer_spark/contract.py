@@ -400,6 +400,18 @@ def q_scd2_compress(spark, sf_dir):
     )
 
 
+def q_doc_diversity(spark, sf_dir):
+    """Exact lexical diversity (functions/textstats.diversity_stats):
+    Simpson index, effective vocabulary, type-token ratio, top-token
+    share — every metric a single division of exact BIGINTs from ONE
+    row-local run-length aggregate over the sorted token array (zero
+    shuffles; deliberately no entropy: ln isn't cross-engine
+    bit-stable, Simpson's D is the exact Rényi-2 stand-in)."""
+    from .functions.textstats import diversity_stats
+
+    return diversity_stats(load(spark, sf_dir, "documents"))
+
+
 def q_haar_dwt(spark, sf_dir):
     """3-level Haar wavelet transform (operators/wavelet.haar_dwt) on
     integer cents: block sums exact BIGINT via row-local slice/aggregate
@@ -3464,6 +3476,24 @@ SELECT user_id, run, valid_from,
 FROM g
 """
 
+ORACLE_SQL["doc_diversity"] = """
+WITH t AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents),
+c AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+a AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n, count(*) AS d,
+         CAST(sum(cnt*cnt) AS BIGINT) AS sq, CAST(max(cnt) AS BIGINT) AS mx
+  FROM c GROUP BY doc_id)
+SELECT doc_id, n AS n_tokens, d AS distinct_tokens,
+       CAST(sq AS DOUBLE) / CAST(n*n AS DOUBLE) AS simpson_d,
+       CAST(n*n AS DOUBLE) / CAST(sq AS DOUBLE) AS effective_vocab,
+       CAST(d AS DOUBLE) / CAST(n AS DOUBLE) AS type_token_ratio,
+       CAST(mx AS DOUBLE) / CAST(n AS DOUBLE) AS top_token_share
+FROM a
+"""
+
 ORACLE_SQL["haar_dwt"] = """
 WITH b AS (
   SELECT user_id, CAST(round(value*100) AS BIGINT) AS c,
@@ -3881,6 +3911,7 @@ QUERIES = {
     "interval_coverage": q_interval_coverage,
     "scd2_compress": q_scd2_compress,
     "haar_dwt": q_haar_dwt,
+    "doc_diversity": q_doc_diversity,
     "shard_packing": q_shard_packing,
     "quantile_edges": q_quantile_edges,
     "tpe_compression": q_tpe_compression,
@@ -3888,7 +3919,6 @@ QUERIES = {
     "adaptive_quantize": q_adaptive_quantize,
     "gorilla_roundtrip": q_gorilla_roundtrip,
     "rollup_1m": q_rollup_1m,
-    "m4_downsample": q_m4_downsample,
     "lttb_downsample": q_lttb_downsample,
     "value_histogram": q_value_histogram,
     "hist_p95_cascade": q_hist_p95_cascade,
@@ -3901,6 +3931,7 @@ QUERIES = {
     "holt_winters": q_holt_winters,
     # ---- driver-cap line (entry 51+): every row below is green in an
     # earlier CORRECTNESS_r* file (ledger: COVERAGE.md + tools/check_ledger) --
+    "m4_downsample": q_m4_downsample,
     "rolling_zscore": q_rolling_zscore,
     "ewma": q_ewma,
     "counter_rate": q_counter_rate,

@@ -284,3 +284,60 @@ def repetition_stats(docs: DataFrame, text_col="text", doc_col="doc_id") -> Data
         (top.cast("double") / total.cast("double")).alias("top_bigram_frac"),
         (dup.cast("double") / total.cast("double")).alias("dup_bigram_frac"),
     )
+
+
+def diversity_stats(docs: DataFrame, text_col="text", doc_col="doc_id") -> DataFrame:
+    """Exact lexical-diversity screen per document: Simpson index
+    D = Σc²/n² (repeat-probability of two random tokens), effective
+    vocabulary n²/Σc² (the "how many equally-frequent tokens would look
+    like this" inverse), type-token ratio d/n, and top-token share
+    max(c)/n. Low effective vocabulary / high top-share mark the
+    keyword-stuffed and looping docs that [[doc_repetition]] catches at
+    the bigram level — this is the unigram companion.
+
+    Deliberately NO entropy: Shannon's Σ(c/n)·ln(c/n) needs a
+    transcendental whose last-ulp differs across engines (Math.log is
+    not correctly rounded), so it cannot be hash-exact; every metric
+    here is a ratio of exact BIGINTs instead — same screening power,
+    bit-reproducible (Simpson's D is a monotone proxy for Rényi-2
+    entropy exp(-H₂) = D).
+
+    Plan shape: ZERO shuffles — tokens sort row-locally and one
+    run-length ``aggregate`` pass (the mann_kendall tie-count pattern)
+    produces n, distinct count, Σc² and max c; the text column dies in
+    the projection. Scan → project, nothing else."""
+    toked = docs.select(
+        F.col(doc_col),
+        F.array_sort(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "_st"
+        ),
+    ).filter(F.size("_st") >= 1)
+    stats = F.expr(
+        """aggregate(
+             _st,
+             named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT),
+                          'n', CAST(0 AS BIGINT), 'd', CAST(0 AS BIGINT),
+                          'sq', CAST(0 AS BIGINT), 'mx', CAST(0 AS BIGINT)),
+             (st, x) -> CASE WHEN st.prev IS NULL OR x != st.prev
+                 THEN named_struct('prev', x, 'run', CAST(1 AS BIGINT),
+                                   'n', st.n + 1, 'd', st.d + 1,
+                                   'sq', st.sq + st.run * st.run,
+                                   'mx', greatest(st.mx, st.run))
+                 ELSE named_struct('prev', x, 'run', st.run + 1,
+                                   'n', st.n + 1, 'd', st.d,
+                                   'sq', st.sq, 'mx', st.mx) END,
+             st -> named_struct('n', st.n, 'd', st.d,
+                                'sq', st.sq + st.run * st.run,
+                                'mx', greatest(st.mx, st.run)))"""
+    )
+    n, d = F.col("_s.n"), F.col("_s.d")
+    sq, mx = F.col("_s.sq"), F.col("_s.mx")
+    return toked.select(F.col(doc_col), stats.alias("_s")).select(
+        F.col(doc_col),
+        n.alias("n_tokens"),
+        d.alias("distinct_tokens"),
+        (sq.cast("double") / (n * n).cast("double")).alias("simpson_d"),
+        ((n * n).cast("double") / sq.cast("double")).alias("effective_vocab"),
+        (d.cast("double") / n.cast("double")).alias("type_token_ratio"),
+        (mx.cast("double") / n.cast("double")).alias("top_token_share"),
+    )
