@@ -400,6 +400,49 @@ def q_scd2_compress(spark, sf_dir):
     )
 
 
+def q_weekly_profile(spark, sf_dir):
+    """Hour-of-week seasonal profile (operators/behavior.
+    weekly_profile): per (user, ISO weekday, hour) count / exact sum /
+    mean / extrema — weekday via F.weekday == DuckDB isodow−1 (bare
+    dayofweek disagrees on week start across engines). Mean is the one
+    float: a single division of exact BIGINTs, unrounded."""
+    from .operators.behavior import weekly_profile
+
+    return weekly_profile(
+        _event_cents(spark, sf_dir), key="user_id", ts_col="ts",
+        val_col="cents",
+    )
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix (operators/behavior.cohort_retention):
+    users bucketed by first-active date, counted per active-day offset.
+    The first-active date rides the user window (no self-join back to
+    activity); all outputs exact BIGINT counts."""
+    from .operators.behavior import cohort_retention
+
+    return cohort_retention(
+        load(spark, sf_dir, "events"), key="user_id", ts_col="ts"
+    )
+
+
+def q_funnel_steps(spark, sf_dir):
+    """Ordered funnel 0→1→2 over the banded value (operators/behavior.
+    funnel_steps): greedy-earliest stage matching folded row-locally
+    over the per-user (µs, id, stage) array — ONE exchange, every user
+    emitted including zero-progress ones; ties on duplicate timestamps
+    resolve by (ts, event_id) identically on both engines."""
+    from .operators.behavior import funnel_steps
+
+    ev = _event_cents(spark, sf_dir).withColumn(
+        "stage", ((F.col("cents") % 3) + 3) % 3
+    )
+    return funnel_steps(
+        ev, stages=[0, 1, 2], key="user_id", ts_col="ts",
+        stage_col="stage", id_col="event_id",
+    )
+
+
 def q_doc_diversity(spark, sf_dir):
     """Exact lexical diversity (functions/textstats.diversity_stats):
     Simpson index, effective vocabulary, type-token ratio, top-token
@@ -3476,6 +3519,66 @@ SELECT user_id, run, valid_from,
 FROM g
 """
 
+ORACLE_SQL["weekly_profile"] = """
+SELECT user_id,
+       CAST(isodow(CAST(ts AS TIMESTAMP)) - 1 AS INT) AS weekday,
+       CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hour,
+       count(*) AS n,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS mean,
+       min(CAST(round(value*100) AS BIGINT)) AS vmin,
+       max(CAST(round(value*100) AS BIGINT)) AS vmax
+FROM events GROUP BY 1, 2, 3
+"""
+
+ORACLE_SQL["cohort_retention"] = """
+WITH a AS (
+  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+c AS (
+  SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_date
+  FROM a),
+g AS (
+  SELECT cohort_date, CAST(day - cohort_date AS BIGINT) AS offset_days,
+         user_id, count(*) AS n_ev
+  FROM c GROUP BY 1, 2, 3)
+SELECT cohort_date, offset_days, count(*) AS n_active,
+       CAST(sum(n_ev) AS BIGINT) AS n_events
+FROM g GROUP BY 1, 2
+"""
+
+ORACLE_SQL["funnel_steps"] = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         ((CAST(round(value*100) AS BIGINT) % 3) + 3) % 3 AS stage
+  FROM events),
+u AS (SELECT DISTINCT user_id FROM e),
+s1 AS (
+  SELECT user_id, us AS t1, event_id AS i1 FROM e WHERE stage = 0
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) = 1),
+s2 AS (
+  SELECT e.user_id, e.us AS t2, e.event_id AS i2
+  FROM e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.stage = 1 AND (e.us, e.event_id) > (s1.t1, s1.i1)
+  QUALIFY row_number() OVER (PARTITION BY e.user_id
+                             ORDER BY e.us, e.event_id) = 1),
+s3 AS (
+  SELECT e.user_id, e.us AS t3
+  FROM e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.stage = 2 AND (e.us, e.event_id) > (s2.t2, s2.i2)
+  QUALIFY row_number() OVER (PARTITION BY e.user_id
+                             ORDER BY e.us, e.event_id) = 1)
+SELECT u.user_id,
+       CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stages_reached,
+       t3 IS NOT NULL AS completed,
+       t3 AS completed_ts_us
+FROM u
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+"""
+
 ORACLE_SQL["doc_diversity"] = """
 WITH t AS (
   SELECT doc_id,
@@ -3912,6 +4015,9 @@ QUERIES = {
     "scd2_compress": q_scd2_compress,
     "haar_dwt": q_haar_dwt,
     "doc_diversity": q_doc_diversity,
+    "weekly_profile": q_weekly_profile,
+    "cohort_retention": q_cohort_retention,
+    "funnel_steps": q_funnel_steps,
     "shard_packing": q_shard_packing,
     "quantile_edges": q_quantile_edges,
     "tpe_compression": q_tpe_compression,
@@ -3919,9 +4025,6 @@ QUERIES = {
     "adaptive_quantize": q_adaptive_quantize,
     "gorilla_roundtrip": q_gorilla_roundtrip,
     "rollup_1m": q_rollup_1m,
-    "lttb_downsample": q_lttb_downsample,
-    "value_histogram": q_value_histogram,
-    "hist_p95_cascade": q_hist_p95_cascade,
     "kll_p95_cascade": q_kll_p95_cascade,
     "heavy_hitters_cascade": q_heavy_hitters_cascade,
     "paa_sax": q_paa_sax,
@@ -3932,6 +4035,9 @@ QUERIES = {
     # ---- driver-cap line (entry 51+): every row below is green in an
     # earlier CORRECTNESS_r* file (ledger: COVERAGE.md + tools/check_ledger) --
     "m4_downsample": q_m4_downsample,
+    "lttb_downsample": q_lttb_downsample,
+    "value_histogram": q_value_histogram,
+    "hist_p95_cascade": q_hist_p95_cascade,
     "rolling_zscore": q_rolling_zscore,
     "ewma": q_ewma,
     "counter_rate": q_counter_rate,
