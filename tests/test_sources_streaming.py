@@ -249,3 +249,47 @@ def test_streaming_kll_crash_recovery_no_double_merge(spark, tmp_path):
     state2 = stream_kll_1m(spark, src, df.schema, str(tmp_path / "ckpt2"), store)
     got = sorted(tuple(r) for r in kll_percentile(state2, 0.95).collect())
     assert got == want  # recovered, and batch 0 NOT merged twice
+
+
+def test_streaming_heavy_matches_batch(spark, tmp_path):
+    """foreachBatch Misra-Gries state merge (streaming/rollup_stream.
+    stream_heavy_1m): stream-built per-minute heavy-hitter state answers
+    the same top-k as a batch heavy_rollup_tier over the same rows across
+    multiple micro batches, in the no-eviction exact regime."""
+    from timeseriestokenizer_spark.operators.heavy import (
+        heavy_rollup_tier,
+        heavy_topk,
+    )
+    from timeseriestokenizer_spark.streaming.rollup_stream import stream_heavy_1m
+
+    rng = np.random.RandomState(44)
+    base = pd.Timestamp("2026-07-02")
+    # zipf-ish keys over a small alphabet: well inside the k=32 exact regime
+    keys = [f"u{int(rng.zipf(1.7)) % 12}" for _ in range(400)]
+    rows = [
+        (
+            (base + pd.Timedelta(seconds=int(rng.randint(0, 1800)))).to_pydatetime(),
+            k,
+        )
+        for k in keys
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, conv_id string")
+    src = str(tmp_path / "mg_src")
+    # split by index, not subtract: zipf keys make duplicate rows, which
+    # a set-difference would silently dedupe out of the second file
+    spark.createDataFrame(rows[:200], df.schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows[200:], df.schema).coalesce(1).write.mode("append").parquet(src)
+
+    state = stream_heavy_1m(
+        spark, src, df.schema, str(tmp_path / "mg_ckpt"),
+        str(tmp_path / "mg_store"),
+    )
+    got = {
+        (r["bucket_ts"], r["key"]): (r["est_count"], r["rank"])
+        for r in heavy_topk(state, 5).collect()
+    }
+    exp = {
+        (r["bucket_ts"], r["key"]): (r["est_count"], r["rank"])
+        for r in heavy_topk(heavy_rollup_tier(df, "1m"), 5).collect()
+    }
+    assert got == exp and got

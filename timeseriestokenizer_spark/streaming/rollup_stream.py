@@ -210,10 +210,70 @@ def stream_kll_1m(
     an ``_applied_batch`` marker written before the atomic swap — a
     replayed batch that already reached the store is skipped, so no crash
     window can double-merge or lose state (see _merge_batch)."""
+    from ..operators.kll import _merge_groups, kll_rollup_tier
+
+    return _run_state_merge_stream(
+        spark,
+        input_dir,
+        schema,
+        checkpoint_dir,
+        store_path,
+        partial_fn=lambda batch: kll_rollup_tier(batch, "1m", val_col, k),
+        merge_fn=lambda state: _merge_groups(state, "bucket_ts", k),
+    )
+
+
+def stream_heavy_1m(
+    spark,
+    input_dir: str,
+    schema,
+    checkpoint_dir: str,
+    store_path: str,
+    key_col: str = "conv_id",
+    k: int = 32,
+):
+    """Streaming heavy-hitter (Misra-Gries) tier — the skew-monitoring
+    companion to stream_kll_1m, same foreachBatch state-merge shape:
+    each micro-batch folds into per-bucket MG partials
+    (operators/heavy.heavy_rollup_tier), merges with stored state
+    (sum-all-then-shrink-once, so shuffle/batch arrival order cannot
+    leak into the summary — the CLAUDE.md MG-merge rule), and swaps the
+    store atomically with the exactly-once ``_applied_batch`` marker.
+    Stream-built state equals a batch build over the same rows in the
+    no-eviction regime (pytest-pinned)."""
+    from ..operators.heavy import _merge_groups, heavy_rollup_tier
+
+    return _run_state_merge_stream(
+        spark,
+        input_dir,
+        schema,
+        checkpoint_dir,
+        store_path,
+        partial_fn=lambda batch: heavy_rollup_tier(
+            batch, "1m", key_col=key_col, k=k
+        ),
+        merge_fn=lambda state: _merge_groups(state, k),
+    )
+
+
+def _run_state_merge_stream(
+    spark,
+    input_dir: str,
+    schema,
+    checkpoint_dir: str,
+    store_path: str,
+    partial_fn,
+    merge_fn,
+):
+    """The generic foreachBatch sketch-state merger both sketch tiers
+    share: state(store) = merge_fn(old_state ∪ partial_fn(batch)), with
+    crash-safe atomic store swaps and exactly-once replay skipping.
+    ``partial_fn(batch_df)`` builds per-bucket partial summaries;
+    ``merge_fn(unioned_df)`` re-merges per bucket and must be
+    arrival-order-insensitive (canonical-sort / sum-then-shrink — the
+    CLAUDE.md sketch-merge rule)."""
     import os
     import shutil
-
-    from ..operators.kll import _merge_groups, kll_rollup_tier
 
     tmp = os.path.join(
         os.path.dirname(store_path), "." + os.path.basename(store_path) + ".tmp"
@@ -230,7 +290,7 @@ def stream_kll_1m(
 
     def _merge_batch(batch_df, batch_id):
         # Crash recovery (the compact_store pattern) + exactly-once: the
-        # KLL merge is NOT idempotent, so the store carries an
+        # sketch merge is NOT idempotent, so the store carries an
         # _applied_batch marker (written into the tmp BEFORE the swap).
         #  - tmp + store both present: crash before the swap — the replay
         #    rebuilds the tmp, drop it.
@@ -247,11 +307,11 @@ def stream_kll_1m(
             return  # already fully applied by a crashed-then-recovered run
         if not batch_df.head(1):
             return
-        partial = kll_rollup_tier(batch_df, "1m", val_col, k)
+        partial = partial_fn(batch_df)
         sess = batch_df.sparkSession
         if os.path.isdir(store_path):
             old = sess.read.parquet(store_path)
-            merged = _merge_groups(old.unionByName(partial), "bucket_ts", k)
+            merged = merge_fn(old.unionByName(partial))
         else:
             merged = partial
         merged.write.mode("overwrite").parquet(tmp)
