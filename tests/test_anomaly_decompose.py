@@ -444,3 +444,57 @@ def test_diversity_stats_oracle(spark):
     # zero shuffles: scan -> project only
     plan = _plan(diversity_stats(docs))
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_trailing_count_semantics(spark):
+    from timeseriestokenizer_spark.functions.signals import trailing_count
+
+    base = pd.Timestamp("2024-05-01")
+    mins = [0, 30, 59, 60, 61]
+    rows = [(i, 1, base + pd.Timedelta(minutes=m), 0) for i, m in enumerate(mins)]
+    rows.append((9, 1, base + pd.Timedelta(minutes=59), 0))  # dup ts peer
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+    )
+    got = {
+        r["event_id"]: r["n_trailing"]
+        for r in trailing_count(df, key="user_id", window_s=3600).collect()
+    }
+    # half-open (t-1h, t]: the t=0 event has aged out exactly at t=60min
+    assert got[0] == 1
+    assert got[1] == 2
+    assert got[2] == 4 and got[9] == 4  # dup-ts peers count each other
+    assert got[3] == 4  # 30, 59, 59, 60 — NOT the t=0 event
+    assert got[4] == 5  # 30, 59, 59, 60, 61
+    flagged = trailing_count(df, key="user_id", window_s=3600, limit=4).collect()
+    assert {r["event_id"]: r["is_burst"] for r in flagged}[4] is True
+
+
+def test_winsorize_oracle(spark, series_df):
+    from timeseriestokenizer_spark.operators.anomaly import winsorize
+
+    df, pdf = series_df
+    got = {r["event_id"]: r for r in winsorize(df, key="user_id", val_col="value").collect()}
+    for uid, g in pdf.groupby("user_id"):
+        x = np.sort(g["value"].to_numpy())
+        n = len(x)
+        lo = x[int(np.floor((n - 1) * 0.05))]
+        hi = x[int(np.floor((n - 1) * 0.95))]
+        for v, i in zip(g["value"], g["event_id"]):
+            r = got[int(i)]
+            assert (r["lo_bound"], r["hi_bound"]) == (lo, hi), uid
+            assert r["clipped"] == min(max(v, lo), hi)
+            assert r["clipped_hi"] == (v > hi) and r["clipped_lo"] == (v < lo)
+    # the planted 999 in series 0 must clip; constant series never clips
+    dup_id = int(pdf[(pdf.user_id == 0) & (pdf.value == 999)].event_id.iloc[0])
+    assert got[dup_id]["clipped_hi"] and got[dup_id]["clipped"] < 999
+    assert all(
+        not (got[int(i)]["clipped_lo"] or got[int(i)]["clipped_hi"])
+        for i in pdf[pdf.user_id == 2].event_id
+    )
+    # single-point series: both bounds are the value itself
+    solo = int(pdf[pdf.user_id == 3].event_id.iloc[0])
+    assert got[solo]["lo_bound"] == got[solo]["hi_bound"] == got[solo]["clipped"]
+    # one exchange, JVM only
+    plan = _plan(winsorize(df, key="user_id", val_col="value"))
+    assert plan.count("Exchange hashpartitioning") == 1 and "Python" not in plan

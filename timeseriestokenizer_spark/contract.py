@@ -443,6 +443,34 @@ def q_funnel_steps(spark, sf_dir):
     )
 
 
+def q_trailing_count(spark, sf_dir):
+    """Rate-limit audit (functions/signals.trailing_count): per event,
+    the same user's event count in the trailing hour — a RANGE frame
+    over exact epoch-µs, so duplicate timestamps are frame peers and
+    the count is order-insensitive by construction; breach flag at
+    limit 5. Exact BIGINT everywhere."""
+    from .functions.signals import trailing_count
+
+    return trailing_count(
+        load(spark, sf_dir, "events"), key="user_id", ts_col="ts",
+        window_s=3600, limit=5, id_col="event_id",
+    )
+
+
+def q_winsorize(spark, sf_dir):
+    """Winsorization at p05/p95 (operators/anomaly.winsorize): bounds
+    are 1-based lower ORDER STATISTICS at floor((n−1)p)+1 — values the
+    series contains, never interpolated (the theil_sen doctrine), so
+    integer cents clip exactly; floor((n−1)·p) is one IEEE multiply of
+    identical operands on both engines. One exchange."""
+    from .operators.anomaly import winsorize
+
+    return winsorize(
+        _event_cents(spark, sf_dir), key="user_id", ts_col="ts",
+        val_col="cents", id_col="event_id", p_lo=0.05, p_hi=0.95,
+    )
+
+
 def q_doc_diversity(spark, sf_dir):
     """Exact lexical diversity (functions/textstats.diversity_stats):
     Simpson index, effective vocabulary, type-token ratio, top-token
@@ -3519,6 +3547,46 @@ SELECT user_id, run, valid_from,
 FROM g
 """
 
+ORACLE_SQL["trailing_count"] = """
+WITH b AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events)
+SELECT user_id, event_id, us AS ts_us,
+       count(*) OVER w AS n_trailing,
+       count(*) OVER w > 5 AS is_burst
+FROM b
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+"""
+
+ORACLE_SQL["winsorize"] = """
+WITH b AS (
+  SELECT event_id, user_id, CAST(round(value*100) AS BIGINT) AS v
+  FROM events),
+r AS (
+  SELECT user_id, event_id, v,
+         row_number() OVER (PARTITION BY user_id ORDER BY v, event_id) AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM b),
+x AS (
+  SELECT *,
+         CAST(floor(CAST(n - 1 AS DOUBLE) * 0.05) AS BIGINT) + 1 AS ilo,
+         CAST(floor(CAST(n - 1 AS DOUBLE) * 0.95) AS BIGINT) + 1 AS ihi
+  FROM r),
+y AS (
+  SELECT user_id, event_id, v,
+         max(CASE WHEN rk = ilo THEN v END)
+           OVER (PARTITION BY user_id) AS lo_bound,
+         max(CASE WHEN rk = ihi THEN v END)
+           OVER (PARTITION BY user_id) AS hi_bound
+  FROM x)
+SELECT user_id, event_id, v AS cents, lo_bound, hi_bound,
+       least(greatest(v, lo_bound), hi_bound) AS clipped,
+       v < lo_bound AS clipped_lo,
+       v > hi_bound AS clipped_hi
+FROM y
+"""
+
 ORACLE_SQL["weekly_profile"] = """
 SELECT user_id,
        CAST(isodow(CAST(ts AS TIMESTAMP)) - 1 AS INT) AS weekday,
@@ -4018,12 +4086,12 @@ QUERIES = {
     "weekly_profile": q_weekly_profile,
     "cohort_retention": q_cohort_retention,
     "funnel_steps": q_funnel_steps,
+    "trailing_count": q_trailing_count,
+    "winsorize": q_winsorize,
     "shard_packing": q_shard_packing,
     "quantile_edges": q_quantile_edges,
     "tpe_compression": q_tpe_compression,
     "tpe_models_roundtrip": q_tpe_models_roundtrip,
-    "adaptive_quantize": q_adaptive_quantize,
-    "gorilla_roundtrip": q_gorilla_roundtrip,
     "rollup_1m": q_rollup_1m,
     "kll_p95_cascade": q_kll_p95_cascade,
     "heavy_hitters_cascade": q_heavy_hitters_cascade,
@@ -4034,6 +4102,8 @@ QUERIES = {
     "holt_winters": q_holt_winters,
     # ---- driver-cap line (entry 51+): every row below is green in an
     # earlier CORRECTNESS_r* file (ledger: COVERAGE.md + tools/check_ledger) --
+    "adaptive_quantize": q_adaptive_quantize,
+    "gorilla_roundtrip": q_gorilla_roundtrip,
     "m4_downsample": q_m4_downsample,
     "lttb_downsample": q_lttb_downsample,
     "value_histogram": q_value_histogram,

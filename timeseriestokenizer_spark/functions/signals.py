@@ -223,3 +223,41 @@ def rolling_zscore(
             F.lit(None).cast("double")
         ),
     )
+
+
+def trailing_count(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    window_s: int = 3600,
+    limit: int | None = None,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Rate-limit audit: for every event, how many events the same key
+    produced in the trailing ``window_s`` seconds — the half-open
+    (t − window, t] convention (an event exactly ``window_s`` old has
+    aged out). A RANGE frame over exact epoch-µs BIGINTs, so duplicate
+    timestamps are frame PEERS and count each other symmetrically —
+    order-insensitive by construction, no tiebreak needed. Exact BIGINT
+    counts; with ``limit`` set, flags breaching events.
+
+    One exchange; the frame is value-bounded so state per partition is
+    O(events in window), the streaming-window analogue in batch."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    lo = -(int(window_s) * 1_000_000 - 1)
+    w = (
+        W.partitionBy(key)
+        .orderBy(F.col("_us"))
+        .rangeBetween(lo, W.currentRow)
+    )
+    out = df.select(
+        F.col(key), F.col(id_col), us.alias("_us")
+    ).select(
+        F.col(key),
+        F.col(id_col),
+        F.col("_us").alias("ts_us"),
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+    )
+    if limit is not None:
+        out = out.withColumn("is_burst", F.col("n_trailing") > int(limit))
+    return out

@@ -158,3 +158,59 @@ def mad_outliers(
         mad.alias("mad"),
         (F.col("abs_dev") > thresh).alias("is_outlier"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+) -> DataFrame:
+    """Winsorization: clip each series at its own lower/upper percentile
+    ORDER STATISTICS — the robust-preprocessing step before moment-based
+    ops (scaler_fit, trend_fit) that one wild sensor reading would
+    otherwise dominate.
+
+    Percentile convention: the 1-based lower order statistic at index
+    floor((n−1)·p) + 1 (numpy interpolation='lower') — a VALUE the
+    series contains, never interpolated, so integer input stays exact
+    (the theil_sen lower-median doctrine). floor((n−1)·p) is one IEEE
+    double multiply+floor of identical operands on any engine. Clipped
+    output is pure BIGINT least/greatest.
+
+    One exchange: the value-rank window, the per-key count, the two
+    bound extractions (max over CASE WHEN rank = idx), and the final
+    projection all cluster on ``key``."""
+    wv = W.partitionBy(key).orderBy(F.col("v"), F.col("_id"))
+    wk = W.partitionBy(key)
+    base = df.select(
+        F.col(key),
+        F.col(id_col).alias("_id"),
+        F.col(val_col).alias("v"),
+    ).select(
+        F.col(key),
+        F.col("_id"),
+        F.col("v"),
+        F.row_number().over(wv).alias("_rk"),
+        F.count(F.lit(1)).over(wk).alias("_n"),
+    )
+    def _idx(p):
+        return (
+            F.floor((F.col("_n") - 1).cast("double") * F.lit(float(p)))
+            .cast("long") + 1
+        )
+    lo_val = F.max(F.when(F.col("_rk") == _idx(p_lo), F.col("v"))).over(wk)
+    hi_val = F.max(F.when(F.col("_rk") == _idx(p_hi), F.col("v"))).over(wk)
+    return base.select(
+        F.col(key),
+        F.col("_id").alias(id_col),
+        F.col("v").alias(val_col),
+        lo_val.alias("lo_bound"),
+        hi_val.alias("hi_bound"),
+        F.least(F.greatest(F.col("v"), lo_val), hi_val).alias("clipped"),
+        (F.col("v") < lo_val).alias("clipped_lo"),
+        (F.col("v") > hi_val).alias("clipped_hi"),
+    )
