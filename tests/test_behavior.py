@@ -113,3 +113,131 @@ def test_funnel_plan_and_args(spark, funnel_df):
     assert "Join" not in plan and "Python" not in plan
     with pytest.raises(ValueError):
         funnel_steps(funnel_df, stages=[], key="k", stage_col="stage")
+
+
+def test_seasonal_deviation_math(spark):
+    from timeseriestokenizer_spark.operators.behavior import seasonal_deviation
+
+    # 2024-01-01 is a Monday; cell (Mon, 9h) holds 10 and 30 → mean 20
+    rows = [
+        (0, 1, "2024-01-01 09:00", 10), (1, 1, "2024-01-08 09:30", 30),
+        (2, 1, "2024-01-02 09:00", 5),   # lone Tuesday cell: dev 0
+        (3, 2, "2024-01-01 09:10", 100),  # other key, same cell: isolated
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "k", "ts", "v"]).assign(
+            ts=lambda d: pd.to_datetime(d.ts)
+        )
+    )
+    got = {
+        r["event_id"]: r
+        for r in seasonal_deviation(df, key="k", val_col="v").collect()
+    }
+    assert (got[0]["base_n"], got[0]["base_mean"], got[0]["dev"]) == (2, 20.0, -10.0)
+    assert got[1]["dev"] == 10.0
+    assert got[2]["dev"] == 0.0 and got[2]["base_n"] == 1
+    assert got[3]["base_mean"] == 100.0  # keys never mix
+    # join-free: one exchange, JVM only
+    plan = _plan(seasonal_deviation(df, key="k", val_col="v"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan and "Python" not in plan
+
+
+def test_activity_gini_oracle(spark):
+    from timeseriestokenizer_spark.operators.behavior import activity_gini
+
+    # day 1: four users with equal counts → gini exactly 0
+    # day 2: counts 1,1,1,7 → sorted ranks: A = 1+2+3+28 = 34, n=4, S=10
+    rows = []
+    for u in range(4):
+        rows += [(u, "2024-01-01")] * 3
+    rows += [(0, "2024-01-02"), (1, "2024-01-02"), (2, "2024-01-02")]
+    rows += [(3, "2024-01-02")] * 7
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts"]).assign(
+            ts=lambda d: pd.to_datetime(d.ts)
+        )
+    )
+    got = {str(r["day"]): r for r in activity_gini(df).collect()}
+    d1, d2 = got["2024-01-01"], got["2024-01-02"]
+    assert d1["gini"] == 0.0 and d1["top_share"] == 0.25
+    assert d2["gini"] == 2.0 * 34 / (4 * 10) - 5.0 / 4  # = 0.45
+    assert d2["hhi"] == (1 + 1 + 1 + 49) / 100.0
+    assert d2["top_share"] == 0.7
+    assert (d1["n_keys"], d1["n_events"], d2["n_keys"], d2["n_events"]) == (4, 12, 4, 10)
+
+
+def test_global_ntile_matches_sql_semantics(spark):
+    from timeseriestokenizer_spark.operators.packing import (
+        global_ntile, release_running_total_cache,
+    )
+
+    def ref_ntile(n, k):
+        q, r = divmod(n, k)
+        out = []
+        for i in range(1, n + 1):
+            if i <= r * (q + 1):
+                out.append((i - 1) // (q + 1) + 1)
+            else:
+                out.append(r + (i - 1 - r * (q + 1)) // max(q, 1) + 1)
+        return out
+
+    for n, k in [(10, 5), (13, 5), (4, 5), (7, 3), (1, 4)]:
+        df = spark.createDataFrame(
+            pd.DataFrame({"x": list(range(n))[::-1], "id": range(n)})
+        )
+        scored = global_ntile(df, ["x", "id"], k, num_partitions=3)
+        got = [r["ntile"] for r in scored.orderBy("x").collect()]
+        release_running_total_cache(scored)
+        assert got == ref_ntile(n, k), (n, k)
+    # the scalable shape: range partitioning, never a global ntile window
+    df = spark.createDataFrame(pd.DataFrame({"x": range(20), "id": range(20)}))
+    scored = global_ntile(df, ["x", "id"], 4, num_partitions=3)
+    plan = _plan(scored)
+    release_running_total_cache(scored)
+    assert "rangepartitioning" in plan.lower()
+    assert "ntile(" not in plan.lower()  # no NTILE window function anywhere
+
+
+def test_rfm_segments_oracle(spark):
+    from timeseriestokenizer_spark.operators.behavior import rfm_segments
+    from timeseriestokenizer_spark.operators.packing import (
+        release_running_total_cache,
+    )
+
+    rng = pd.DataFrame({
+        "user_id": [u for u in range(10) for _ in range(u + 1)],
+    })
+    rng["event_id"] = range(len(rng))
+    rng["ts"] = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        (rng.user_id * 17 + rng.event_id) % 240, unit="h"
+    )
+    rng["v"] = (rng.user_id * 31 + rng.event_id * 7) % 100
+    df = spark.createDataFrame(rng)
+    scored = rfm_segments(df, key="user_id", val_col="v", k=3)
+    got = scored.orderBy("user_id").toPandas()
+    release_running_total_cache(scored)
+
+    per = rng.groupby("user_id").agg(
+        last=("ts", "max"), n_events=("event_id", "count"), total=("v", "sum")
+    ).reset_index()
+    anchor = rng.ts.max().normalize()
+    per["recency_days"] = (anchor - per["last"].dt.normalize()).dt.days
+
+    def ref_ntile_over(frame, keys, k=3):
+        srt = frame.sort_values(keys, kind="mergesort").reset_index()
+        n = len(srt); q, r = divmod(n, k)
+        bucket = {}
+        for pos, idx in enumerate(srt["index"], start=1):
+            if pos <= r * (q + 1):
+                bucket[idx] = (pos - 1) // (q + 1) + 1
+            else:
+                bucket[idx] = r + (pos - 1 - r * (q + 1)) // max(q, 1) + 1
+        return frame.index.map(bucket)
+
+    per["neg_r"] = -per.recency_days
+    per["r_score"] = ref_ntile_over(per, ["neg_r", "user_id"])
+    per["f_score"] = ref_ntile_over(per, ["n_events", "user_id"])
+    per["m_score"] = ref_ntile_over(per, ["total", "user_id"])
+    for c in ["recency_days", "n_events", "total", "r_score", "f_score", "m_score"]:
+        assert list(got[c]) == list(per[c]), c

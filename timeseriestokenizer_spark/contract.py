@@ -471,6 +471,46 @@ def q_winsorize(spark, sf_dir):
     )
 
 
+def q_seasonal_deviation(spark, sf_dir):
+    """Hour-of-week seasonal anomaly (operators/behavior.
+    seasonal_deviation): per event, deviation from the user's own
+    (weekday, hour) baseline mean — JOIN-FREE (window over the cell, one
+    exchange). Mean is one exact-operand division, dev one subtraction;
+    both emitted unrounded (the weekly_profile doctrine)."""
+    from .operators.behavior import seasonal_deviation
+
+    return seasonal_deviation(
+        _event_cents(spark, sf_dir), key="user_id", ts_col="ts",
+        val_col="cents", id_col="event_id",
+    )
+
+
+def q_activity_gini(spark, sf_dir):
+    """Per-day traffic concentration (operators/behavior.activity_gini):
+    Gini + HHI + top-key share over per-user daily event counts — the
+    skew monitor feeding the salting decision. Every Σ exact BIGINT
+    (tied blocks contribute fixed rank-sums, so tie order can't leak);
+    the three floats are single exact-operand divisions mirrored
+    op-for-op in the oracle, unrounded."""
+    from .operators.behavior import activity_gini
+
+    return activity_gini(load(spark, sf_dir, "events"), key="user_id")
+
+
+def q_rfm_segments(spark, sf_dir):
+    """RFM segmentation (operators/behavior.rfm_segments): per-user
+    recency/frequency/monetary with exact SQL-NTILE(5) scores computed
+    by the two-pass range-partition global rank (operators/packing.
+    global_ntile) — never the single-partition NTILE window; user_id
+    breaks ties so bucket assignment is engine-identical. All-BIGINT."""
+    from .operators.behavior import rfm_segments
+
+    return rfm_segments(
+        _event_cents(spark, sf_dir), key="user_id", ts_col="ts",
+        val_col="cents", k=5,
+    ).withColumnRenamed("total", "cents_total")
+
+
 def q_doc_diversity(spark, sf_dir):
     """Exact lexical diversity (functions/textstats.diversity_stats):
     Simpson index, effective vocabulary, type-token ratio, top-token
@@ -3587,6 +3627,65 @@ SELECT user_id, event_id, v AS cents, lo_bound, hi_bound,
 FROM y
 """
 
+ORACLE_SQL["seasonal_deviation"] = """
+WITH b AS (
+  SELECT user_id, event_id,
+         CAST(isodow(CAST(ts AS TIMESTAMP)) - 1 AS INT) AS weekday,
+         CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hour,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events)
+SELECT user_id, event_id, weekday, hour, cents,
+       count(*) OVER w AS base_n,
+       sum(cents) OVER w AS base_total,
+       CAST(sum(cents) OVER w AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE)
+         AS base_mean,
+       CAST(cents AS DOUBLE)
+         - CAST(sum(cents) OVER w AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE)
+         AS dev
+FROM b
+WINDOW w AS (PARTITION BY user_id, weekday, hour)
+"""
+
+ORACLE_SQL["activity_gini"] = """
+WITH c AS (
+  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         user_id AS k, count(*) AS c
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT day, k, c,
+         row_number() OVER (PARTITION BY day ORDER BY c, k) AS rk
+  FROM c),
+a AS (
+  SELECT day, count(*) AS n_keys, sum(c) AS n_events,
+         sum(rk * c) AS _a, sum(c * c) AS _sq, max(c) AS _cmax
+  FROM r GROUP BY day)
+SELECT day, n_keys, n_events,
+       CAST(2.0 AS DOUBLE) * CAST(_a AS DOUBLE)
+           / CAST(n_keys * n_events AS DOUBLE)
+         - CAST(n_keys + 1 AS DOUBLE) / CAST(n_keys AS DOUBLE) AS gini,
+       CAST(_sq AS DOUBLE) / CAST(n_events * n_events AS DOUBLE) AS hhi,
+       CAST(_cmax AS DOUBLE) / CAST(n_events AS DOUBLE) AS top_share
+FROM a
+"""
+
+ORACLE_SQL["rfm_segments"] = """
+WITH u AS (
+  SELECT user_id,
+         CAST(max(CAST(ts AS TIMESTAMP)) AS DATE) AS last_day,
+         count(*) AS n_events,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents_total
+  FROM events GROUP BY user_id),
+a AS (SELECT CAST(max(CAST(ts AS TIMESTAMP)) AS DATE) AS mx FROM events)
+SELECT user_id,
+       CAST(date_diff('day', last_day, mx) AS INT) AS recency_days,
+       n_events, cents_total,
+       CAST(ntile(5) OVER (ORDER BY -date_diff('day', last_day, mx), user_id)
+            AS INT) AS r_score,
+       CAST(ntile(5) OVER (ORDER BY n_events, user_id) AS INT) AS f_score,
+       CAST(ntile(5) OVER (ORDER BY cents_total, user_id) AS INT) AS m_score
+FROM u, a
+"""
+
 ORACLE_SQL["weekly_profile"] = """
 SELECT user_id,
        CAST(isodow(CAST(ts AS TIMESTAMP)) - 1 AS INT) AS weekday,
@@ -4088,10 +4187,10 @@ QUERIES = {
     "funnel_steps": q_funnel_steps,
     "trailing_count": q_trailing_count,
     "winsorize": q_winsorize,
-    "shard_packing": q_shard_packing,
-    "quantile_edges": q_quantile_edges,
+    "seasonal_deviation": q_seasonal_deviation,
+    "activity_gini": q_activity_gini,
+    "rfm_segments": q_rfm_segments,
     "tpe_compression": q_tpe_compression,
-    "tpe_models_roundtrip": q_tpe_models_roundtrip,
     "rollup_1m": q_rollup_1m,
     "kll_p95_cascade": q_kll_p95_cascade,
     "heavy_hitters_cascade": q_heavy_hitters_cascade,
@@ -4104,6 +4203,9 @@ QUERIES = {
     # earlier CORRECTNESS_r* file (ledger: COVERAGE.md + tools/check_ledger) --
     "adaptive_quantize": q_adaptive_quantize,
     "gorilla_roundtrip": q_gorilla_roundtrip,
+    "shard_packing": q_shard_packing,
+    "quantile_edges": q_quantile_edges,
+    "tpe_models_roundtrip": q_tpe_models_roundtrip,
     "m4_downsample": q_m4_downsample,
     "lttb_downsample": q_lttb_downsample,
     "value_histogram": q_value_histogram,

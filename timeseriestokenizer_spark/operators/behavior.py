@@ -144,3 +144,165 @@ def funnel_steps(
         (F.col("_f.r") == F.lit(n_stages)).alias("completed"),
         F.col("_f.t").alias("completed_ts_us"),
     )
+
+
+def seasonal_deviation(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-event deviation from the key's own hour-of-week baseline —
+    the seasonal-anomaly companion to ``weekly_profile``: "is this
+    value unusual FOR THIS HOUR OF THIS WEEKDAY", which a global
+    z-score mis-states for any series with calendar seasonality.
+
+    JOIN-FREE: the baseline mean is a window aggregate over
+    (key, weekday, hour), not a profile-table join back — one exchange,
+    and the grouping arity (≤ 168 cells per key) keeps every frame
+    small regardless of history length.
+
+    Float contract: count/sum are exact BIGINTs; mean is ONE division
+    of exact operands; dev is ONE subtraction of that quotient from an
+    exact integer — both correctly-rounded single IEEE ops, so emitted
+    unrounded (the weekly_profile doctrine)."""
+    ts = F.col(ts_col).cast("timestamp")
+    wd = F.weekday(ts)
+    hr = F.hour(ts)
+    base = df.select(
+        F.col(key),
+        F.col(id_col),
+        wd.alias("weekday"),
+        hr.alias("hour"),
+        F.col(val_col).alias("v"),
+    )
+    wcell = W.partitionBy(key, "weekday", "hour")
+    n = F.count(F.lit(1)).over(wcell)
+    total = F.sum("v").over(wcell)
+    mean = total.cast("double") / n.cast("double")
+    return base.select(
+        F.col(key),
+        F.col(id_col),
+        F.col("weekday"),
+        F.col("hour"),
+        F.col("v").alias(val_col),
+        n.alias("base_n"),
+        total.alias("base_total"),
+        mean.alias("base_mean"),
+        (F.col("v").cast("double") - mean).alias("dev"),
+    )
+
+
+def activity_gini(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-day traffic-concentration report over per-key event counts:
+    Gini coefficient, Herfindahl–Hirschman index, and top-key share —
+    the skew monitor that quantifies WHEN the heavy-hitter tier's
+    salting decision (operators/salting.py) is worth paying for: a day
+    with Gini ≈ 0 shuffles evenly no matter what.
+
+    Exactness: with counts sorted ascending, Gini = 2·Σ(i·cᵢ)/(n·S)
+    − (n+1)/n — every Σ is an exact BIGINT (tie order can't matter:
+    tied blocks contribute a fixed rank-sum), then two exact-operand
+    divisions and one subtraction, emitted unrounded. HHI = Σc²/S²
+    (exact integer operands; Σc² stays in BIGINT while per-key daily
+    counts are < ~3e9 — document-scale safe, noted for the extreme).
+
+    Shape: exchange on (day, key) for the counts, then ONE exchange on
+    day that both the rank window and the day aggregate share."""
+    day = F.to_date(F.col(ts_col).cast("timestamp"))
+    counts = (
+        df.select(day.alias("day"), F.col(key).alias("k"))
+        .groupBy("day", "k")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wday = W.partitionBy("day").orderBy(F.col("c"), F.col("k"))
+    ranked = counts.withColumn("rk", F.row_number().over(wday))
+    agg = ranked.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_events"),
+        F.sum(F.col("rk") * F.col("c")).alias("_a"),
+        F.sum(F.col("c") * F.col("c")).alias("_sq"),
+        F.max("c").alias("_cmax"),
+    )
+    n = F.col("n_keys").cast("double")
+    s = F.col("n_events").cast("double")
+    return agg.select(
+        F.col("day"),
+        F.col("n_keys"),
+        F.col("n_events"),
+        (
+            (F.lit(2.0) * F.col("_a").cast("double"))
+            / (F.col("n_keys") * F.col("n_events")).cast("double")
+            - (F.col("n_keys") + F.lit(1)).cast("double") / n
+        ).alias("gini"),
+        (
+            F.col("_sq").cast("double")
+            / (F.col("n_events") * F.col("n_events")).cast("double")
+        ).alias("hhi"),
+        (F.col("_cmax").cast("double") / s).alias("top_share"),
+    )
+
+
+def rfm_segments(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    k: int = 5,
+) -> DataFrame:
+    """RFM segmentation: per key, Recency (days since last activity,
+    anchored to the dataset's max day), Frequency (event count) and
+    Monetary (exact sum), each scored into ``k`` exact SQL-NTILE
+    buckets. Quintile k = most recent / most frequent / highest value
+    (ascending metric order with descending recency, the usual RFM
+    orientation); key breaks ties so the buckets are run-deterministic
+    and engine-identical.
+
+    Shape: one groupBy(key) exchange to the per-key table (events
+    collapse 3–5 orders of magnitude), the anchor day as a broadcast
+    1-row join (never a single-partition global window), then three
+    ``global_ntile`` passes — each the two-pass range-partition rank,
+    never ``NTILE() OVER (ORDER BY ...)``'s one-task funnel. Each
+    pass's cache is materialized at build time (the offsets collect),
+    so the pinned-boundary invariant holds; the caller releases all
+    three via ``release_running_total_cache`` after the consuming
+    action."""
+    from .packing import global_ntile, release_running_total_cache
+
+    ts = F.col(ts_col).cast("timestamp")
+    per_key = df.groupBy(key).agg(
+        F.max(F.to_date(ts)).alias("last_day"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(val_col).alias("total"),
+    )
+    anchor = df.select(F.max(F.to_date(ts)).alias("_anchor"))
+    base = per_key.join(F.broadcast(anchor)).select(
+        F.col(key),
+        F.datediff(F.col("_anchor"), F.col("last_day")).alias("recency_days"),
+        F.col("n_events"),
+        F.col("total"),
+    )
+    caches = []
+
+    def _score(frame, metric, neg, out):
+        ordered = frame.withColumn(
+            "_m", -F.col(metric) if neg else F.col(metric)
+        )
+        scored = global_ntile(ordered, ["_m", key], k, out_col=out)
+        caches.append(scored)
+        return scored.drop("_m")
+
+    out = _score(base, "recency_days", True, "r_score")
+    out = _score(out, "n_events", False, "f_score")
+    out = _score(out, "total", False, "m_score")
+    out._graft_packing_caches = [
+        c._graft_packing_cache
+        for c in caches
+        if getattr(c, "_graft_packing_cache", None) is not None
+    ]
+    return out

@@ -90,6 +90,8 @@ def release_running_total_cache(df: DataFrame) -> None:
     cached = getattr(df, "_graft_packing_cache", None)
     if cached is not None:
         cached.unpersist()
+    for extra in getattr(df, "_graft_packing_caches", []) or []:
+        extra.unpersist()
 
 
 def pack_shards(
@@ -117,4 +119,52 @@ def pack_shards(
         ),
     ).drop("_incl")
     out._graft_packing_cache = getattr(with_total, "_graft_packing_cache", None)
+    return out
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    k: int,
+    out_col: str = "ntile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact SQL-standard NTILE(k) over a GLOBAL order without the
+    single-partition window ``ntile(k) OVER (ORDER BY ...)`` compiles
+    to. Semantics are the standard: with n rows the first n mod k
+    buckets hold ⌈n/k⌉ rows, the rest ⌊n/k⌋ — bit-identical to any
+    engine's ntile given the same total order, so ``order_cols`` MUST
+    be a total order (append a unique id; ties would otherwise make
+    bucket assignment run-dependent).
+
+    Shape: the two-pass range-partition machinery of
+    ``with_running_total`` with weight 1 yields the global 1-based rank
+    in #partitions driver rows (never #rows); n is one scalar count on
+    the same cached frame; the bucket index is then pure integer
+    arithmetic. Release the cache with
+    ``release_running_total_cache`` after the consuming action."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    staged = df.withColumn("_w1", F.lit(1).cast("long"))
+    ranked = with_running_total(
+        staged, order_cols[0], "_w1", out_col="_rk",
+        num_partitions=num_partitions, tie_cols=list(order_cols[1:]),
+    )
+    cache = getattr(ranked, "_graft_packing_cache", None)
+    n = cache.count() if cache is not None else 0
+    q, r = divmod(n, k)
+    head = r * (q + 1)  # rows living in the first r (larger) buckets
+    i = F.col("_rk").cast("long")
+    # `div` is exact BIGINT division — a double quotient's floor could
+    # misround at extreme ranks (the x*x doctrine for integers)
+    bucket = F.when(
+        i <= F.lit(head),
+        F.expr(f"(CAST(_rk AS BIGINT) - 1) div {q + 1}"),
+    ).otherwise(
+        F.expr(f"{r} + (CAST(_rk AS BIGINT) - 1 - {head}) div {max(q, 1)}")
+    )
+    out = ranked.withColumn(
+        out_col, (bucket + F.lit(1)).cast("int")
+    ).drop("_w1", "_rk")
+    out._graft_packing_cache = cache
     return out
