@@ -498,3 +498,55 @@ def test_winsorize_oracle(spark, series_df):
     # one exchange, JVM only
     plan = _plan(winsorize(df, key="user_id", val_col="value"))
     assert plan.count("Exchange hashpartitioning") == 1 and "Python" not in plan
+
+
+def test_period_over_period_gap_immunity(spark):
+    from timeseriestokenizer_spark.functions.signals import period_over_period
+
+    # user 1: days 1,2,8,9,15 — 8↔1, 9↔2, 15↔8 pair up; 1,2 have no prior.
+    # user 2: days 1,8,10 — day 10 has NO day-3 partner: a ROWS lag(1)
+    # would mis-align onto day 8; the value-bounded frame yields NULL.
+    rows = [
+        (1, "2024-01-01", 10), (1, "2024-01-02", 20), (1, "2024-01-08", 30),
+        (1, "2024-01-09", 40), (1, "2024-01-15", 60),
+        (2, "2024-01-01", 5), (2, "2024-01-08", 7), (2, "2024-01-10", 9),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "ts", "v"]).assign(
+            ts=lambda d: pd.to_datetime(d.ts)
+        )
+    )
+    res = period_over_period(df, key="k", val_col="v", period_days=7)
+    got = {(r["k"], str(r["day"])): r for r in res.collect()}
+    r8 = got[(1, "2024-01-08")]
+    assert (r8["prev_total"], r8["delta_total"], r8["ratio"]) == (10, 20, 3.0)
+    assert got[(1, "2024-01-15")]["prev_total"] == 30
+    assert got[(1, "2024-01-01")]["prev_total"] is None
+    # the gap day: lag(1) would have found day 8; the range frame must not
+    r10 = got[(2, "2024-01-10")]
+    assert r10["prev_total"] is None and r10["delta_total"] is None
+    assert r10["ratio"] is None
+    assert got[(2, "2024-01-08")]["prev_total"] == 5
+    # two shuffles, both post-partial-aggregate (only per-day partials ride
+    # them, never raw rows): (k, day) combine, then the k re-cluster; JVM only
+    plan = _plan(period_over_period(df, key="k", val_col="v", period_days=7))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_sum" in plan and "Python" not in plan
+
+
+def test_period_over_period_zero_prior_total(spark):
+    from timeseriestokenizer_spark.functions.signals import period_over_period
+
+    rows = [(1, "2024-01-01", 0), (1, "2024-01-08", 5)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "ts", "v"]).assign(
+            ts=lambda d: pd.to_datetime(d.ts)
+        )
+    )
+    got = {
+        str(r["day"]): r
+        for r in period_over_period(df, key="k", val_col="v").collect()
+    }
+    r = got["2024-01-08"]
+    # prior period exists but totals 0: delta is exact, ratio refuses 5/0
+    assert (r["prev_total"], r["delta_total"], r["ratio"]) == (0, 5, None)

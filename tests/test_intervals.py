@@ -102,3 +102,60 @@ def test_interval_plans_single_exchange(spark, iv_df):
     plan = _plan(scd2_compress(df, key="k", ts_col="ts", val_col="v"))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Python" not in plan
+
+
+def test_state_occupancy_math(spark):
+    from timeseriestokenizer_spark.operators.intervals import state_occupancy
+
+    # user 1: x@0s → y@10s → x@30s → z@60s (last event opens no span)
+    rows = [
+        (1, "2024-01-01 00:00:00", "x", 1),
+        (1, "2024-01-01 00:00:10", "y", 2),
+        (1, "2024-01-01 00:00:30", "x", 3),
+        (1, "2024-01-01 00:01:00", "z", 4),
+        (2, "2024-01-01 00:00:00", "solo", 5),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "ts", "st", "i"]).assign(
+            ts=lambda d: pd.to_datetime(d.ts)
+        )
+    )
+    res = state_occupancy(df, key="k", ts_col="ts", state_col="st", id_col="i")
+    got = {(r["k"], r["state"]): r for r in res.collect()}
+    x = got[(1, "x")]
+    assert (x["n_visits"], x["n_closed"], x["occupied_us"]) == (2, 2, 40_000_000)
+    assert x["share"] == 40_000_000 / 60_000_000
+    y = got[(1, "y")]
+    assert (y["n_visits"], y["n_closed"], y["occupied_us"]) == (1, 1, 20_000_000)
+    # terminal state: visited once, no span opened, share 0.0 (not NULL)
+    z = got[(1, "z")]
+    assert (z["n_visits"], z["n_closed"], z["occupied_us"], z["share"]) == (1, 0, 0, 0.0)
+    # single-event key: zero total span → share NULL, never 0/0
+    solo = got[(2, "solo")]
+    assert solo["occupied_us"] == 0 and solo["share"] is None
+
+
+def test_state_occupancy_dup_ts_and_plan(spark):
+    from timeseriestokenizer_spark.operators.intervals import state_occupancy
+
+    # duplicate timestamps: (ts, id) order makes the first a zero-width span
+    rows = [
+        (1, "2024-01-01 00:00:00", "a", 1),
+        (1, "2024-01-01 00:00:00", "b", 2),
+        (1, "2024-01-01 00:00:05", "c", 3),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "ts", "st", "i"]).assign(
+            ts=lambda d: pd.to_datetime(d.ts)
+        )
+    )
+    res = state_occupancy(df, key="k", ts_col="ts", state_col="st", id_col="i")
+    got = {r["state"]: r for r in res.collect()}
+    assert got["a"]["occupied_us"] == 0 and got["a"]["n_closed"] == 1
+    assert got["b"]["occupied_us"] == 5_000_000
+    # lead window, (k, state) aggregate, per-k total: all on ONE exchange
+    plan = _plan(
+        state_occupancy(df, key="k", ts_col="ts", state_col="st", id_col="i")
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan

@@ -256,3 +256,33 @@ def test_rolling_fingerprint_long_doc_chunked_parity(spark):
     }
     for t in texts:
         assert got[t[:40]] == rolling_fingerprint_oracle(t)
+
+
+def test_redact_pii_staged_counts(spark):
+    from timeseriestokenizer_spark.functions.textstats import redact_pii
+
+    rows = [
+        # one of each class; the 16-digit run must NOT match {10,15}
+        (1, "mail a@b.com ip 12.34.56.78 acct 12345678901 ref 1234567890123456"),
+        # email digits must not double-count as a long number (staged order)
+        (2, "x12345678901@y.com only"),
+        (3, "clean text, nothing to scrub 123"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    r1 = got[1]
+    assert (r1["n_email"], r1["n_ipv4"], r1["n_longnum"]) == (1, 1, 1)
+    assert r1["n_redactions"] == 3
+    assert r1["redacted_len"] == len(
+        "mail <EMAIL> ip <IP> acct <NUM> ref 1234567890123456"
+    )
+    r2 = got[2]
+    assert (r2["n_email"], r2["n_ipv4"], r2["n_longnum"]) == (1, 0, 0)
+    r3 = got[3]
+    assert r3["n_redactions"] == 0
+    import hashlib
+
+    assert r3["redacted_md5"] == hashlib.md5(rows[2][1].encode()).hexdigest()
+    # row-local scrub: zero exchanges, zero Python
+    plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan

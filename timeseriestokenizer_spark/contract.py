@@ -511,6 +511,66 @@ def q_rfm_segments(spark, sf_dir):
     ).withColumnRenamed("total", "cents_total")
 
 
+def q_period_over_period(spark, sf_dir):
+    """Calendar-aligned week-over-week change (functions/signals.
+    period_over_period): per (user, day) count + exact cents total plus
+    the SAME user's values exactly 7 days earlier via a value-bounded
+    RANGE frame pinned to [7 PRECEDING, 7 PRECEDING] over the epoch-day
+    index — JOIN-FREE and, unlike lag(7), immune to missing days (a gap
+    yields NULL, never a mis-aligned date). Deltas exact BIGINT; ratio
+    is the one float, a single exact-operand division."""
+    from .functions.signals import period_over_period
+
+    return period_over_period(
+        _event_cents(spark, sf_dir), key="user_id", ts_col="ts",
+        val_col="cents", period_days=7,
+    )
+
+
+def q_state_occupancy(spark, sf_dir):
+    """Time-in-state occupancy (operators/intervals.state_occupancy):
+    each half-open span [tᵢ, tᵢ₊₁) attributed to the EARLIER event's
+    state (the LOCF convention), totalled per (user, event_type) in
+    exact µs BIGINTs; each user's last event opens no span (n_visits vs
+    n_closed records the difference). share = occupied/total is one
+    exact-BIGINT division, NULL for single-event users. ONE exchange:
+    lead() window, (key,state) aggregate and per-key total all cluster
+    on user_id."""
+    from .operators.intervals import state_occupancy
+
+    return state_occupancy(
+        load(spark, sf_dir, "events"), key="user_id", ts_col="ts",
+        state_col="event_type", id_col="event_id",
+    )
+
+
+def q_redact_pii(spark, sf_dir):
+    """Corpus PII scrub (functions/textstats.redact_pii): the driver's
+    documents carry no PII, so the row PLANTS it deterministically from
+    doc_id — an email, an IPv4 literal, and a 13-digit account number
+    appended identically in both engines — then runs the staged
+    email→IP→long-number redaction (each class counted at its own stage
+    so email digits can't double-count as numbers). Entirely JVM-side
+    regexp_count/regexp_replace on engine-portable ASCII regexes; the
+    md5 fingerprint travels instead of the text. Row-local: ZERO
+    exchanges."""
+    from .functions.textstats import redact_pii
+
+    planted = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10.1."),
+            (F.col("doc_id") % F.lit(200)).cast("string"),
+            F.lit(".7 acct 99012345"),
+            F.lpad((F.col("doc_id") % F.lit(100000)).cast("string"), 5, "0"),
+        ).alias("text"),
+    )
+    return redact_pii(planted)
+
+
 def q_doc_diversity(spark, sf_dir):
     """Exact lexical diversity (functions/textstats.diversity_stats):
     Simpson index, effective vocabulary, type-token ratio, top-token
@@ -3746,6 +3806,94 @@ LEFT JOIN s2 USING (user_id)
 LEFT JOIN s3 USING (user_id)
 """
 
+ORACLE_SQL["period_over_period"] = """
+WITH d AS (
+  SELECT user_id,
+         CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         count(*) AS n,
+         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total
+  FROM events GROUP BY 1, 2),
+x AS (
+  SELECT *, datediff('day', DATE '1970-01-01', day) AS di FROM d)
+SELECT user_id, day, n, total,
+       max(n) OVER w AS prev_n,
+       max(total) OVER w AS prev_total,
+       n - max(n) OVER w AS delta_n,
+       total - max(total) OVER w AS delta_total,
+       CASE WHEN max(total) OVER w != 0
+            THEN CAST(total AS DOUBLE) / CAST(max(total) OVER w AS DOUBLE)
+       END AS ratio
+FROM x
+WINDOW w AS (PARTITION BY user_id ORDER BY di
+             RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING)
+"""
+
+ORACLE_SQL["state_occupancy"] = """
+WITH b AS (
+  SELECT user_id, event_type AS state, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events),
+s AS (
+  SELECT user_id, state,
+         lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us
+           AS dur
+  FROM b),
+a AS (
+  SELECT user_id, state, count(*) AS n_visits, count(dur) AS n_closed,
+         CAST(coalesce(sum(dur), 0) AS BIGINT) AS occupied_us
+  FROM s GROUP BY 1, 2)
+SELECT user_id, state, n_visits, n_closed, occupied_us,
+       CASE WHEN sum(occupied_us) OVER (PARTITION BY user_id) > 0
+            THEN CAST(occupied_us AS DOUBLE)
+                 / CAST(sum(occupied_us) OVER (PARTITION BY user_id)
+                        AS DOUBLE)
+       END AS share
+FROM a
+"""
+
+# Raw string: the \b / \. regex atoms must reach DuckDB's RE2 verbatim.
+ORACLE_SQL["redact_pii"] = r"""
+WITH t0 AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com via 10.1.'
+              || CAST(doc_id % 200 AS VARCHAR)
+              || '.7 acct 99012345'
+              || lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0') AS t
+  FROM documents),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(
+             t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+           AS n_email,
+         regexp_replace(
+             t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS t
+  FROM t0),
+s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(
+             t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+           AS n_ipv4,
+         regexp_replace(
+             t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+             '<IP>', 'g') AS t
+  FROM s1),
+s3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+         len(regexp_extract_all(t, '\b[0-9]{10,15}\b')) AS n_longnum,
+         regexp_replace(t, '\b[0-9]{10,15}\b', '<NUM>', 'g') AS t
+  FROM s2)
+SELECT doc_id,
+       CAST(n_email AS BIGINT) AS n_email,
+       CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+       CAST(n_longnum AS BIGINT) AS n_longnum,
+       CAST(n_email + n_ipv4 + n_longnum AS BIGINT) AS n_redactions,
+       CAST(length(t) AS BIGINT) AS redacted_len,
+       md5(t) AS redacted_md5
+FROM s3
+"""
+
 ORACLE_SQL["doc_diversity"] = """
 WITH t AS (
   SELECT doc_id,
@@ -4149,9 +4297,9 @@ FROM rec WHERE i = n
 
 
 QUERIES = {
-    "doc_exact_dedup": q_doc_exact_dedup,
-    "doc_simhash": q_doc_simhash,
-    "simhash_near_pairs": q_simhash_near_pairs,
+    "period_over_period": q_period_over_period,
+    "state_occupancy": q_state_occupancy,
+    "redact_pii": q_redact_pii,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ngram_contamination": q_ngram_contamination,
@@ -4201,6 +4349,9 @@ QUERIES = {
     "holt_winters": q_holt_winters,
     # ---- driver-cap line (entry 51+): every row below is green in an
     # earlier CORRECTNESS_r* file (ledger: COVERAGE.md + tools/check_ledger) --
+    "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_simhash": q_doc_simhash,
+    "simhash_near_pairs": q_simhash_near_pairs,
     "adaptive_quantize": q_adaptive_quantize,
     "gorilla_roundtrip": q_gorilla_roundtrip,
     "shard_packing": q_shard_packing,

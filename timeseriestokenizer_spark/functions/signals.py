@@ -261,3 +261,56 @@ def trailing_count(
     if limit is not None:
         out = out.withColumn("is_burst", F.col("n_trailing") > int(limit))
     return out
+
+
+def period_over_period(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    period_days: int = 7,
+) -> DataFrame:
+    """Calendar-aligned period-over-period change: per (key, day) count
+    and exact sum, plus the SAME key's values exactly ``period_days``
+    earlier — via a RANGE frame pinned to [p PRECEDING, p PRECEDING]
+    over the epoch-day index, which is JOIN-FREE and, unlike
+    ``lag(p)``, immune to missing days (a gap day shifts a ROWS lag
+    onto the wrong date; a value-bounded frame just finds nothing and
+    yields NULL, the honest answer).
+
+    delta_* are exact BIGINT subtractions (NULL when no prior period);
+    ratio is the one float — a single exact-operand division, NULL
+    rather than a division blow-up when the prior total is 0.
+
+    Shape: groupBy(key, day) shuffles map-side-combined partials (far
+    smaller than raw), then the frame re-clusters on ``key`` — the
+    second exchange moves only per-day aggregates."""
+    day = F.to_date(F.col(ts_col).cast("timestamp"))
+    daily = (
+        df.select(F.col(key), day.alias("day"), F.col(val_col).alias("v"))
+        .groupBy(key, "day")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .withColumn("_di", F.datediff(F.col("day"), F.lit("1970-01-01")))
+    )
+    p = int(period_days)
+    w = (
+        W.partitionBy(key)
+        .orderBy(F.col("_di"))
+        .rangeBetween(-p, -p)
+    )
+    prev_n = F.max("n").over(w)
+    prev_total = F.max("total").over(w)
+    return daily.select(
+        F.col(key),
+        F.col("day"),
+        F.col("n"),
+        F.col("total"),
+        prev_n.alias("prev_n"),
+        prev_total.alias("prev_total"),
+        (F.col("n") - prev_n).alias("delta_n"),
+        (F.col("total") - prev_total).alias("delta_total"),
+        F.when(
+            prev_total != 0,
+            F.col("total").cast("double") / prev_total.cast("double"),
+        ).alias("ratio"),
+    )

@@ -341,3 +341,47 @@ def diversity_stats(docs: DataFrame, text_col="text", doc_col="doc_id") -> DataF
         (d.cast("double") / n.cast("double")).alias("type_token_ratio"),
         (mx.cast("double") / n.cast("double")).alias("top_token_share"),
     )
+
+
+# Deliberately engine-portable regexes: ASCII character classes, bounded
+# quantifiers, \b word boundaries — identical semantics in Java regex
+# (Spark) and RE2 (DuckDB); no lookarounds (RE2 has none), no Unicode
+# classes (Java's are Unicode-aware where RE2's are ASCII).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_LONGNUM_RE = r"\b[0-9]{10,15}\b"
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Corpus PII scrub (C4/Dolma-style preprocessing): sequentially
+    replace emails, IPv4 literals, then long digit runs (phone/account
+    numbers) with typed placeholder tokens, counting each class AT ITS
+    OWN STAGE — email digits can't double-count as a long number
+    because the email is already gone when the digit pass runs. The
+    staged order is part of the contract; any oracle must mirror it.
+
+    Entirely JVM-side (regexp_count/regexp_replace — no Python in the
+    hot path); emits per-doc counts, the redacted length, and an md5
+    fingerprint of the redacted text (md5 is engine-identical, and the
+    fingerprint travels the shuffle instead of the document — the
+    dedup-key doctrine). Row-local: ZERO exchanges."""
+    t0 = F.col(text_col)
+    n_email = F.regexp_count(t0, F.lit(PII_EMAIL_RE))
+    t1 = F.regexp_replace(t0, PII_EMAIL_RE, "<EMAIL>")
+    n_ip = F.regexp_count(t1, F.lit(PII_IPV4_RE))
+    t2 = F.regexp_replace(t1, PII_IPV4_RE, "<IP>")
+    n_num = F.regexp_count(t2, F.lit(PII_LONGNUM_RE))
+    t3 = F.regexp_replace(t2, PII_LONGNUM_RE, "<NUM>")
+    return df.select(
+        *[F.col(c) for c in id_cols],
+        n_email.cast("long").alias("n_email"),
+        n_ip.cast("long").alias("n_ipv4"),
+        n_num.cast("long").alias("n_longnum"),
+        (n_email + n_ip + n_num).cast("long").alias("n_redactions"),
+        F.length(t3).cast("long").alias("redacted_len"),
+        F.md5(t3).alias("redacted_md5"),
+    )

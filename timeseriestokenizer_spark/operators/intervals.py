@@ -128,3 +128,54 @@ def scd2_compress(
         F.col("value"),
         F.col("n_rows"),
     )
+
+
+def state_occupancy(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    state_col: str = "state",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-in-state: attribute the half-open span [tᵢ, tᵢ₊₁) between
+    consecutive events to the EARLIER event's state (the LOCF
+    convention every tier read uses), then total per (key, state) —
+    "how long was each conversation in each phase", which raw event
+    counts mis-state whenever dwell times differ.
+
+    Each key's LAST event opens no span (no successor — counted in
+    ``n_visits``, absent from ``n_closed``/``occupied_us``). Duplicate
+    timestamps order by (ts, id) so zero-width spans land
+    deterministically. ``share`` is occupied_us over the key's total
+    span — one exact-BIGINT division, NULL for single-event keys
+    (never a 0/0 NaN).
+
+    ONE exchange: the lead() window, the (key, state) aggregate and the
+    per-key total all cluster on ``key`` (HashPartitioning(key)
+    satisfies the superset grouping — the rollup-cascade precedent)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    wlead = W.partitionBy(key).orderBy(F.col("_us"), F.col("_id"))
+    spans = df.select(
+        F.col(key),
+        F.col(state_col).alias("state"),
+        us.alias("_us"),
+        F.col(id_col).alias("_id"),
+    ).withColumn("dur_us", F.lead("_us").over(wlead) - F.col("_us"))
+    agg = spans.groupBy(key, "state").agg(
+        F.count(F.lit(1)).alias("n_visits"),
+        F.count("dur_us").alias("n_closed"),
+        F.coalesce(F.sum("dur_us"), F.lit(0)).alias("occupied_us"),
+    )
+    wk = W.partitionBy(key)
+    total = F.sum("occupied_us").over(wk)
+    return agg.select(
+        F.col(key),
+        F.col("state"),
+        F.col("n_visits"),
+        F.col("n_closed"),
+        F.col("occupied_us"),
+        F.when(
+            total > 0,
+            F.col("occupied_us").cast("double") / total.cast("double"),
+        ).alias("share"),
+    )
