@@ -571,6 +571,20 @@ def q_redact_pii(spark, sf_dir):
     return redact_pii(planted)
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 distinctive terms per document (operators/tfidf.
+    tfidf_top_terms): tf × log-free Robertson–Sparck Jones idf
+    (N−df+0.5)/(df+0.5) — ln is not cross-engine bit-stable (the
+    doc_diversity doctrine), this rational is a fixed IEEE op tree on
+    exact BIGINT-derived operands, mirrored op-for-op in the oracle, and
+    still annihilates ubiquitous terms (df≈N ⇒ idf≈0.5/N). Ties in the
+    double score break on term ASC. House tokenization (lowercase
+    whitespace split); corpus N rides a broadcast 1-row anchor."""
+    from .operators.tfidf import tfidf_top_terms
+
+    return tfidf_top_terms(load(spark, sf_dir, "documents"), k=3)
+
+
 def q_doc_diversity(spark, sf_dir):
     """Exact lexical diversity (functions/textstats.diversity_stats):
     Simpson index, effective vocabulary, type-token ratio, top-token
@@ -3894,6 +3908,30 @@ SELECT doc_id,
 FROM s3
 """
 
+# Raw string: the \s regex atom must reach DuckDB verbatim.
+ORACLE_SQL["tfidf_top_terms"] = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM tok WHERE term != '' GROUP BY 1, 2),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfx.df, nd.n_docs,
+         CAST(tf.tf AS DOUBLE)
+           * ((CAST(nd.n_docs - dfx.df AS DOUBLE) + 0.5)
+              / (CAST(dfx.df AS DOUBLE) + 0.5)) AS score
+  FROM tf JOIN dfx USING (term), nd)
+SELECT doc_id, term, tf, df, n_docs, score,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS INT) AS rank
+FROM s
+QUALIFY rank <= 3
+"""
+
 ORACLE_SQL["doc_diversity"] = """
 WITH t AS (
   SELECT doc_id,
@@ -4300,7 +4338,7 @@ QUERIES = {
     "period_over_period": q_period_over_period,
     "state_occupancy": q_state_occupancy,
     "redact_pii": q_redact_pii,
-    "minhash_dedup_pairs": q_minhash_dedup_pairs,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ngram_contamination": q_ngram_contamination,
     "span_contamination": q_span_contamination,
@@ -4352,6 +4390,7 @@ QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_simhash": q_doc_simhash,
     "simhash_near_pairs": q_simhash_near_pairs,
+    "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "adaptive_quantize": q_adaptive_quantize,
     "gorilla_roundtrip": q_gorilla_roundtrip,
     "shard_packing": q_shard_packing,
