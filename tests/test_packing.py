@@ -94,3 +94,49 @@ def test_release_running_total_cache(spark):
     release_running_total_cache(out)
     assert not cached.storageLevel.useMemory
     assert out.count() == n_before  # plan still valid after release
+
+
+def test_grouped_running_total_matches_window(spark):
+    """Two-pass grouped cumsum == the plain per-group window, and no
+    single-partition exchange in the plan."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    from timeseriestokenizer_spark.operators.packing import (
+        release_running_total_cache,
+        with_grouped_running_total,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (f"g{rng.randrange(4)}", i, rng.randrange(1, 100)) for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "g string, o long, w long")
+    got = with_grouped_running_total(df, "g", "o", "w", out_col="ct",
+                                     num_partitions=13)
+    want = df.withColumn(
+        "ct_ref",
+        F.sum("w").over(
+            W.partitionBy("g").orderBy("o")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    mism = (
+        got.join(want.select("g", "o", "ct_ref"), ["g", "o"])
+        .filter(F.col("ct") != F.col("ct_ref"))
+        .count()
+    )
+    assert mism == 0
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    release_running_total_cache(got)
+
+
+def test_grouped_running_total_empty(spark):
+    from timeseriestokenizer_spark.operators.packing import (
+        with_grouped_running_total,
+    )
+
+    df = spark.createDataFrame([], "g string, o long, w long")
+    assert with_grouped_running_total(df, "g", "o", "w").count() == 0

@@ -133,3 +133,110 @@ def test_weighted_sample_topk_properties(spark):
     # heavy rows are 10% of the population but 53% of total weight; across
     # 5 seeds they must dominate well beyond their population share
     assert heavy_hits / (5 * 40) > 0.3
+
+
+def _mix_docs(spark):
+    """Three sources: 'big' (way over its target), 'tiny' (under target →
+    rate-1 keep-everything), 'unlisted' (absent from weights → dropped)."""
+    rows = []
+    for i in range(2000):
+        rows.append((i, "big", "w " * 20))          # 20 tokens each
+    for i in range(2000, 2010):
+        rows.append((i, "tiny", "w " * 5))          # 50 tokens total
+    for i in range(3000, 3050):
+        rows.append((i, "unlisted", "w " * 8))
+    return spark.createDataFrame(
+        [(d, s, t.strip()) for d, s, t in rows], "doc_id long, source string, text string"
+    )
+
+
+def test_mixture_plan_rates(spark):
+    from timeseriestokenizer_spark.functions.sampling import mixture_plan
+
+    plan = {
+        r["source"]: r
+        for r in mixture_plan(
+            _mix_docs(spark), {"big": 3.0, "tiny": 1.0}, token_budget=4000
+        ).collect()
+    }
+    # targets: big 3000, tiny 1000; avails: big 40000, tiny 50
+    assert plan["big"]["avail_tokens"] == 40000
+    assert plan["big"]["target_tokens"] == 3000.0
+    assert plan["big"]["rate"] == 3000.0 / 40000.0
+    # under-target source keeps everything — honest undershoot, never upsample
+    assert plan["tiny"]["rate"] == 1.0
+    # unlisted source gets rate 0 (dropped), mirroring stratified_sample
+    assert plan["unlisted"]["rate"] == 0.0
+
+
+def test_mixture_sample_budget_and_determinism(spark):
+    from timeseriestokenizer_spark.functions.sampling import mixture_sample
+
+    df = _mix_docs(spark)
+    kept = mixture_sample(df, {"big": 3.0, "tiny": 1.0}, 4000, ["doc_id"]).cache()
+    by_src = {
+        r["source"]: (r["n"], r["tok"])
+        for r in kept.groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_tok").alias("tok"))
+        .collect()
+    }
+    # rate-1 source keeps every row; unlisted source is gone entirely
+    assert by_src["tiny"][0] == 10
+    assert "unlisted" not in by_src
+    # realized kept tokens track the 3000-token target (hash sampling noise)
+    assert 2000 < by_src["big"][1] < 4000
+    # membership is content-hash determined: repartitioning changes nothing
+    again = mixture_sample(
+        df.repartition(13), {"big": 3.0, "tiny": 1.0}, 4000, ["doc_id"]
+    )
+    assert kept.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
+    assert again.count() == kept.count()
+    kept.unpersist()
+
+
+def test_mixture_sample_plan_broadcasts(spark):
+    """The #sources-row plan must broadcast onto the doc stream — never a
+    sort-merge join shuffling the corpus by source."""
+    from timeseriestokenizer_spark.functions.sampling import mixture_sample
+
+    plan = (
+        mixture_sample(_mix_docs(spark), {"big": 1.0}, 1000, ["doc_id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_mixture_take_exact_quota(spark):
+    """Exact fill: kept tokens reach the target and overshoot by less than
+    one doc; keep set is a hash-order prefix; unlisted sources drop."""
+    from timeseriestokenizer_spark.functions.sampling import mixture_take
+    from timeseriestokenizer_spark.operators.packing import (
+        release_running_total_cache,
+    )
+
+    df = _mix_docs(spark)
+    kept = mixture_take(df, {"big": 3.0, "tiny": 1.0}, 4000, ["doc_id"])
+    rows = kept.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    # big: target 3000 of 40000 avail -> filled to >= 3000, overshoot < one
+    # doc (every doc is 20 tokens)
+    big_tok = sum(r["n_tok"] for r in by_src["big"])
+    assert 3000 <= big_tok < 3000 + 20
+    # tiny: target 1000 > avail 50 -> keeps everything
+    assert len(by_src["tiny"]) == 10
+    assert "unlisted" not in by_src
+    # cum_tok is the inclusive per-source fill level in hash order
+    assert max(r["cum_tok"] for r in by_src["big"]) == big_tok
+    release_running_total_cache(kept)
+    # determinism under repartitioning
+    again = mixture_take(df.repartition(11), {"big": 3.0, "tiny": 1.0}, 4000,
+                         ["doc_id"])
+    ids_a = sorted(r["doc_id"] for r in rows)
+    ids_b = sorted(r["doc_id"] for r in again.collect())
+    assert ids_a == ids_b
+    release_running_total_cache(again)

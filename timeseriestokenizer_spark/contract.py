@@ -585,6 +585,44 @@ def q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(load(spark, sf_dir, "documents"), k=3)
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Corpus-mixture sampling (functions/sampling.mixture_sample):
+    Dolma/Pile-style per-source token budgeting — sources src0–src4
+    weighted 2×, budget 25,000 tokens, so the heavy sources hit the
+    rate=1 cap (target > avail: keep everything, honest undershoot)
+    while the rest sample at target/avail. Rates are one IEEE division
+    of a Python-literal target by the exact BIGINT avail; membership is
+    the md5 content hash (engine-identical), so the oracle reproduces
+    the exact row set — the deterministic_sample doctrine extended to
+    data-dependent rates. Only exchange: the 20-row plan aggregate."""
+    from .functions.sampling import mixture_sample
+
+    weights = {f"src{i}": 2.0 if i < 5 else 1.0 for i in range(20)}
+    return mixture_sample(
+        load(spark, sf_dir, "documents"), weights, token_budget=25000,
+        key_cols=["doc_id"], seed=42,
+    )
+
+
+def q_mixture_take(spark, sf_dir):
+    """Exact token-quota mixing (functions/sampling.mixture_take): docs
+    taken in content-hash order until each source's token target fills —
+    hard budget, overshoot < one doc. Same weights/budget as
+    q_mixture_sample so the two rows demonstrate rate-vs-quota on the
+    same plan. The per-source cumulative fill runs on the range-
+    partitioned two-pass (with_grouped_running_total), never a
+    #sources-task window; the BIGINT cumsum makes every emitted column
+    exact, so the oracle (identical window arithmetic over the same md5
+    hash order) reproduces the row set and fill levels hash-exactly."""
+    from .functions.sampling import mixture_take
+
+    weights = {f"src{i}": 2.0 if i < 5 else 1.0 for i in range(20)}
+    return mixture_take(
+        load(spark, sf_dir, "documents"), weights, token_budget=25000,
+        key_cols=["doc_id"], seed=42,
+    )
+
+
 def q_doc_diversity(spark, sf_dir):
     """Exact lexical diversity (functions/textstats.diversity_stats):
     Simpson index, effective vocabulary, type-token ratio, top-token
@@ -3909,6 +3947,61 @@ FROM s3
 """
 
 # Raw string: the \s regex atom must reach DuckDB verbatim.
+# target CASE mirrors q_mixture_sample's weights: src0-src4 at 2x weight,
+# budget 25000, sum(w)=25 -> targets 2000.0 / 1000.0 (exact literals).
+ORACLE_SQL["mixture_sample"] = r"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tok
+  FROM documents),
+a AS (
+  SELECT source, CAST(sum(n_tok) AS BIGINT) AS avail FROM d GROUP BY 1),
+r AS (
+  SELECT source,
+         least(CAST(1.0 AS DOUBLE),
+               (CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                     THEN CAST(2000.0 AS DOUBLE)
+                     ELSE CAST(1000.0 AS DOUBLE) END)
+               / CAST(avail AS DOUBLE)) AS rate
+  FROM a)
+SELECT d.source, d.doc_id, d.n_tok, r.rate
+FROM d JOIN r USING (source)
+WHERE CAST(CAST(concat('0x', substr(md5(concat(CAST(d.doc_id AS VARCHAR),
+                                               ':', '42')), 1, 15))
+                AS BIGINT) AS DOUBLE)
+      < r.rate * 1152921504606846976.0
+"""
+
+# Raw string: the \s regex atom must reach DuckDB verbatim.
+# Same weights/budget as mixture_sample; the fill order is the md5 hash
+# order (u, doc_id), the fill level an exact BIGINT window cumsum; keep
+# iff tokens-before-this-doc < target (first doc always kept).
+ORACLE_SQL["mixture_take"] = r"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tok,
+         CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+                                             ':', '42')), 1, 15))
+              AS BIGINT) AS u
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tok,
+         CAST(sum(n_tok) OVER (
+           PARTITION BY source ORDER BY u, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_tok
+  FROM d)
+SELECT doc_id, source, n_tok, cum_tok
+FROM c
+WHERE CAST(cum_tok - n_tok AS DOUBLE) <
+      CASE WHEN source IN ('src0','src1','src2','src3','src4')
+           THEN CAST(2000.0 AS DOUBLE)
+           ELSE CAST(1000.0 AS DOUBLE) END
+"""
+
+# Raw string: the \s regex atom must reach DuckDB verbatim.
 ORACLE_SQL["tfidf_top_terms"] = r"""
 WITH tok AS (
   SELECT doc_id,
@@ -4376,8 +4469,8 @@ QUERIES = {
     "seasonal_deviation": q_seasonal_deviation,
     "activity_gini": q_activity_gini,
     "rfm_segments": q_rfm_segments,
-    "tpe_compression": q_tpe_compression,
-    "rollup_1m": q_rollup_1m,
+    "mixture_take": q_mixture_take,
+    "mixture_sample": q_mixture_sample,
     "kll_p95_cascade": q_kll_p95_cascade,
     "heavy_hitters_cascade": q_heavy_hitters_cascade,
     "paa_sax": q_paa_sax,
@@ -4387,6 +4480,8 @@ QUERIES = {
     "holt_winters": q_holt_winters,
     # ---- driver-cap line (entry 51+): every row below is green in an
     # earlier CORRECTNESS_r* file (ledger: COVERAGE.md + tools/check_ledger) --
+    "tpe_compression": q_tpe_compression,
+    "rollup_1m": q_rollup_1m,
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_simhash": q_doc_simhash,
     "simhash_near_pairs": q_simhash_near_pairs,

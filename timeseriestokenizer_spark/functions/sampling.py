@@ -115,3 +115,149 @@ def weighted_sample_topk(
         .limit(int(k))
     )
     return ranked
+
+
+def mixture_plan(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-mixing plan (Dolma/Pile-style): given target mixture
+    ``weights`` per source and a total ``token_budget``, compute each
+    source's available whitespace tokens and the deterministic sampling
+    rate that hits its share of the budget — rate = min(1, target/avail),
+    where target = budget · w/Σw is a Python-side literal (part of the
+    plan's identity) and avail is the exact BIGINT corpus count. A source
+    smaller than its target keeps everything (rate 1) rather than
+    upsampling — honest undershoot, reported via the rate column.
+
+    The float contract: target is a literal, avail is exact, rate is
+    least(1.0, literal/CAST(avail AS DOUBLE)) — one IEEE division, bit-
+    identical in any engine. Sources absent from ``weights`` get rate 0
+    (dropped), mirroring stratified_sample's default.
+
+    Scale shape: one map-side-combined groupBy(source) — the plan table
+    is #sources rows, made to be broadcast."""
+    total_w = float(sum(weights.values()))
+    target = F.lit(0.0)
+    for src in sorted(weights):
+        target = F.when(
+            F.col(source_col) == F.lit(src),
+            F.lit(float(token_budget) * float(weights[src]) / total_w),
+        ).otherwise(target)
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    return (
+        docs.select(F.col(source_col), n_tok.alias("_nt"))
+        .groupBy(source_col)
+        .agg(F.sum("_nt").alias("avail_tokens"))
+        .select(
+            F.col(source_col),
+            F.col("avail_tokens"),
+            target.alias("target_tokens"),
+            F.least(
+                F.lit(1.0),
+                target / F.col("avail_tokens").cast("double"),
+            ).alias("rate"),
+        )
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    key_cols: list[str] | None = None,
+    source_col: str = "source",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic corpus-mixture sampling: keep each doc iff its
+    content hash falls under its source's mixture_plan rate. Membership
+    depends only on (keys, seed, weights, budget) — stable across reruns,
+    partitionings, and engines (the deterministic_sample property,
+    extended to data-dependent per-source rates), so two pipeline runs
+    build the SAME training mix.
+
+    Emits the kept docs with (n_tok, rate) for downstream budget
+    accounting. Expected kept tokens per source = rate · avail ≈ target;
+    the exact realized count is one aggregation away.
+
+    Scale shape: the #sources-row plan broadcasts onto the doc stream —
+    the ONLY exchange is the plan's own tiny aggregate; the doc-side
+    filter is row-local and the text column dies at the projection."""
+    keys = list(key_cols) if key_cols else ["doc_id"]
+    plan = mixture_plan(docs, weights, token_budget, source_col, text_col)
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    annotated = docs.select(
+        *[F.col(c) for c in dict.fromkeys([*keys, source_col])],
+        n_tok.alias("n_tok"),
+        _hash_u(keys, seed).cast("double").alias("_u"),
+    )
+    return (
+        annotated.join(F.broadcast(plan.select(source_col, "rate")), source_col)
+        .filter(F.col("_u") < F.col("rate") * F.lit(float(_HASH_SPACE)))
+        .drop("_u")
+    )
+
+
+def mixture_take(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    key_cols: list[str] | None = None,
+    source_col: str = "source",
+    text_col: str = "text",
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT token-quota corpus mixing — the hard-budget twin of
+    ``mixture_sample``. Rate sampling hits each source's target in
+    EXPECTATION; quota filling hits it exactly: docs are taken in
+    content-hash order (a deterministic shuffle — hash order is
+    data-independent, so the prefix is an unbiased sample) until the
+    source's token target is reached. A doc is kept iff the tokens taken
+    BEFORE it fall short of the target, so the first doc is always kept
+    and overshoot is bounded by one document's length. Sources absent
+    from ``weights`` get target 0 (dropped).
+
+    Membership depends only on (keys, seed, weights, budget) — the same
+    reproducibility contract as mixture_sample — PLUS the corpus content
+    itself (adding docs can displace hash-later docs; that is inherent to
+    an exact quota).
+
+    Scale shape: per-source cumulative fill via
+    ``with_grouped_running_total`` — range-partitioned two-pass, so 20
+    heavy sources do NOT become 20 single-task windows; parallelism
+    tracks partition count. The kept-tokens comparison is exact: the
+    cumsum is BIGINT, the target a double literal (long < double promotes
+    exactly below 2^53). Release the intermediate cache with
+    ``operators.packing.release_running_total_cache`` after the consuming
+    action."""
+    from ..operators.packing import with_grouped_running_total
+
+    keys = list(key_cols) if key_cols else ["doc_id"]
+    total_w = float(sum(weights.values()))
+    target = F.lit(0.0)
+    for src in sorted(weights):
+        target = F.when(
+            F.col(source_col) == F.lit(src),
+            F.lit(float(token_budget) * float(weights[src]) / total_w),
+        ).otherwise(target)
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    annotated = docs.select(
+        *[F.col(c) for c in dict.fromkeys([*keys, source_col])],
+        n_tok.alias("n_tok"),
+        _hash_u(keys, seed).alias("_u"),
+    )
+    totaled = with_grouped_running_total(
+        annotated, source_col, "_u", "n_tok", out_col="cum_tok",
+        num_partitions=num_partitions, tie_cols=keys,
+    )
+    out = (
+        totaled.filter((F.col("cum_tok") - F.col("n_tok")) < target)
+        .drop("_u")
+    )
+    out._graft_packing_cache = getattr(totaled, "_graft_packing_cache", None)
+    return out

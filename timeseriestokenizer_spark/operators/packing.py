@@ -168,3 +168,82 @@ def global_ntile(
     ).drop("_w1", "_rk")
     out._graft_packing_cache = cache
     return out
+
+
+def with_grouped_running_total(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    weight_col: str,
+    out_col: str = "running_total",
+    num_partitions: int | None = None,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-GROUP inclusive running total of ``weight_col`` in ``order_col``
+    order — the grouped twin of ``with_running_total``, for the case a
+    plain ``SUM(w) OVER (PARTITION BY g ORDER BY o)`` window mishandles at
+    scale: FEW, HEAVY groups. That window gives one task per group (20
+    corpus sources over 100 TB = 20 tasks of 5 TB each); here the data
+    range-partitions on (group, order) instead, so parallelism tracks the
+    PARTITION count, not the group count. A group spans a contiguous run
+    of partitions and each partition contributes one (pid, group) partial
+    sum, cumulated into exclusive offsets on the driver (at most
+    #partitions + #groups - 1 rows — small only while group cardinality
+    is; for high-cardinality groups use the plain window, which is already
+    parallel).
+
+    Weights must be integral (LONG) so offsets stay exact; group values
+    must be non-null. Same caching contract as with_running_total:
+    release via ``release_running_total_cache`` after the consuming action.
+    """
+    order_cols = [group_col, order_col, *(tie_cols or [])]
+    ranged = (
+        df.repartitionByRange(
+            *([num_partitions] if num_partitions else []),
+            *[F.col(c) for c in order_cols],
+        )
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    part_sums = (
+        ranged.groupBy("_pid", group_col)
+        .agg(F.sum(weight_col).alias("_s"))
+        .orderBy(group_col, "_pid")
+        .collect()
+    )
+    if not part_sums:  # empty input
+        return ranged.withColumn(out_col, F.lit(None).cast("long")).drop("_pid")
+    offsets: dict[tuple[int, object], int] = {}
+    cur_group: object = object()
+    acc = 0
+    for r in part_sums:
+        g = r[group_col]
+        if g != cur_group:
+            cur_group, acc = g, 0
+        offsets[(r["_pid"], g)] = acc
+        acc += r["_s"] or 0
+    # (pid, group) -> exclusive offset, keyed portably as "pid group"
+    off_expr = F.element_at(
+        F.create_map(
+            *[
+                x
+                for (pid, g), off in offsets.items()
+                for x in (
+                    F.concat_ws(" ", F.lit(str(pid)), F.lit(str(g))),
+                    F.lit(off),
+                )
+            ]
+        ),
+        F.concat_ws(
+            " ", F.col("_pid").cast("string"), F.col(group_col).cast("string")
+        ),
+    )
+    w = (
+        W.partitionBy("_pid", group_col)
+        .orderBy(order_col, *(tie_cols or []))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = ranged.withColumn(out_col, F.sum(weight_col).over(w) + off_expr).drop("_pid")
+    out._graft_packing_cache = ranged
+    return out
