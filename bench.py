@@ -66,6 +66,15 @@ EXTRA = [
     "paa_sax",
     "sax_motifs",
     "series_correlation",
+    "mixture_sample",
+    "mixture_take",
+    "histogram_drift",
+    "hashing_tf",
+    "collocations",
+    "drift_series",
+    "stratified_take",
+    "oov_rate",
+    "ewm_band",
 ]
 
 BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "20000"))

@@ -550,3 +550,103 @@ def test_period_over_period_zero_prior_total(spark):
     r = got["2024-01-08"]
     # prior period exists but totals 0: delta is exact, ratio refuses 5/0
     assert (r["prev_total"], r["delta_total"], r["ratio"]) == (0, 5, None)
+
+
+def test_histogram_drift_tvd(spark):
+    """Integer-exact TVD drift: planted shift registers, identical
+    distributions give 0, a single-period key gives NULL, and the
+    statistic matches a pure-Python oracle exactly."""
+    from collections import Counter
+    from datetime import datetime, timedelta
+
+    from timeseriestokenizer_spark.operators.drift import histogram_drift
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # key A: uniform over [0,100) before, shifted to [100,200) after
+    for i in range(300):
+        rows.append(("A", t0 + timedelta(hours=i % 200), float(i % 100)))
+        rows.append(("A", t0 + timedelta(days=20, hours=i % 200),
+                     100.0 + float(i % 100)))
+    # key B: identical histograms both sides
+    for i in range(120):
+        rows.append(("B", t0 + timedelta(hours=i), float(i % 40)))
+        rows.append(("B", t0 + timedelta(days=20, hours=i), float(i % 40)))
+    # key C: before only
+    for i in range(50):
+        rows.append(("C", t0 + timedelta(hours=i), float(i)))
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+    out = {
+        r["user_id"]: r
+        for r in histogram_drift(
+            df, "user_id", "ts", "value", "2024-01-15 00:00:00",
+            lo=0.0, hi=200.0, n_bins=20,
+        ).collect()
+    }
+
+    def oracle(vals1, vals2, lo=0.0, hi=200.0, nb=20):
+        w = (hi - lo) / nb
+        def b(v):
+            return min(nb - 1, max(0, int((v - lo) // w)))
+        c1, c2 = Counter(map(b, vals1)), Counter(map(b, vals2))
+        n1, n2 = sum(c1.values()), sum(c2.values())
+        num = sum(abs(n2 * c1.get(i, 0) - n1 * c2.get(i, 0)) for i in range(nb))
+        return n1, n2, num, num / (2 * n1 * n2)
+
+    a1 = [float(i % 100) for i in range(300)]
+    a2 = [100.0 + float(i % 100) for i in range(300)]
+    n1, n2, num, tvd = oracle(a1, a2)
+    assert (out["A"]["n_before"], out["A"]["n_after"]) == (n1, n2)
+    assert out["A"]["tvd_num"] == num
+    assert out["A"]["tvd"] == tvd
+    assert out["A"]["tvd"] == 1.0  # disjoint supports -> full mass moved
+    assert out["B"]["tvd"] == 0.0
+    assert out["C"]["n_after"] == 0 and out["C"]["tvd"] is None
+
+    # plan: raw stream aggregated once on (key,bin); window + final agg
+    # share the key exchange -> exactly 2 shuffles, all JVM
+    plan = (
+        histogram_drift(df, "user_id", "ts", "value", "2024-01-15 00:00:00",
+                        0.0, 200.0, 20)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Python" not in plan, plan
+
+
+def test_histogram_drift_series_from_tier(spark):
+    """Drift read from rollup state: day-over-day TVD off the long-format
+    histogram tier, aligned by bucket arithmetic (a dark day yields NULL
+    on both adjacent comparisons, never a cross-gap comparison)."""
+    from datetime import datetime, timedelta
+
+    from timeseriestokenizer_spark.operators.drift import (
+        histogram_drift_series,
+    )
+    from timeseriestokenizer_spark.operators.rollup import (
+        histogram_rollup_tier,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # day 0 and day 1: identical value mixes; day 2 missing entirely;
+    # day 3: all mass in one new bin
+    for d in (0, 1):
+        for i in range(60):
+            rows.append((t0 + timedelta(days=d, minutes=i), float(i % 100)))
+    for i in range(40):
+        rows.append((t0 + timedelta(days=3, minutes=i), 999.0))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    hist = histogram_rollup_tier(df, "1d", val_col="value",
+                                 edges=[50.0, 150.0])
+    out = {r["bucket_ts"]: r for r in histogram_drift_series(hist).collect()}
+
+    d0, d1, d3 = (t0 + timedelta(days=d) for d in (0, 1, 3))
+    d2, d4 = t0 + timedelta(days=2), t0 + timedelta(days=4)
+    assert out[d0]["tvd"] is None          # nothing before day 0
+    assert out[d1]["tvd"] == 0.0           # identical histograms
+    assert out[d2]["tvd"] is None and out[d2]["n_cur"] == 0  # dark day
+    assert out[d3]["tvd"] is None          # prev day dark -> no comparison
+    assert out[d4]["tvd"] is None and out[d4]["n_cur"] == 0  # phantom after last
+    # exact numerator on the identical day: all cross terms cancel
+    assert out[d1]["tvd_num"] == 0 and out[d1]["n_prev"] == 60

@@ -256,3 +256,42 @@ def test_holt_winters_matches_explicit_recurrence(spark):
         want_short = reference([7.0, 9.0], a, bcf, g, m)[1]
         assert got[eid + 1] == want_short
         assert got[eid + 2] == (42.0, 0.0, 0.0)  # singleton
+
+
+def test_ewm_band_recurrence_and_breach(spark):
+    """EW control band: bit-equal to the explicit Python recurrence, band
+    judged by PRIOR state (the spike flags, its successor judged by the
+    already-widened band), first point never breaches."""
+    import math
+    from datetime import datetime, timedelta
+
+    from timeseriestokenizer_spark.operators.smoothing import ewm_band
+
+    t0 = datetime(2024, 1, 1)
+    vals = [10.0, 10.5, 9.5, 10.2, 9.8, 10.1, 9.9, 10.3, 50.0, 10.0]
+    rows = [("s", t0 + timedelta(minutes=i), i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, ts timestamp, event_id long, value double"
+    )
+    got = {
+        r["event_id"]: r
+        for r in ewm_band(df, alpha=0.25, z=3.0).collect()
+    }
+
+    a, z = 0.25, 3.0
+    m, v = vals[0], 0.0
+    exp = [(0, m, v, False)]
+    for i, x in enumerate(vals[1:], start=1):
+        d = x - m
+        br = v > 0.0 and abs(d) > z * math.sqrt(v)
+        step = a * d
+        m = m + step
+        v = (1.0 - a) * (v + step * d)
+        exp.append((i, m, v, br))
+    for i, em, ev, ebr in exp:
+        r = got[i]
+        assert r["ewm_mean"] == em and r["ewm_var"] == ev  # bit-equal
+        assert r["breach"] == ebr
+    # the planted spike breaches; nothing before it does
+    assert got[8]["breach"] is True
+    assert not any(got[i]["breach"] for i in range(8))

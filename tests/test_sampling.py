@@ -240,3 +240,51 @@ def test_mixture_take_exact_quota(spark):
     ids_b = sorted(r["doc_id"] for r in again.collect())
     assert ids_a == ids_b
     release_running_total_cache(again)
+
+
+def test_stratified_take_exact_k(spark):
+    """Row-quota sampling: exactly k per group (all rows when the group is
+    smaller), equal to the plain row_number window reference, stable under
+    repartitioning."""
+    from pyspark.sql import Window as W
+
+    from timeseriestokenizer_spark.functions.sampling import (
+        _hash_u,
+        stratified_take,
+    )
+    from timeseriestokenizer_spark.operators.packing import (
+        release_running_total_cache,
+    )
+
+    df = _mix_docs(spark).select("doc_id", "source")
+    got = stratified_take(df, "source", 7, ["doc_id"])
+    rows = got.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(by_src["big"]) == 7
+    assert len(by_src["unlisted"]) == 7
+    assert len(by_src["tiny"]) == 7  # tiny has 10 rows >= 7
+    assert sorted(r["take_rank"] for r in by_src["big"]) == list(range(1, 8))
+    release_running_total_cache(got)
+
+    # reference: plain window over the same hash order
+    ref = (
+        df.withColumn("_u", _hash_u(["doc_id"], 42))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("source").orderBy("_u", "doc_id")
+            ),
+        )
+        .filter(F.col("rn") <= 7)
+    )
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in ref.collect()
+    )
+
+    again = stratified_take(df.repartition(9), "source", 7, ["doc_id"])
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        r["doc_id"] for r in rows
+    )
+    release_running_total_cache(again)

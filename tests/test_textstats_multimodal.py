@@ -286,3 +286,85 @@ def test_redact_pii_staged_counts(spark):
     # row-local scrub: zero exchanges, zero Python
     plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_hashing_tf_conservation_and_oracle(spark):
+    """Feature hashing: total tf per doc == token count (collisions fold,
+    never drop); bucket ids match DuckDB's md5 arithmetic exactly; plan is
+    one exchange, all JVM."""
+    import duckdb
+
+    from timeseriestokenizer_spark.functions.features import hashing_tf
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "a b c a b a"),
+        (3, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = hashing_tf(df, n_features=16)
+    got = {(r["doc_id"], r["feature"]): r["tf"] for r in out.collect()}
+    # conservation: sum of tf per doc == whitespace token count
+    per_doc = {}
+    for (d, _), tf in got.items():
+        per_doc[d] = per_doc.get(d, 0) + tf
+    assert per_doc == {1: 6, 2: 6, 3: 1}
+
+    con = duckdb.connect()
+    exp = {
+        (d, f): tf
+        for d, f, tf in con.execute(
+            r"""
+            WITH t(doc_id, text) AS (VALUES
+              (1, 'the cat sat on the mat'),
+              (2, 'a b c a b a'),
+              (3, 'solo')),
+            tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+              FROM t)
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) % 16
+                     AS feature,
+                   count(*) AS tf
+            FROM tok GROUP BY 1, 2
+            """
+        ).fetchall()
+    }
+    assert got == exp
+
+    plan = (
+        out._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]  # AQE echoes the pre-AQE plan too
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Python" not in plan, plan
+
+
+def test_oov_rate_known_fractions(spark):
+    """OOV screening: handcrafted vocabulary overlap gives exact known
+    fractions; fully-covered doc is 0.0, alien doc is 1.0; plan is
+    JVM-only."""
+    from timeseriestokenizer_spark.functions.textstats import oov_rate
+
+    train = spark.createDataFrame(
+        [(100, "alpha beta gamma delta"), (101, "beta epsilon")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [
+            (1, "alpha beta beta"),          # all covered -> 0/3
+            (2, "alpha zeta beta zeta"),     # 2 of 4 oov -> 0.5
+            (3, "qqq www"),                  # fully alien -> 1.0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in oov_rate(train, ev).collect()}
+    assert (out[1]["n_tok"], out[1]["n_oov"], out[1]["oov_frac"]) == (3, 0, 0.0)
+    assert (out[2]["n_tok"], out[2]["n_oov"], out[2]["oov_frac"]) == (4, 2, 0.5)
+    assert (out[3]["n_tok"], out[3]["n_oov"], out[3]["oov_frac"]) == (2, 2, 1.0)
+
+    plan = (
+        oov_rate(train, ev)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan, plan

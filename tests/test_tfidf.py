@@ -107,3 +107,52 @@ def test_bm25_matches_python_oracle(spark, corpus):
 def test_bm25_jvm_only(spark, corpus):
     plan = _plan(bm25_rank(corpus, ["apple"]))
     assert "Python" not in plan
+
+
+def test_collocation_lift_exact_and_plan(spark):
+    """Lift ranking: exact counts and one-division lift vs a pure-Python
+    oracle; 'new york' dominates; top-k compiles to TakeOrdered (no global
+    sort materializes)."""
+    from collections import Counter
+
+    from timeseriestokenizer_spark.operators.collocations import (
+        collocation_lift,
+    )
+
+    texts = [
+        "new york is big new york is old",
+        "new york and old boston x y",
+        "is and x new york",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = collocation_lift(df, min_count=2, k=10).collect()
+
+    uni, big = Counter(), Counter()
+    n_tok = n_big = 0
+    for t in texts:
+        ws = t.split()
+        uni.update(ws)
+        n_tok += len(ws)
+        big.update(zip(ws, ws[1:]))
+        n_big += len(ws) - 1
+    exp = {}
+    for (w1, w2), c12 in big.items():
+        if c12 >= 2:
+            exp[(w1, w2)] = (
+                c12, uni[w1], uni[w2],
+                (c12 * n_tok * n_tok) / (n_big * uni[w1] * uni[w2]),
+            )
+    assert {(r["w1"], r["w2"]): (r["c12"], r["c1"], r["c2"], r["lift"])
+            for r in got} == exp
+    # ranking: the planted collocation wins
+    assert (got[0]["w1"], got[0]["w2"]) == ("new", "york")
+    assert got[0]["lift"] > 1.0
+
+    plan = (
+        collocation_lift(df, min_count=2, k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Python" not in plan, plan

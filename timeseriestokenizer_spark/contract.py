@@ -585,6 +585,113 @@ def q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(load(spark, sf_dir, "documents"), k=3)
 
 
+def q_ewm_band(spark, sf_dir):
+    """EWMA control chart (operators/smoothing.ewm_band) at alpha=0.25,
+    z=3: per event, running EW mean + EW variance and a breach flag
+    tested against the PRIOR band (a spike can't widen the band that
+    judges it). All three numeric columns UNROUNDED: the recurrence is a
+    fixed IEEE op sequence (the lone sqrt is correctly rounded by the
+    standard), so the DuckDB recursive CTE stepping the identical order
+    hash-matches bit-exactly — the holt_smoothing proof shape extended
+    with variance and a comparison."""
+    from .operators.smoothing import ewm_band
+
+    return ewm_band(
+        load(spark, sf_dir, "events"), key="user_id", ts_col="ts",
+        val_col="value", id_col="event_id", alpha=0.25, z=3.0,
+    )
+
+
+def q_stratified_take(spark, sf_dir):
+    """Row-quota sampling (functions/sampling.stratified_take): exactly
+    15 docs per source, the k hash-smallest — balanced eval-set assembly
+    immune to source skew. Rank computed on the range-partitioned
+    two-pass (never one window task per source); oracle is the plain
+    row_number window over the identical md5 order."""
+    from .functions.sampling import stratified_take
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_take(docs, "source", 15, ["doc_id"], seed=42)
+
+
+def q_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary screening (functions/textstats.oov_rate): even
+    doc_ids are the training corpus, odd doc_ids the eval set; per eval
+    doc, the fraction of token instances whose word never occurs in
+    train — the unigram sibling of ngram_contamination. Train reduces to
+    distinct md5-60 word hashes (fixed-width anti-join keys); oov_frac is
+    one exact-BIGINT division, unrounded."""
+    from .functions.textstats import oov_rate
+
+    docs = load(spark, sf_dir, "documents")
+    return oov_rate(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+def q_drift_series(spark, sf_dir):
+    """Drift FROM ROLLUP STATE (operators/drift.histogram_drift_series):
+    day-over-day TVD of the value distribution read off the long-format
+    1d histogram tier — the monitoring loop never re-scans raw events.
+    Alignment is bucket arithmetic (day == prev + 1), not lag(), so a
+    dark day NULLs both adjacent comparisons instead of silently
+    comparing across the gap. Same exact-BIGINT TVD algebra as
+    histogram_drift."""
+    from .operators.drift import histogram_drift_series
+    from .operators.rollup import histogram_rollup_tier
+
+    hist = histogram_rollup_tier(
+        load(spark, sf_dir, "events"), "1d", val_col="value",
+        edges=[25.0, 50.0, 75.0, 100.0, 125.0, 150.0, 175.0],
+    )
+    return histogram_drift_series(hist, step="1 day")
+
+
+def q_collocations(spark, sf_dir):
+    """Collocation mining (operators/collocations.collocation_lift):
+    top-100 adjacent pairs by lift = c12*N_tok^2 / (N_big*c1*c2) with a
+    min-count floor of 3 — PMI's ranking without PMI's log (monotone
+    transform dropped, so every score is one division of exact BIGINT
+    products and the oracle matches hash-exactly). Bigrams built
+    row-locally from the token array (no self-join); totals ride
+    broadcast 1-row anchors; top-k is TakeOrdered."""
+    from .operators.collocations import collocation_lift
+
+    return collocation_lift(
+        load(spark, sf_dir, "documents"), min_count=3, k=100
+    )
+
+
+def q_hashing_tf(spark, sf_dir):
+    """Feature hashing (functions/features.hashing_tf): sparse hashed
+    term-frequency rows at 256 buckets — the fixed-dimension featurizer
+    that needs no vocabulary state. Bucket = md5-60-bit(term) mod 256
+    (engine-identical arithmetic), tf = exact BIGINT count; the oracle
+    reproduces every bucket id and count. One map-side-combined exchange;
+    text dies at the explode."""
+    from .functions.features import hashing_tf
+
+    return hashing_tf(load(spark, sf_dir, "documents"), n_features=256)
+
+
+def q_histogram_drift(spark, sf_dir):
+    """Distribution-drift monitor (operators/drift.histogram_drift):
+    per-user total-variation distance between the value histogram
+    before/after Jan 16 over 20 equal-width bins of [0,200). TVD instead
+    of KL/PSI because its numerator is a sum of absolute BIGINT cross
+    products — exact, order-insensitive, mergeable — where log-based
+    divergences are order-dependent transcendental sums no two engines
+    reproduce (the doc_diversity doctrine). One scan, two exchanges over
+    the pre-aggregated (user, bin) table."""
+    from .operators.drift import histogram_drift
+
+    return histogram_drift(
+        load(spark, sf_dir, "events"), "user_id", "ts", "value",
+        "2024-01-16 00:00:00", lo=0.0, hi=200.0, n_bins=20,
+    )
+
+
 def q_mixture_sample(spark, sf_dir):
     """Corpus-mixture sampling (functions/sampling.mixture_sample):
     Dolma/Pile-style per-source token budgeting — sources src0–src4
@@ -3947,6 +4054,180 @@ FROM s3
 """
 
 # Raw string: the \s regex atom must reach DuckDB verbatim.
+# Lift algebra all-BIGINT until one division; rank ties break on (w1,w2)
+# so the top-100 SET is engine-deterministic.
+ORACLE_SQL["collocations"] = r"""
+WITH tok AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS a FROM documents),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(a) AS w FROM tok) GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uni),
+pairs AS (
+  SELECT z[1] AS w1, z[2] AS w2
+  FROM (SELECT unnest(list_zip(a[:len(a) - 1], a[2:])) AS z FROM tok)),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n_big FROM pairs),
+big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+  FROM pairs GROUP BY 1, 2 HAVING count(*) >= 3)
+SELECT big.w1, big.w2, big.c12, u1.c AS c1, u2.c AS c2,
+       (big.c12 * tot.n_tok * tot.n_tok)
+         / (nb.n_big * u1.c * u2.c) AS lift
+FROM big
+JOIN uni u1 ON u1.w = big.w1
+JOIN uni u2 ON u2.w = big.w2
+CROSS JOIN tot CROSS JOIN nb
+ORDER BY lift DESC, big.w1, big.w2
+LIMIT 100
+"""
+
+# Raw string: the \s regex atom must reach DuckDB verbatim.
+ORACLE_SQL["hashing_tf"] = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents)
+SELECT doc_id,
+       CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) % 256
+         AS feature,
+       count(*) AS tf
+FROM tok GROUP BY 1, 2
+"""
+
+# EW control band: the CTE steps the IDENTICAL IEEE op order as the
+# Python recurrence — d once per step via (p.value - r.m), step as
+# 0.25*(..), m as r.m + step-expr, v as 0.75*(r.v + step-expr * d-expr);
+# breach reads the PRIOR r.v / r.m. Anchor v is CAST to DOUBLE (DuckDB
+# would otherwise type the recursive column DECIMAL and overflow).
+ORACLE_SQL["ewm_band"] = """
+WITH RECURSIVE p AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events),
+rec AS (
+  SELECT user_id, rn, event_id,
+         value AS m, CAST(0.0 AS DOUBLE) AS v, FALSE AS breach
+  FROM p WHERE rn = 1
+  UNION ALL
+  SELECT p.user_id, p.rn, p.event_id,
+         r.m + 0.25 * (p.value - r.m) AS m,
+         0.75 * (r.v + (0.25 * (p.value - r.m)) * (p.value - r.m)) AS v,
+         (r.v > 0.0 AND abs(p.value - r.m) > 3.0 * sqrt(r.v)) AS breach
+  FROM rec r JOIN p ON p.user_id = r.user_id AND p.rn = r.rn + 1
+)
+SELECT event_id, m AS ewm_mean, v AS ewm_var, breach FROM rec
+"""
+
+ORACLE_SQL["stratified_take"] = """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+                                             ':', '42')), 1, 15))
+              AS BIGINT) AS u
+  FROM documents),
+r AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY u, doc_id) AS BIGINT) AS take_rank
+  FROM d)
+SELECT doc_id, source, take_rank FROM r WHERE take_rank <= 15
+"""
+
+# Raw string: the \s regex atom must reach DuckDB verbatim.
+ORACLE_SQL["oov_rate"] = r"""
+WITH tr AS (
+  SELECT DISTINCT CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS hw
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents WHERE doc_id % 2 = 0)),
+ev AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS hw
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents WHERE doc_id % 2 = 1)),
+tot AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tok
+  FROM documents WHERE doc_id % 2 = 1),
+oov AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_oov
+  FROM ev WHERE hw NOT IN (SELECT hw FROM tr) GROUP BY 1)
+SELECT t.doc_id, t.n_tok,
+       CAST(COALESCE(o.n_oov, 0) AS BIGINT) AS n_oov,
+       CAST(COALESCE(o.n_oov, 0) AS BIGINT) / t.n_tok AS oov_frac
+FROM tot t LEFT JOIN oov o USING (doc_id)
+"""
+
+# Tier-state drift: bin = count of interior edges <= value (width_bucket
+# semantics, mirrored as a CASE sum); day alignment by timestamp
+# arithmetic through a FULL OUTER self-join of the day histogram.
+ORACLE_SQL["drift_series"] = """
+WITH h AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+         (CASE WHEN value >= 25.0 THEN 1 ELSE 0 END
+          + CASE WHEN value >= 50.0 THEN 1 ELSE 0 END
+          + CASE WHEN value >= 75.0 THEN 1 ELSE 0 END
+          + CASE WHEN value >= 100.0 THEN 1 ELSE 0 END
+          + CASE WHEN value >= 125.0 THEN 1 ELSE 0 END
+          + CASE WHEN value >= 150.0 THEN 1 ELSE 0 END
+          + CASE WHEN value >= 175.0 THEN 1 ELSE 0 END) AS bin,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+j AS (
+  SELECT COALESCE(c.bucket_ts, p.bucket_ts + INTERVAL 1 DAY) AS bucket_ts,
+         COALESCE(c.n, 0) AS oc, COALESCE(p.n, 0) AS op
+  FROM h c FULL OUTER JOIN h p
+    ON c.bucket_ts = p.bucket_ts + INTERVAL 1 DAY AND c.bin = p.bin),
+t AS (
+  SELECT bucket_ts, oc, op,
+         CAST(sum(oc) OVER (PARTITION BY bucket_ts) AS BIGINT) AS nc,
+         CAST(sum(op) OVER (PARTITION BY bucket_ts) AS BIGINT) AS np
+  FROM j)
+SELECT bucket_ts,
+       CAST(min(np) AS BIGINT) AS n_prev,
+       CAST(min(nc) AS BIGINT) AS n_cur,
+       CAST(sum(abs(np * oc - nc * op)) AS BIGINT) AS tvd_num,
+       CASE WHEN min(np) > 0 AND min(nc) > 0
+            THEN CAST(sum(abs(np * oc - nc * op)) AS BIGINT)
+                 / (2 * min(np) * min(nc))
+            ELSE NULL END AS tvd
+FROM t GROUP BY 1
+"""
+
+# TVD drift: bin width (200-0)/20 = 10.0 (exact literal), clamped edge
+# bins; numerator |N2*o1 - N1*o2| all BIGINT; single final division.
+ORACLE_SQL["histogram_drift"] = """
+WITH e AS (
+  SELECT user_id,
+         least(19, greatest(0,
+           CAST(floor((value - 0.0) / 10.0) AS BIGINT))) AS bin,
+         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+              THEN 1 ELSE 0 END AS b
+  FROM events WHERE value IS NOT NULL),
+c AS (
+  SELECT user_id, bin,
+         CAST(sum(b) AS BIGINT) AS o1,
+         CAST(sum(1 - b) AS BIGINT) AS o2
+  FROM e GROUP BY 1, 2),
+t AS (
+  SELECT user_id, o1, o2,
+         CAST(sum(o1) OVER (PARTITION BY user_id) AS BIGINT) AS n1,
+         CAST(sum(o2) OVER (PARTITION BY user_id) AS BIGINT) AS n2
+  FROM c)
+SELECT user_id,
+       CAST(min(n1) AS BIGINT) AS n_before,
+       CAST(min(n2) AS BIGINT) AS n_after,
+       CAST(sum(abs(n2 * o1 - n1 * o2)) AS BIGINT) AS tvd_num,
+       CASE WHEN min(n1) > 0 AND min(n2) > 0
+            THEN CAST(sum(abs(n2 * o1 - n1 * o2)) AS BIGINT)
+                 / (2 * min(n1) * min(n2))
+            ELSE NULL END AS tvd
+FROM t GROUP BY user_id
+"""
+
+# Raw string: the \s regex atom must reach DuckDB verbatim.
 # target CASE mirrors q_mixture_sample's weights: src0-src4 at 2x weight,
 # budget 25000, sum(w)=25 -> targets 2000.0 / 1000.0 (exact literals).
 ORACLE_SQL["mixture_sample"] = r"""
@@ -4432,15 +4713,8 @@ QUERIES = {
     "state_occupancy": q_state_occupancy,
     "redact_pii": q_redact_pii,
     "tfidf_top_terms": q_tfidf_top_terms,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "ngram_contamination": q_ngram_contamination,
     "span_contamination": q_span_contamination,
-    "corpus_report": q_corpus_report,
-    "jaccard_topk": q_jaccard_topk,
-    "asof_join": q_asof_join,
     "asof_join_nulls": q_asof_join_nulls,
-    "asof_join_forward": q_asof_join_forward,
-    "range_join": q_range_join,
     "range_anti_join": q_range_anti_join,
     "cusum_changepoint": q_cusum_changepoint,
     "mad_outliers": q_mad_outliers,
@@ -4471,6 +4745,13 @@ QUERIES = {
     "rfm_segments": q_rfm_segments,
     "mixture_take": q_mixture_take,
     "mixture_sample": q_mixture_sample,
+    "histogram_drift": q_histogram_drift,
+    "hashing_tf": q_hashing_tf,
+    "collocations": q_collocations,
+    "drift_series": q_drift_series,
+    "stratified_take": q_stratified_take,
+    "oov_rate": q_oov_rate,
+    "ewm_band": q_ewm_band,
     "kll_p95_cascade": q_kll_p95_cascade,
     "heavy_hitters_cascade": q_heavy_hitters_cascade,
     "paa_sax": q_paa_sax,
@@ -4480,6 +4761,13 @@ QUERIES = {
     "holt_winters": q_holt_winters,
     # ---- driver-cap line (entry 51+): every row below is green in an
     # earlier CORRECTNESS_r* file (ledger: COVERAGE.md + tools/check_ledger) --
+    "asof_join_forward": q_asof_join_forward,
+    "ngram_contamination": q_ngram_contamination,
+    "range_join": q_range_join,
+    "asof_join": q_asof_join,
+    "jaccard_topk": q_jaccard_topk,
+    "corpus_report": q_corpus_report,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "tpe_compression": q_tpe_compression,
     "rollup_1m": q_rollup_1m,
     "doc_exact_dedup": q_doc_exact_dedup,

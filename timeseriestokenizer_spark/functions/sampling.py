@@ -202,6 +202,48 @@ def mixture_sample(
     )
 
 
+def stratified_take(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_cols: list[str] | None = None,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exactly ``k`` rows per group (fewer if the group is smaller),
+    chosen deterministically: the k hash-smallest rows. The count-quota
+    member of the sampling family — rate (stratified_sample), token quota
+    (mixture_take), row quota (this) — with the same reproducibility
+    contract: the selection depends only on (keys, seed, k) plus which
+    rows exist in the group.
+
+    Balanced eval-set assembly is the use case: "500 docs from every
+    source", immune to source skew and to rerun/partitioning noise.
+
+    Scale shape: rank-within-group via the same range-partitioned
+    two-pass as mixture_take (weight 1 turns the grouped running total
+    into the group rank), so a handful of huge groups never serialize
+    into one window task each. Emits the input columns plus ``take_rank``
+    (1-based hash-order rank). Release the intermediate cache with
+    ``operators.packing.release_running_total_cache`` after the consuming
+    action."""
+    from ..operators.packing import with_grouped_running_total
+
+    keys = list(key_cols) if key_cols else ["doc_id"]
+    annotated = df.select(
+        "*",
+        _hash_u(keys, seed).alias("_u"),
+        F.lit(1).cast("long").alias("_one"),
+    )
+    ranked = with_grouped_running_total(
+        annotated, group_col, "_u", "_one", out_col="take_rank",
+        num_partitions=num_partitions, tie_cols=keys,
+    )
+    out = ranked.filter(F.col("take_rank") <= F.lit(int(k))).drop("_u", "_one")
+    out._graft_packing_cache = getattr(ranked, "_graft_packing_cache", None)
+    return out
+
+
 def mixture_take(
     docs: DataFrame,
     weights: dict[str, float],

@@ -385,3 +385,55 @@ def redact_pii(
         F.length(t3).cast("long").alias("redacted_len"),
         F.md5(t3).alias("redacted_md5"),
     )
+
+
+def oov_rate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Out-of-vocabulary screening: for each eval doc, how many of its
+    token INSTANCES use a word the training corpus never contains — the
+    unigram sibling of ngram_contamination (there: eval text leaked INTO
+    train; here: eval text the tokenizer/vocab trained on train has never
+    seen). High OOV means the benchmark exercises vocabulary the model
+    could only handle via fallback pieces.
+
+    Scale shape (the shingle doctrine): the train side reduces to
+    DISTINCT md5-60-bit word hashes — fixed-width ints, never strings, so
+    the semi/anti join shuffles a bounded-width key regardless of word
+    length; eval tokens carry only (id, hash). Emits (id, n_tok, n_oov,
+    oov_frac) with oov_frac = one exact-BIGINT division, unrounded."""
+    def _h(col):
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    vocab = (
+        train.select(F.explode(tokens).alias("_w"))
+        .select(_h(F.col("_w")).alias("_hw"))
+        .distinct()
+    )
+    ev = eval_df.select(
+        F.col(id_col), F.explode(tokens).alias("_w")
+    ).select(F.col(id_col), _h(F.col("_w")).alias("_hw"))
+    oov = (
+        ev.join(vocab, "_hw", "left_anti")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n_oov"))
+    )
+    totals = eval_df.select(
+        F.col(id_col), F.size(tokens).cast("long").alias("n_tok")
+    )
+    return (
+        totals.join(oov, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tok"),
+            F.coalesce(F.col("_n_oov"), F.lit(0)).cast("long").alias("n_oov"),
+            (
+                F.coalesce(F.col("_n_oov"), F.lit(0)).cast("long")
+                / F.col("n_tok")
+            ).alias("oov_frac"),
+        )
+    )

@@ -1,0 +1,180 @@
+"""Distribution-drift monitoring between two time periods.
+
+The training-data-pipeline question: "did this feed's value distribution
+shift between last week and this week?" The usual answers (KL divergence,
+population stability index) are sums of logarithms — order-dependent
+double accumulation AND transcendental, so no two engines agree bit-wise
+(the doc_diversity doctrine). Total variation distance over a fixed
+binning has neither problem:
+
+    TVD = 1/2 * sum_i | p_i - q_i |
+        = sum_i | N2*o1_i - N1*o2_i |  /  (2*N1*N2)
+
+The numerator is a sum of absolute BIGINT differences — exact, order-
+insensitive, mergeable — and the single final division is one IEEE op.
+TVD is also the natural threshold scale: it IS the maximum probability
+mass any event class could have gained or lost (0 = identical, 1 =
+disjoint).
+
+Scale shape: one map-side-combined groupBy (key, bin) with conditional
+period sums, then a key window + key aggregate that share one exchange
+over the ALREADY-AGGREGATED (#keys x #bins)-row table. The raw stream is
+touched once.
+
+Overflow note: the cross products N*o stay in BIGINT; at per-key period
+counts beyond ~3e9 rows move the products to DECIMAL(38,0) — at that
+cardinality the per-key histogram itself is the thing to shard first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def equal_width_bin(
+    value_col: str, lo: float, hi: float, n_bins: int
+):
+    """Clamped equal-width bin index in [0, n_bins): floor((v-lo)/width)
+    with out-of-range values folded into the edge bins (drift in the
+    tails still registers there). The width is a Python-side literal, so
+    the binning is part of the plan's identity and any engine replays it
+    bit-identically (double subtract, divide, floor)."""
+    width = (float(hi) - float(lo)) / int(n_bins)
+    raw = F.floor((F.col(value_col) - F.lit(float(lo))) / F.lit(width)).cast(
+        "long"
+    )
+    return F.least(F.lit(int(n_bins) - 1), F.greatest(F.lit(0), raw))
+
+
+def histogram_drift_series(
+    hist: DataFrame,
+    step: str = "1 day",
+    ts_col: str = "bucket_ts",
+    bin_col: str = "bin",
+    n_col: str = "n",
+) -> DataFrame:
+    """Bucket-over-bucket TVD series READ FROM ROLLUP STATE — drift
+    monitoring without re-scanning raw data. Input is a long-format
+    histogram tier (operators/rollup.histogram_rollup_tier: bucket_ts,
+    bin, n); output is one row per bucket with the TVD against the bucket
+    exactly ``step`` earlier (NULL when either side is empty — a first
+    bucket, a dark gap, or the phantom bucket after the last one; a NULL
+    here means "nothing to compare", never "no drift").
+
+    Alignment is by bucket ARITHMETIC (ts == prev_ts + step), not by
+    lag() — lag over (bin) would pair a bin with its last PRESENT bucket,
+    silently comparing across gaps bin-by-bin at different distances.
+
+    Scale shape: every operator here touches only the pre-aggregated
+    (#buckets x #bins)-row tier table: one self-alignment join on
+    (bucket, bin), one bucket window, one bucket aggregate."""
+    interval = F.expr(f"INTERVAL {step}")
+    cur = hist.select(
+        F.col(ts_col).alias("_ts"),
+        F.col(bin_col).alias("_bin"),
+        F.col(n_col).alias("_oc"),
+    )
+    prv = hist.select(
+        (F.col(ts_col) + interval).alias("_ts"),
+        F.col(bin_col).alias("_bin"),
+        F.col(n_col).alias("_op"),
+    )
+    j = cur.join(prv, ["_ts", "_bin"], "full_outer").select(
+        F.col("_ts"),
+        F.coalesce(F.col("_oc"), F.lit(0)).alias("_oc"),
+        F.coalesce(F.col("_op"), F.lit(0)).alias("_op"),
+    )
+    w = W.partitionBy("_ts")
+    per_bin = j.select(
+        F.col("_ts"),
+        F.col("_oc"),
+        F.col("_op"),
+        F.sum("_oc").over(w).alias("_nc"),
+        F.sum("_op").over(w).alias("_np"),
+    )
+    return (
+        per_bin.groupBy(F.col("_ts").alias(ts_col))
+        .agg(
+            F.first("_np").alias("n_prev"),
+            F.first("_nc").alias("n_cur"),
+            F.sum(
+                F.abs(F.col("_np") * F.col("_oc") - F.col("_nc") * F.col("_op"))
+            ).alias("tvd_num"),
+        )
+        .select(
+            F.col(ts_col),
+            F.col("n_prev"),
+            F.col("n_cur"),
+            F.col("tvd_num"),
+            F.when(
+                (F.col("n_prev") > 0) & (F.col("n_cur") > 0),
+                F.col("tvd_num") / (F.lit(2) * F.col("n_prev") * F.col("n_cur")),
+            ).alias("tvd"),
+        )
+    )
+
+
+def histogram_drift(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    split_ts: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Per-key total-variation distance between the value distribution
+    BEFORE ``split_ts`` and AT-OR-AFTER it, over a fixed equal-width
+    binning of [lo, hi]. Emits (key, n_before, n_after, tvd_num, tvd):
+    tvd_num is the exact BIGINT numerator sum |N2*o1 - N1*o2|; tvd is the
+    one-division double tvd_num / (2*N1*N2), NULL when either period is
+    empty (no distribution to compare — never a fake 0 or 1).
+
+    Bins empty in both periods contribute 0 and need no gap-fill; a bin
+    present in only one period contributes its full cross product, which
+    is exactly the mass that moved."""
+    before = (
+        F.col(ts_col).cast("timestamp") < F.to_timestamp(F.lit(split_ts))
+    ).cast("long")
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(key_col),
+            equal_width_bin(value_col, lo, hi, n_bins).alias("_bin"),
+        )
+        .agg(
+            F.sum(before).alias("_o1"),
+            F.sum(F.lit(1) - before).alias("_o2"),
+        )
+    )
+    w = W.partitionBy(key_col)
+    per_bin = counts.select(
+        F.col(key_col),
+        F.col("_o1"),
+        F.col("_o2"),
+        F.sum("_o1").over(w).alias("_n1"),
+        F.sum("_o2").over(w).alias("_n2"),
+    )
+    return (
+        per_bin.groupBy(key_col)
+        .agg(
+            F.first("_n1").alias("n_before"),
+            F.first("_n2").alias("n_after"),
+            F.sum(
+                F.abs(F.col("_n2") * F.col("_o1") - F.col("_n1") * F.col("_o2"))
+            ).alias("tvd_num"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("n_before"),
+            F.col("n_after"),
+            F.col("tvd_num"),
+            F.when(
+                (F.col("n_before") > 0) & (F.col("n_after") > 0),
+                F.col("tvd_num")
+                / (F.lit(2) * F.col("n_before") * F.col("n_after")),
+            ).alias("tvd"),
+        )
+    )

@@ -236,3 +236,88 @@ def holt_winters(
             )
 
     return seqs.mapInPandas(_smooth, out_schema).withColumnRenamed("out_id", id_col)
+
+
+def ewm_band(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    alpha: float = 0.25,
+    z: float = 3.0,
+) -> DataFrame:
+    """EW control band (EWMA control chart): per point, the running
+    exponentially-weighted mean AND variance, plus a breach flag testing
+    the point against the band its PRIOR state predicted (a spike must
+    not widen the band that judges it):
+
+        d_i    = x_i - m_{i-1}
+        breach = v_{i-1} > 0  AND  |d_i| > z * sqrt(v_{i-1})
+        step   = alpha * d_i
+        m_i    = m_{i-1} + step
+        v_i    = (1-alpha) * (v_{i-1} + step * d_i)
+
+    (West 1979 incremental EW variance; m_0 = x_0, v_0 = 0, first point
+    never breaches.) The self-tuning alerting primitive: the band adapts
+    to each series' own level and noise, no global threshold to pick.
+
+    Float contract: every step is a FIXED IEEE op sequence (one subtract,
+    one scale, one add, one multiply-accumulate-scale; the lone sqrt is
+    correctly rounded by IEEE 754, and z stays a literal) — so a DuckDB
+    recursive CTE stepping the identical order reproduces all columns
+    bit-exactly, the holt_smoothing proof shape. At dyadic alpha the
+    *step* scaling is additionally exact, but bit-parity only needs the
+    identical order. Returns (id_col, ewm_mean, ewm_var, breach)
+    UNROUNDED. Same one-exchange batched-arrays shape as ewma."""
+    import math
+
+    seqs = (
+        df.select(
+            F.col(key).alias("k"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+            F.col(id_col).alias("i"),
+            F.col(val_col).cast("double").alias("v"),
+        )
+        .groupBy("k")
+        .agg(F.expr("array_sort(collect_list(struct(t, i, v)))").alias("seq"))
+        .select(
+            F.expr("transform(seq, x -> x.i)").alias("ids"),
+            F.expr("transform(seq, x -> x.v)").alias("vals"),
+        )
+    )
+    a, zz = float(alpha), float(z)
+    out_schema = T.StructType(
+        [
+            T.StructField("out_id", df.schema[id_col].dataType),
+            T.StructField("ewm_mean", T.DoubleType()),
+            T.StructField("ewm_var", T.DoubleType()),
+            T.StructField("breach", T.BooleanType()),
+        ]
+    )
+
+    def _band(batches):
+        for pdf in batches:
+            ids_all, m_all, v_all, br_all = [], [], [], []
+            for ids, vals in zip(pdf["ids"], pdf["vals"]):
+                m, v = float(vals[0]), 0.0
+                ids_all.append(ids[0])
+                m_all.append(m); v_all.append(v); br_all.append(False)
+                for x in vals[1:]:
+                    d = float(x) - m
+                    br_all.append(v > 0.0 and abs(d) > zz * math.sqrt(v))
+                    step = a * d
+                    m = m + step
+                    v = (1.0 - a) * (v + step * d)
+                    m_all.append(m); v_all.append(v)
+                ids_all.extend(ids[1:])
+            yield pd.DataFrame(
+                {
+                    "out_id": ids_all,
+                    "ewm_mean": m_all,
+                    "ewm_var": v_all,
+                    "breach": br_all,
+                }
+            )
+
+    return seqs.mapInPandas(_band, out_schema).withColumnRenamed("out_id", id_col)
