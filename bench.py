@@ -75,6 +75,8 @@ EXTRA = [
     "stratified_take",
     "oov_rate",
     "ewm_band",
+    "weighted_p95",
+    "asof_tolerance",
 ]
 
 BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "20000"))

@@ -650,3 +650,79 @@ def test_histogram_drift_series_from_tier(spark):
     assert out[d4]["tvd"] is None and out[d4]["n_cur"] == 0  # phantom after last
     # exact numerator on the identical day: all cross terms cancel
     assert out[d1]["tvd_num"] == 0 and out[d1]["n_prev"] == 60
+
+
+def test_weighted_percentile_exact(spark):
+    """Weighted percentile: numpy-free handcrafted oracle — cum weight in
+    value order crosses p*total at a value the key contains; zero-weight
+    rows carry no mass; one-exchange plan."""
+    from timeseriestokenizer_spark.operators.anomaly import (
+        weighted_percentile,
+    )
+
+    rows = [
+        # key A: values 1..4 with weights 1,1,1,7 -> total 10
+        #   p50: cum(1,2,3)=3 < 5, value 4 crosses (cum 10) -> 4
+        #   p30: cum at value 3 = 3 >= 3 -> 3
+        ("A", 1, 1), ("A", 2, 1), ("A", 3, 1), ("A", 4, 7),
+        # key B: one heavy value + zero-weight noise that must not count
+        ("B", 10, 5), ("B", 99, 0),
+    ]
+    df = spark.createDataFrame(rows, "k string, v long, w long")
+    p50 = {r["k"]: r for r in weighted_percentile(df, "k", "v", "w", 0.5).collect()}
+    assert (p50["A"]["wp50"], p50["A"]["w_total"]) == (4, 10)
+    assert (p50["B"]["wp50"], p50["B"]["w_total"]) == (10, 5)
+    p30 = {r["k"]: r["wp30"] for r in weighted_percentile(df, "k", "v", "w", 0.3).collect()}
+    assert p30["A"] == 3
+
+    plan = (
+        weighted_percentile(df, "k", "v", "w", 0.5)
+        ._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Python" not in plan, plan
+
+
+def test_asof_join_tolerance(spark):
+    """merge_asof-style tolerance: a match older than the window drops the
+    WHOLE row (all fields null together), an in-window match carries all
+    fields; forward direction mirrors."""
+    from datetime import datetime, timedelta
+
+    from timeseriestokenizer_spark.operators.asof import asof_join
+
+    t0 = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("k", t0 + timedelta(seconds=5)), ("k", t0 + timedelta(seconds=100))],
+        "key string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", t0, 1.0, "fresh")],
+        "key string, ts timestamp, px double, tag string",
+    )
+    out = {
+        r["ts"]: r
+        for r in asof_join(left, right, "key", tolerance_s=10.0).collect()
+    }
+    near, far = t0 + timedelta(seconds=5), t0 + timedelta(seconds=100)
+    assert (out[near]["asof_px"], out[near]["asof_tag"]) == (1.0, "fresh")
+    assert out[far]["asof_px"] is None and out[far]["asof_tag"] is None
+    # without tolerance the stale match carries
+    base = {
+        r["ts"]: r for r in asof_join(left, right, "key").collect()
+    }
+    assert base[far]["asof_px"] == 1.0
+    # forward: right at t+3 within 5s of left at t0 -> match; 100s -> not
+    fwd_right = spark.createDataFrame(
+        [("k", t0 + timedelta(seconds=8), 2.0, "next")],
+        "key string, ts timestamp, px double, tag string",
+    )
+    fwd = {
+        r["ts"]: r
+        for r in asof_join(
+            left, fwd_right, "key", direction="forward", tolerance_s=5.0
+        ).collect()
+    }
+    assert fwd[near]["asof_px"] == 2.0
+    assert fwd[far]["asof_px"] is None

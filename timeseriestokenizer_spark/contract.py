@@ -585,6 +585,47 @@ def q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(load(spark, sf_dir, "documents"), k=3)
 
 
+def q_weighted_p95(spark, sf_dir):
+    """Exact weighted percentile (operators/anomaly.weighted_percentile):
+    per-user p95 of value where each event's mass is its props.k payload
+    count — "the value under which 95% of the PAYLOAD falls". Cumulative
+    and total weights are exact BIGINTs; the threshold test is one
+    long-vs-double comparison; the answer is a value the user's data
+    contains, never interpolated, so it hashes exactly. Zero-weight rows
+    carry no mass. ONE exchange (both windows + the aggregate cluster on
+    user_id)."""
+    from .operators.anomaly import weighted_percentile
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        F.get_json_object("props", "$.k").cast("long").alias("w"),
+    )
+    return weighted_percentile(ev, "user_id", "value", "w", p=0.95)
+
+
+def q_asof_tolerance(spark, sf_dir):
+    """As-of join with a match-freshness TOLERANCE (pandas merge_asof
+    parity): the q_asof_join fixture, but a daily reference level only
+    carries into events within 12 h of becoming active — staler matches
+    drop as a WHOLE row (all-or-nothing struct semantics), with no
+    fallback to an even older level. Exact-µs integer gap test; oracle is
+    DuckDB's native ASOF plus the same epoch_us window."""
+    from .operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    lvl = ev.groupBy(
+        "user_id",
+        (F.date_trunc("day", "ts") + F.expr("INTERVAL 1 DAY")).alias("day_ts"),
+    ).agg(F.round(F.avg("value"), 6).alias("level"))
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"), lvl, "user_id",
+        left_ts="ts", right_ts="day_ts", value_cols=["level"],
+        tolerance_s=43200.0,
+    )
+    return out.select("event_id", F.col("asof_level"))
+
+
 def q_ewm_band(spark, sf_dir):
     """EWMA control chart (operators/smoothing.ewm_band) at alpha=0.25,
     z=3: per event, running EW mean + EW variance and a breach flag
@@ -4094,6 +4135,39 @@ SELECT doc_id,
 FROM tok GROUP BY 1, 2
 """
 
+ORACLE_SQL["weighted_p95"] = """
+WITH b AS (
+  SELECT user_id, value AS v,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS w
+  FROM events
+  WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 0),
+r AS (
+  SELECT user_id, v,
+         CAST(sum(w) OVER (PARTITION BY user_id ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum,
+         CAST(sum(w) OVER (PARTITION BY user_id) AS BIGINT) AS tot
+  FROM b)
+SELECT user_id, min(v) AS wp95, min(tot) AS w_total
+FROM r WHERE cum >= 0.95 * tot GROUP BY 1
+"""
+
+# Native ASOF pick, then the SAME exact-microsecond freshness window the
+# engine applies — a too-stale match nulls the whole carried row, with
+# no fallback to an older one (pandas merge_asof tolerance semantics).
+ORACLE_SQL["asof_tolerance"] = """
+WITH lvl AS (
+  SELECT user_id,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS day_ts,
+         round(avg(value), 6) AS level
+  FROM events GROUP BY 1, 2)
+SELECT e.event_id,
+       CASE WHEN epoch_us(e.ts) - epoch_us(l.day_ts) <= 43200000000
+            THEN l.level END AS asof_level
+FROM events e ASOF LEFT JOIN lvl l
+  ON e.user_id = l.user_id AND e.ts >= l.day_ts
+"""
+
 # EW control band: the CTE steps the IDENTICAL IEEE op order as the
 # Python recurrence — d once per step via (p.value - r.m), step as
 # 0.25*(..), m as r.m + step-expr, v as 0.75*(r.v + step-expr * d-expr);
@@ -4714,8 +4788,6 @@ QUERIES = {
     "redact_pii": q_redact_pii,
     "tfidf_top_terms": q_tfidf_top_terms,
     "span_contamination": q_span_contamination,
-    "asof_join_nulls": q_asof_join_nulls,
-    "range_anti_join": q_range_anti_join,
     "cusum_changepoint": q_cusum_changepoint,
     "mad_outliers": q_mad_outliers,
     "seasonal_decompose": q_seasonal_decompose,
@@ -4752,6 +4824,8 @@ QUERIES = {
     "stratified_take": q_stratified_take,
     "oov_rate": q_oov_rate,
     "ewm_band": q_ewm_band,
+    "weighted_p95": q_weighted_p95,
+    "asof_tolerance": q_asof_tolerance,
     "kll_p95_cascade": q_kll_p95_cascade,
     "heavy_hitters_cascade": q_heavy_hitters_cascade,
     "paa_sax": q_paa_sax,
@@ -4762,6 +4836,8 @@ QUERIES = {
     # ---- driver-cap line (entry 51+): every row below is green in an
     # earlier CORRECTNESS_r* file (ledger: COVERAGE.md + tools/check_ledger) --
     "asof_join_forward": q_asof_join_forward,
+    "asof_join_nulls": q_asof_join_nulls,
+    "range_anti_join": q_range_anti_join,
     "ngram_contamination": q_ngram_contamination,
     "range_join": q_range_join,
     "asof_join": q_asof_join,

@@ -214,3 +214,59 @@ def winsorize(
         (F.col("v") < lo_val).alias("clipped_lo"),
         (F.col("v") > hi_val).alias("clipped_hi"),
     )
+
+
+def weighted_percentile(
+    df: DataFrame,
+    key: str,
+    val_col: str,
+    weight_col: str,
+    p: float = 0.95,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Exact WEIGHTED percentile per key: the smallest value v whose
+    cumulative weight (over value-ascending order) reaches p of the total
+    weight — "the latency under which 95% of REQUESTS fall" when each row
+    carries a request count, where the unweighted percentile would answer
+    the per-row question instead.
+
+    Exactness: weights must be integral (LONG); the cumulative and total
+    weights are exact BIGINTs and the single threshold test is
+    cum >= p * total — one long-vs-double comparison, exact below 2^53
+    (p stays a literal). The answer is always a value the key CONTAINS,
+    never interpolated, so integer inputs emit exactly. Rows with
+    non-positive weight are ignored (they carry no mass).
+
+    One exchange: the value-order cumsum window, the total window and the
+    final aggregate all cluster on ``key``. The selected value is
+    tie-safe by construction — rows tied on value share it, so the
+    crossing row's tie order cannot change the answer (``tie_col`` only
+    pins the plan's sort)."""
+    order = [F.col("_v").asc()]
+    if tie_col is not None:
+        order.append(F.col(tie_col).asc())
+    base = df.filter(F.col(weight_col) > 0).select(
+        F.col(key),
+        *( [F.col(tie_col)] if tie_col else [] ),
+        F.col(val_col).alias("_v"),
+        F.col(weight_col).cast("long").alias("_w"),
+    )
+    w_cum = (
+        W.partitionBy(key).orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_tot = W.partitionBy(key)
+    ranked = base.select(
+        F.col(key),
+        F.col("_v"),
+        F.sum("_w").over(w_cum).alias("_cum"),
+        F.sum("_w").over(w_tot).alias("_tot"),
+    )
+    return (
+        ranked.filter(F.col("_cum") >= F.lit(float(p)) * F.col("_tot"))
+        .groupBy(key)
+        .agg(
+            F.min("_v").alias(f"wp{int(round(p * 100))}"),
+            F.first("_tot").alias("w_total"),
+        )
+    )

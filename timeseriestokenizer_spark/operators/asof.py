@@ -44,6 +44,7 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: list[str] | None = None,
     direction: str = "backward",
+    tolerance_s: float | None = None,
 ) -> DataFrame:
     """Left-outer as-of join: every left row + the matched right
     ``value_cols`` for the same ``key``. One shuffle on key.
@@ -52,7 +53,14 @@ def asof_join(
     right_ts <= left_ts (trades to the prevailing quote). 'forward': the
     EARLIEST right row with right_ts >= left_ts (events to the next
     scheduled checkpoint) — the same linear window form with the sort
-    reversed; DuckDB's native ASOF with a <= condition is the oracle."""
+    reversed; DuckDB's native ASOF with a <= condition is the oracle.
+
+    ``tolerance_s`` (pandas merge_asof parity): a match older (backward)
+    or farther ahead (forward) than this many seconds is discarded — the
+    whole matched row at once, never per-column, so the all-or-nothing
+    struct-carry semantics survive (a stale quote doesn't leak single
+    fields). Exact-µs integer comparison, same linear plan (the matched
+    row's timestamp rides the carried struct)."""
     if direction not in ("backward", "forward"):
         raise ValueError(direction)
     value_cols = value_cols or [
@@ -62,11 +70,24 @@ def asof_join(
     # the right row travels as ONE nullable struct so every carried column
     # comes from the same matched row (NULL fields stay NULL — no per-column
     # fallback to older rows)
+    # with tolerance, the matched row's event time rides the struct as the
+    # LAST field, so the leading fields keep deciding duplicate-(key, ts)
+    # tie order
+    struct_fields = {
+        c: right.schema[c].dataType.simpleString() for c in value_cols
+    }
+    if tolerance_s is not None:
+        struct_fields["__rts_us"] = "bigint"
     struct_type = (
         "struct<" + ",".join(
-            f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in value_cols
+            f"`{c}`:{t}" for c, t in struct_fields.items()
         ) + ">"
     )
+    r_struct_cols = [F.col(c) for c in value_cols]
+    if tolerance_s is not None:
+        r_struct_cols.append(
+            F.unix_micros(F.col(right_ts).cast("timestamp")).alias("__rts_us")
+        )
     l = (
         left.withColumn("_ts", F.col(left_ts))
         .withColumn("_side", F.lit(1))
@@ -76,7 +97,7 @@ def asof_join(
         F.col(key),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.struct(*[F.col(c) for c in value_cols]).alias("_r"),
+        F.struct(*r_struct_cols).alias("_r"),
     )
     for c in l_cols:
         if c not in r.columns:
@@ -94,6 +115,17 @@ def asof_join(
         .rowsBetween(W.unboundedPreceding, 0)
     )
     carried = F.last("_r", ignorenulls=True).over(w)
+    if tolerance_s is not None:
+        lt_us = F.unix_micros(F.col("_ts").cast("timestamp"))
+        gap_us = (
+            lt_us - carried["__rts_us"]
+            if direction == "backward"
+            else carried["__rts_us"] - lt_us
+        )
+        # discard the WHOLE matched row beyond tolerance (all-or-nothing)
+        carried = F.when(
+            gap_us <= F.lit(int(round(tolerance_s * 1_000_000))), carried
+        )
     filled = u.select(
         *l_cols,
         "_side",
