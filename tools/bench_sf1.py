@@ -185,6 +185,44 @@ def run_ops(spark, path: str, ui_port: int) -> dict:
         },
     )
 
+    # late-round-5 corpus operators: watch the same 10x ratio
+    from timeseriestokenizer_spark.functions.features import hashing_tf
+    from timeseriestokenizer_spark.functions.sampling import mixture_take
+    from timeseriestokenizer_spark.functions.textstats import oov_rate
+    from timeseriestokenizer_spark.operators.collocations import collocation_lift
+    from timeseriestokenizer_spark.operators.packing import (
+        release_running_total_cache,
+    )
+
+    timed(
+        "hashing_tf",
+        lambda: {"n_rows": hashing_tf(docs, n_features=1024).count()},
+    )
+    timed(
+        "collocations",
+        lambda: {"n_rows": collocation_lift(docs, min_count=5, k=100).count()},
+    )
+    timed(
+        "oov_rate",
+        lambda: {
+            "n_rows": oov_rate(
+                docs.filter(F.col("doc_id") % 2 == 0),
+                docs.filter(F.col("doc_id") % 2 == 1),
+            ).count()
+        },
+    )
+
+    def _mixture():
+        kept = mixture_take(
+            docs, {"web": 2.0, "books": 1.0, "code": 1.0},
+            token_budget=200_000, key_cols=["doc_id"],
+        )
+        n = kept.count()
+        release_running_total_cache(kept)
+        return {"n_rows": n}
+
+    timed("mixture_take", _mixture)
+
     cents = train_centroids(vecs, n_cells=32)
     queries = vecs.orderBy("vec_id").limit(100).cache()
     queries.count()
