@@ -77,6 +77,38 @@ EXTRA = [
     "ewm_band",
     "weighted_p95",
     "asof_tolerance",
+    "scale_join_roundtrip",
+    "cusum_changepoint",
+    "mad_outliers",
+    "seasonal_decompose",
+    "acf",
+    "seasonal_strength",
+    "time_weighted_avg",
+    "counter_increase",
+    "doc_repetition",
+    "ar2_forecast",
+    "median_filter",
+    "dtw_to_target",
+    "trend_fit",
+    "spearman_trend",
+    "mann_kendall",
+    "theil_sen",
+    "interval_coverage",
+    "scd2_compress",
+    "haar_dwt",
+    "doc_diversity",
+    "weekly_profile",
+    "cohort_retention",
+    "funnel_steps",
+    "trailing_count",
+    "winsorize",
+    "seasonal_deviation",
+    "activity_gini",
+    "rfm_segments",
+    "period_over_period",
+    "state_occupancy",
+    "redact_pii",
+    "tfidf_top_terms",
 ]
 
 BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "20000"))

@@ -59,3 +59,51 @@ def test_corpus_filter_funnel(spark, tmp_path, capsys):
     a = result.select("doc_id", "split", "shard_id").orderBy("doc_id").collect()
     b = spark.read.parquet(out2).select("doc_id", "split", "shard_id").orderBy("doc_id").collect()
     assert a == b
+
+
+def test_corpus_filter_decontaminate_and_mixture(spark, tmp_path, capsys):
+    """The decontamination stage drops exactly the training doc that shares
+    a >=13-token verbatim run with an eval doc; the mixture stage then fills
+    each source's exact token quota."""
+    import pandas as pd
+
+    # 20-token docs, all words unique per doc so near-dedup keeps everything
+    def doc(i, prefix):
+        return " ".join(f"{prefix}{i}w{j}" for j in range(20))
+
+    rows = [(i, doc(i, "web"), "en", "web") for i in range(14)]
+    rows += [(100 + i, doc(i, "book"), "en", "books") for i in range(14)]
+    eval_span = " ".join(f"held{j}" for j in range(14))  # 14 eval tokens
+    # doc 5 replaces its tail with the eval span -> 14-token verbatim run
+    rows[5] = (5, "web5w0 web5w1 web5w2 web5w3 web5w4 web5w5 " + eval_span,
+               "en", "web")
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    src, ev, out = str(tmp_path / "docs"), str(tmp_path / "eval"), str(tmp_path / "o")
+    spark.createDataFrame(pdf).write.parquet(src)
+    spark.createDataFrame(
+        pd.DataFrame([(900, "filler " + eval_span + " trailer")],
+                     columns=["doc_id", "text"])
+    ).write.parquet(ev)
+
+    from jobs.corpus_filter_job import main as job_main
+
+    job_main([
+        "--input", src, "--output", out, "--min-quality", "0",
+        "--jaccard", "0.99", "--decontaminate", ev, "--decon-ngram", "13",
+        "--mixture-weights", '{"web": 1.0, "books": 1.0}',
+        "--token-budget", "200", "--test-fraction", "0.25",
+        "--shard-chars", "400",
+    ])
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    funnel = json.loads(line)["funnel"]
+    assert funnel["input"] == 28
+    assert funnel["decontaminated"] == 27          # only doc 5 dropped
+    # 100-token quota per source at 20 tokens/doc -> exactly 5 docs each
+    assert funnel["mixture"] == 10
+    result = spark.read.parquet(out)
+    assert result.filter("doc_id = 5").count() == 0
+    per_src = dict(
+        result.groupBy("source").count().toPandas().itertuples(index=False)
+    )
+    assert per_src == {"web": 5, "books": 5}

@@ -293,3 +293,70 @@ def test_streaming_heavy_matches_batch(spark, tmp_path):
         for r in heavy_topk(heavy_rollup_tier(df, "1m"), 5).collect()
     }
     assert got == exp and got
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    """Streaming sessionization (run_stream_sessions) emits exactly the
+    batch session_agg sessions once the watermark passes them: same
+    (key, start, end, n_events) set, across TWO availableNow passes (the
+    second advances the watermark from checkpoint state and flushes the
+    sessions the first pass still held open)."""
+    import pyspark.sql.types as T
+
+    from timeseriestokenizer_spark.operators.session import session_agg
+    from timeseriestokenizer_spark.streaming.rollup_stream import (
+        run_stream_sessions,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    base = pd.Timestamp("2026-02-01 00:00:00")
+    real = (
+        # conv a: two sessions (0-2 min and 60-61 min, gap 10m splits them)
+        [("a", base + pd.Timedelta(minutes=m)) for m in (0, 1, 2, 60, 61)]
+        # conv b: one session
+        + [("b", base + pd.Timedelta(minutes=m)) for m in (5, 6)]
+    )
+    src, ckpt, sink = (
+        str(tmp_path / "sess_src"),
+        str(tmp_path / "sess_ckpt"),
+        str(tmp_path / "sess_sink"),
+    )
+
+    def write(rows):
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["conv_id", "ts"]), schema=schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_pass():
+        return run_stream_sessions(
+            spark, src, schema, ckpt, sink,
+            gap="10 minutes", watermark="1 minute",
+        )
+
+    write(real)
+    run_pass()
+    # sentinel far-future row advances the watermark past every real session
+    write([("zz", base + pd.Timedelta(minutes=600))])
+    got = (
+        run_pass()
+        .filter(F.col("conv_id") != "zz")
+        .select("conv_id", "session_start", "session_end", "n_events")
+        .collect()
+    )
+    exp = (
+        session_agg(
+            spark.createDataFrame(
+                pd.DataFrame(real, columns=["conv_id", "ts"]), schema=schema
+            ),
+            gap="10 minutes",
+        )
+        .select("conv_id", "session_start", "session_end", "n_events")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+    assert len(exp) == 3  # a x2 + b x1 — the fixture really split sessions

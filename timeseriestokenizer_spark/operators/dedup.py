@@ -846,7 +846,7 @@ def span_contamination(
         .groupBy("id")
         .agg(F.max("run").alias("max_run"), F.sum("run").alias("n_hit"))
     )
-    return (
+    out = (
         ev.select("id", "n_words", F.size("hp").alias("n_grams"))
         .join(runs, "id", "left")
         .select(
@@ -860,6 +860,20 @@ def span_contamination(
             ).cast("long").alias("max_span_tokens"),
         )
     )
+    # release handle for pipeline callers (same convention as
+    # operators.packing): the cached side is EVAL here, which is the BIG
+    # corpus when a decontamination job swaps roles (train docs screened
+    # against an eval set) — a long-lived job must be able to drop it
+    out._graft_span_cache = ev
+    return out
+
+
+def release_span_cache(df: DataFrame) -> None:
+    """Unpersist the eval-side cache behind a span_contamination result.
+    Call AFTER the consuming action — the result plan reads from it."""
+    cached = getattr(df, "_graft_span_cache", None)
+    if cached is not None:
+        cached.unpersist()
 
 
 def jaccard_topk(

@@ -119,6 +119,46 @@ def run_stream_append(
     return spark.read.parquet(out_dir)
 
 
+def run_stream_sessions(
+    spark,
+    input_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_dir: str,
+    key: str = "conv_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+):
+    """Streaming sessionization: the SAME native session_window aggregation
+    as the batch operator (operators/session.session_agg — one code path,
+    two execution modes) driven in append mode. A session row writes
+    exactly once, after the watermark passes its close (no later row can
+    merge into it); open sessions live in the state store, and rows older
+    than the watermark are dropped rather than reopening a closed session.
+    State is bounded by (open sessions) x (key cardinality), not history.
+
+    Same protocol as run_stream_append: availableNow catch-up, parquet
+    sink, re-running with the same checkpoint resumes/advances."""
+    from ..operators.session import session_agg
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(input_dir)
+        .withWatermark("ts", watermark)
+    )
+    sess = session_agg(stream, key=key, ts_col="ts", gap=gap)
+    q = (
+        sess.writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def reconcile_with_batch(
     stream_sink: DataFrame, batch_1m: DataFrame, completed_days: list[str]
 ) -> DataFrame:
