@@ -1,0 +1,131 @@
+"""Product quantization: deterministic codes vs a pure-numpy oracle,
+lossy-roundtrip reconstruction error, ADC recall against exact brute
+force, and the compression/plan-shape claims."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from timeseriestokenizer_spark.operators.pq import (
+    pq_adc_topk,
+    pq_decode,
+    pq_encode,
+    pq_train,
+)
+
+
+def _vecs(spark, n=400, dim=32, seed=11, n_centers=8, noise=0.3, scale=3.0):
+    """Clustered float vectors (centers + noise) as (vec_id, embedding)."""
+    rng = np.random.RandomState(seed)
+    centers = rng.standard_normal((n_centers, dim)) * scale
+    X = (
+        centers[rng.randint(0, n_centers, n)]
+        + rng.standard_normal((n, dim)) * noise
+    )
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(X.astype(np.float64))}
+    )
+    return spark.createDataFrame(pdf), X
+
+
+def _oracle_codes(X, books):
+    m, k, d_sub = books.shape
+    Xs = X.reshape(len(X), m, d_sub)
+    codes = np.empty((len(X), m), dtype=np.int64)
+    for j in range(m):
+        d2 = ((Xs[:, j, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d2, axis=1)
+    return codes
+
+
+def test_pq_encode_matches_numpy_oracle(spark):
+    df, X = _vecs(spark)
+    books = pq_train(df, m=8, k=16, sample_n=400)
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(df, books).collect()
+    }
+    exp = _oracle_codes(X, books)
+    assert len(got) == len(X)
+    for i in range(len(X)):
+        assert got[i] == list(exp[i]), f"codes diverge at vec {i}"
+
+
+def test_pq_train_deterministic_and_shape(spark):
+    df, _ = _vecs(spark)
+    b1 = pq_train(df, m=4, k=8, sample_n=300)
+    b2 = pq_train(df, m=4, k=8, sample_n=300)
+    assert b1.shape == (4, 8, 8)
+    assert np.array_equal(b1, b2)  # hash-canonical sample + seeded init
+    try:
+        pq_train(df, m=5, k=8)  # 5 does not divide 32
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_pq_roundtrip_reconstruction_error(spark):
+    """Decoded vectors approximate the originals: per-dim RMSE well under
+    the data spread (clustered data quantizes tightly), and a k=2 codebook
+    reconstructs strictly worse than k=16 (more centroids = less loss)."""
+    df, X = _vecs(spark)
+
+    def rmse(books):
+        rec = {
+            r["vec_id"]: np.asarray(r["recon"])
+            for r in pq_decode(pq_encode(df, books), books).collect()
+        }
+        R = np.stack([rec[i] for i in range(len(X))])
+        return float(np.sqrt(((R - X) ** 2).mean()))
+
+    e16 = rmse(pq_train(df, m=8, k=16, sample_n=400))
+    e2 = rmse(pq_train(df, m=8, k=2, sample_n=400))
+    assert e16 < 0.5 < float(X.std())  # tight vs ~3.0 data spread
+    assert e16 < e2
+
+
+def test_pq_adc_recall_vs_brute_force(spark):
+    """ADC over codes recovers most exact neighbors: recall@10 >= 0.75 on
+    32-cluster vectors (m=8, k=16 — 32 dims -> 8 bytes/vector), measured
+    against the exact euclidean top-10 computed in numpy. NOTE the fixture
+    choice is part of the claim: on VERY tight few-cluster data all
+    same-cluster members quantize to identical codes and ADC cannot rank
+    within the tie (recall ~0.4 at 8 clusters / noise 0.3) — quantization
+    collapses exactly the distances it was built to discard. That regime is
+    where you probe MORE bits (larger k / more subspaces), not a bug."""
+    df, X = _vecs(spark, n_centers=32, noise=1.0, scale=2.0)
+    books = pq_train(df, m=8, k=16, sample_n=400)
+    codes = pq_encode(df, books).cache()
+    codes.count()
+    queries = df.filter(F.col("vec_id") < 20)
+    got = pq_adc_topk(codes, queries, books, k=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["cand_id"])
+    hits = tot = 0
+    for qid in range(20):
+        d2 = ((X - X[qid]) ** 2).sum(axis=1)
+        d2[qid] = np.inf
+        exact = set(np.argsort(d2, kind="stable")[:10])
+        hits += len(exact & by_q[qid])
+        tot += 10
+    codes.unpersist()
+    recall = hits / tot
+    assert recall >= 0.75, f"recall@10 {recall:.2f}"
+
+
+def test_pq_compression_and_plan(spark):
+    """The codes table is the compression story: 8 int codes replace 32
+    doubles; and the ADC plan is mapInPandas + one window — no join, no
+    cartesian product (the candidate side never broadcasts or shuffles
+    whole vectors)."""
+    df, _ = _vecs(spark, n=100)
+    books = pq_train(df, m=8, k=16, sample_n=100)
+    codes = pq_encode(df, books)
+    row = codes.first()
+    assert len(row["codes"]) == 8  # 8 bytes at k<=256 vs 32*8 raw
+    plan = pq_adc_topk(
+        codes, df.filter(F.col("vec_id") < 3), books, k=5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "MapInPandas" in plan and "Window" in plan
