@@ -295,3 +295,53 @@ def test_ewm_band_recurrence_and_breach(spark):
     # the planted spike breaches; nothing before it does
     assert got[8]["breach"] is True
     assert not any(got[i]["breach"] for i in range(8))
+
+
+def test_kalman_level_recurrence_and_convergence(spark):
+    """kalman_level == explicit same-op-order Python recurrence BIT-exactly
+    (the op sequence is the contract, divisions included); the gain
+    converges to the Riccati steady state; a singleton series emits its
+    own value with gain 0 and prior variance r."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from timeseriestokenizer_spark.operators.smoothing import kalman_level
+
+    q, r = 0.25, 1.0
+    rng = np.random.RandomState(9)
+    base = pd.Timestamp("2024-01-01")
+    rows, expected = [], {}
+    eid = 0
+    for s in ("a", "b"):
+        z = np.round(rng.uniform(0, 50, 60), 2)
+        x, p = float(z[0]), r
+        for i, v in enumerate(z):
+            if i:
+                p_pred = p + q
+                gain = p_pred / (p_pred + r)
+                x = x + gain * (float(v) - x)
+                p = (1.0 - gain) * p_pred
+            else:
+                gain = 0.0
+            rows.append((s, base + pd.Timedelta(seconds=i), float(v), eid))
+            expected[eid] = (x, p, gain)
+            eid += 1
+    rows.append(("solo", base, 7.25, eid))
+    expected[eid] = (7.25, r, 0.0)
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "ts", "value", "event_id"])
+    )
+    got = {
+        rr["event_id"]: (rr["kf_mean"], rr["kf_var"], rr["kf_gain"])
+        for rr in kalman_level(df, q=q, r=r).collect()
+    }
+    assert got == expected  # bit-exact, divisions and all
+
+    # steady-state gain: K* solves K = (P+q)/(P+q+r) with P = (1-K)(P+q)
+    # -> P* = (q + sqrt(q*q + 4*q*r)) / 2 pre-update variance fixed point
+    p_star = (q + math.sqrt(q * q + 4.0 * q * r)) / 2.0
+    k_star = p_star / (p_star + r)
+    last_gain = got[59][2]  # 60th point of series "a"
+    assert abs(last_gain - k_star) < 1e-9

@@ -321,3 +321,82 @@ def ewm_band(
             )
 
     return seqs.mapInPandas(_band, out_schema).withColumnRenamed("out_id", id_col)
+
+
+def kalman_level(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    q: float = 0.25,
+    r: float = 1.0,
+) -> DataFrame:
+    """Kalman filter for the local-level (random-walk + noise) model per
+    series — the optimal-gain generalization of EWMA: where EWMA's alpha
+    is fixed, the Kalman gain STARTS high (trust early observations) and
+    converges to the steady-state alpha the q/r ratio implies, so the
+    filter self-tunes its warm-up. Recurrence per series, in this exact
+    IEEE op order (one add, one divide, one multiply-add, one multiply
+    per step — an engine replaying the same order is bit-identical; the
+    divide makes the values non-dyadic, so tests pin bit-equality against
+    an explicit same-order oracle rather than a closed form):
+
+        x_0 = z_0, P_0 = r
+        P~  = P + q
+        K   = P~ / (P~ + r)
+        x   = x + K * (z - x)
+        P   = (1 - K) * P~
+
+    Emits (id_col, kf_mean, kf_var, kf_gain) — kf_var is the POSTERIOR
+    state variance (shrinks toward the Riccati fixed point), kf_gain the
+    gain used at that step (gain 0 for the first point: the prior IS the
+    observation). Same one-exchange batched-arrays shape as ewma/holt."""
+    seqs = (
+        df.select(
+            F.col(key).alias("k"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+            F.col(id_col).alias("i"),
+            F.col(val_col).cast("double").alias("v"),
+        )
+        .groupBy("k")
+        .agg(F.expr("array_sort(collect_list(struct(t, i, v)))").alias("seq"))
+        .select(
+            F.expr("transform(seq, x -> x.i)").alias("ids"),
+            F.expr("transform(seq, x -> x.v)").alias("vals"),
+        )
+    )
+    qf, rf = float(q), float(r)
+    out_schema = T.StructType(
+        [
+            T.StructField("out_id", df.schema[id_col].dataType),
+            T.StructField("kf_mean", T.DoubleType()),
+            T.StructField("kf_var", T.DoubleType()),
+            T.StructField("kf_gain", T.DoubleType()),
+        ]
+    )
+
+    def _filt(batches):
+        for pdf in batches:
+            ids_all, x_all, p_all, k_all = [], [], [], []
+            for ids, vals in zip(pdf["ids"], pdf["vals"]):
+                x, p = float(vals[0]), rf
+                ids_all.append(ids[0])
+                x_all.append(x); p_all.append(p); k_all.append(0.0)
+                for z in vals[1:]:
+                    p_pred = p + qf
+                    gain = p_pred / (p_pred + rf)
+                    x = x + gain * (float(z) - x)
+                    p = (1.0 - gain) * p_pred
+                    x_all.append(x); p_all.append(p); k_all.append(gain)
+                ids_all.extend(ids[1:])
+            yield pd.DataFrame(
+                {
+                    "out_id": ids_all,
+                    "kf_mean": x_all,
+                    "kf_var": p_all,
+                    "kf_gain": k_all,
+                }
+            )
+
+    return seqs.mapInPandas(_filt, out_schema).withColumnRenamed("out_id", id_col)
