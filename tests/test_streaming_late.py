@@ -333,3 +333,73 @@ def test_streaming_histogram_matches_batch(spark, tmp_path):
     finalized_minutes = {k[0] for k in got}
     all_minutes = {k[0] for k in exp}
     assert len(all_minutes - finalized_minutes) <= 3
+
+
+def test_stream_histogram_store_feeds_drift_series(spark, tmp_path):
+    """Composition: the STREAM-built histogram store drives drift
+    monitoring identically to the batch tier — histogram_drift_series
+    (bucket-over-bucket TVD) over the streamed sink equals the same read
+    over histogram_rollup_tier, restricted to the finalized buckets. Drift
+    is a pure read-time derivation of rollup state, so the lambda split
+    (stream hot path / batch backfill) cannot change the monitoring
+    answer."""
+    import pyspark.sql.types as T
+
+    from timeseriestokenizer_spark.operators.drift import histogram_drift_series
+    from timeseriestokenizer_spark.operators.rollup import histogram_rollup_tier
+    from timeseriestokenizer_spark.streaming.rollup_stream import (
+        streaming_histogram_1m,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("series", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("latency_s", T.DoubleType()),
+        ]
+    )
+    base = pd.Timestamp("2026-05-02 00:00:00")
+    # distribution shifts halfway: minutes 0-4 low latencies, 5-9 high
+    rows = [
+        (
+            "s",
+            base + pd.Timedelta(seconds=10 * i),
+            float(0.2 + (i % 5)) if i < 30 else float(8.0 + (i % 20)),
+        )
+        for i in range(60)
+    ]
+    src, ckpt, out = (str(tmp_path / d) for d in ("dsrc", "dck", "dout"))
+    pdf = pd.DataFrame(rows, columns=["series", "ts", "latency_s"])
+    spark.createDataFrame(pdf, schema=schema).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_histogram_1m(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.read.parquet(out)
+    finalized = [r["bucket_ts"] for r in streamed.select("bucket_ts").distinct().collect()]
+    assert len(finalized) >= 5  # enough buckets for a drift series
+
+    drift_stream = {
+        r["bucket_ts"]: (r["n_prev"], r["n_cur"], r["tvd_num"], r["tvd"])
+        for r in histogram_drift_series(streamed, step="1 minute").collect()
+    }
+    batch = histogram_rollup_tier(
+        spark.createDataFrame(pdf, schema=schema), "1m"
+    ).filter(F.col("bucket_ts").isin(finalized))
+    drift_batch = {
+        r["bucket_ts"]: (r["n_prev"], r["n_cur"], r["tvd_num"], r["tvd"])
+        for r in histogram_drift_series(batch, step="1 minute").collect()
+    }
+    assert drift_stream == drift_batch
+    # the planted shift registers: some finalized bucket-over-bucket TVD
+    # is large while steady-state neighbors are small
+    tvds = [v[3] for v in drift_stream.values() if v[3] is not None]
+    assert tvds and max(tvds) > 0.9 and min(tvds) < 0.3
