@@ -129,3 +129,98 @@ def test_pq_compression_and_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert "MapInPandas" in plan and "Window" in plan
+
+
+def _exact_top10(X, qid):
+    d2 = ((X - X[qid]) ** 2).sum(axis=1)
+    d2[qid] = np.inf
+    return set(np.argsort(d2, kind="stable")[:10])
+
+
+def test_ivfpq_encode_matches_numpy_oracle(spark):
+    """ivfpq_encode (cell + residual codes) is bit-exact against a numpy
+    replication of the same op order."""
+    from timeseriestokenizer_spark.operators.pq import ivfpq_encode, ivfpq_train
+
+    df, X = _vecs(spark, n_centers=32, noise=1.0, scale=2.0)
+    cents, books = ivfpq_train(df, n_cells=16, m=8, k=16, sample_n=400)
+    m, _, d_sub = books.shape
+    cn = (cents**2).sum(axis=1)
+    bn = (books**2).sum(axis=2)
+    cell = np.argmin(-2.0 * (X @ cents.T) + cn, axis=1)
+    R = (X - cents[cell]).reshape(len(X), m, d_sub)
+    exp_codes = np.stack(
+        [np.argmin(-2.0 * (R[:, j, :] @ books[j].T) + bn[j], axis=1) for j in range(m)],
+        axis=1,
+    )
+    got = {
+        r["vec_id"]: (r["cell"], list(r["codes"]))
+        for r in ivfpq_encode(df, cents, books).collect()
+    }
+    assert len(got) == len(X)
+    for i in range(len(X)):
+        assert got[i] == (cell[i], list(exp_codes[i])), f"vec {i}"
+
+
+def test_ivfpq_recall_and_probe_monotonicity(spark):
+    """IVF-PQ search: recall@10 >= 0.8 at n_probe=4 of 16 cells, and
+    probing more cells never hurts (n_probe=4 >= n_probe=1)."""
+    from timeseriestokenizer_spark.operators.pq import (
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_train,
+    )
+
+    df, X = _vecs(spark, n_centers=32, noise=1.0, scale=2.0)
+    cents, books = ivfpq_train(df, n_cells=16, m=8, k=16, sample_n=400)
+    enc = ivfpq_encode(df, cents, books).cache()
+    enc.count()
+    queries = df.filter(F.col("vec_id") < 20)
+
+    def recall(n_probe):
+        got = ivfpq_topk(enc, queries, cents, books, k=10, n_probe=n_probe)
+        by_q = {}
+        for r in got.collect():
+            by_q.setdefault(r["query_id"], set()).add(r["cand_id"])
+        hits = sum(
+            len(_exact_top10(X, qid) & by_q.get(qid, set())) for qid in range(20)
+        )
+        return hits / 200.0
+
+    r1, r4 = recall(1), recall(4)
+    enc.unpersist()
+    assert r4 >= 0.8, f"recall@10 {r4:.2f} at n_probe=4"
+    assert r4 >= r1 - 1e-9  # more probes never hurt
+
+
+def test_ivfpq_residual_beats_flat_pq(spark):
+    """The point of the composition: residuals are smaller than raw
+    vectors, so the same (m, k) budget reconstructs strictly tighter than
+    flat PQ."""
+    from timeseriestokenizer_spark.operators.pq import (
+        ivfpq_encode,
+        ivfpq_train,
+        pq_decode,
+        pq_encode,
+        pq_train,
+    )
+
+    df, X = _vecs(spark, n_centers=32, noise=1.0, scale=2.0)
+    flat = pq_train(df, m=8, k=16, sample_n=400)
+    rec_flat = {
+        r["vec_id"]: np.asarray(r["recon"])
+        for r in pq_decode(pq_encode(df, flat), flat).collect()
+    }
+    cents, books = ivfpq_train(df, n_cells=16, m=8, k=16, sample_n=400)
+    m = books.shape[0]
+    rec_ivf = {}
+    for r in ivfpq_encode(df, cents, books).collect():
+        codes = list(r["codes"])
+        resid = np.concatenate([books[j][codes[j]] for j in range(m)])
+        rec_ivf[r["vec_id"]] = cents[r["cell"]] + resid
+
+    def rmse(rec):
+        R = np.stack([rec[i] for i in range(len(X))])
+        return float(np.sqrt(((R - X) ** 2).mean()))
+
+    assert rmse(rec_ivf) < rmse(rec_flat)
