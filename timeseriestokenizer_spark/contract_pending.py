@@ -1,0 +1,374 @@
+"""Round-6 registration queue: contract rows PROVEN this round, REGISTERED
+next round.
+
+The per-round driver records only the first 50 registry entries in
+CORRECTNESS_r{N}.json, and all 50 slots currently hold round-5 rows awaiting
+their first driver proof — registering more rows now would push never-proven
+rows below the cap (tools/check_ledger.py fails the build on exactly that).
+So new rows stage HERE with the same (query fn, oracle SQL) contract shape,
+get the full Spark-vs-DuckDB value-hash proof from
+`python tools/check_contract.py --pending` and tests/test_pending_contract.py,
+and round 6 promotes them into contract.QUERIES / ORACLE_SQL verbatim once
+CORRECTNESS_r05.json frees cap slots.
+
+Rows staged (see COVERAGE.md "round-6 queue"):
+* kalman_level       — operators/smoothing.kalman_level, bit-exact CTE oracle
+* pq_codes           — operators/pq.pq_encode with a FIXED 6-dp codebook
+* pq_adc_topk        — operators/pq.pq_adc_topk, full ADC replay in SQL
+* ivfpq_codes        — operators/pq.ivfpq_encode (cell + residual codes)
+* ivfpq_topk         — operators/pq.ivfpq_topk at n_probe=2, probe-selection
+                       AND residual-ADC replay in SQL
+
+Fixed-codebook convention (the ann_ivf_assign pattern): centroid values are
+`float(f"{x:.6f}")` — both engines parse the same 6-dp decimal string to the
+same nearest double, so the codebooks are BIT-IDENTICAL across engines.
+Training (pq_train / ivfpq_train, driver-side sampled k-means) stays
+pytest-proven in tests/test_pq.py; encode/search are what run over 100 TB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from . import contract
+
+# ---------------------------------------------------------------------------
+# fixed codebooks (bit-identical across engines via 6-dp decimal round-trip)
+# ---------------------------------------------------------------------------
+
+_D, _M, _DSUB, _K, _NCELLS = 64, 8, 8, 16, 8
+
+
+def _fix6(a: np.ndarray) -> np.ndarray:
+    return np.array(
+        [float(f"{x:.6f}") for x in a.ravel()], dtype=np.float64
+    ).reshape(a.shape)
+
+
+def pq_fixed_codebooks() -> np.ndarray:
+    """(m=8, k=16, d_sub=8) codebooks at the embeddings' N(0, 0.125) scale."""
+    rng = np.random.RandomState(11)
+    return _fix6(rng.standard_normal((_M, _K, _DSUB)) * 0.125)
+
+
+def ivfpq_fixed() -> tuple[np.ndarray, np.ndarray]:
+    """Coarse cells (8, 64) + residual codebooks (8, 16, 8), seeds disjoint
+    from pq_fixed_codebooks so the two rows can't alias."""
+    rng_c = np.random.RandomState(23)
+    cents = _fix6(rng_c.standard_normal((_NCELLS, _D)) * 0.125)
+    rng_b = np.random.RandomState(29)
+    books = _fix6(rng_b.standard_normal((_M, _K, _DSUB)) * 0.125)
+    return cents, books
+
+
+def _dlist(vals) -> str:
+    return "[" + ",".join(f"{x:.6f}" for x in vals) + "]::DOUBLE[]"
+
+
+def _cb_values(books: np.ndarray) -> str:
+    """VALUES rows (j, c, cent DOUBLE[]) for the PQ codebook table."""
+    rows = []
+    for j in range(books.shape[0]):
+        for c in range(books.shape[1]):
+            rows.append(f"({j}, {c}, {_dlist(books[j, c])})")
+    return ",\n  ".join(rows)
+
+
+def _cell_values(cents: np.ndarray) -> str:
+    return ",\n  ".join(
+        f"({i}, {_dlist(cents[i])})" for i in range(cents.shape[0])
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_kalman_level(spark, sf_dir):
+    """Kalman local-level filter (operators/smoothing.kalman_level) at
+    q=0.25, r=1.0 over events per user: gain self-tunes from 0 toward the
+    Riccati fixed point. All three columns emitted UNROUNDED — the DuckDB
+    recursive CTE steps the identical IEEE op order (one add, one divide,
+    one multiply-add, one multiply per step), so kf_mean/kf_var/kf_gain are
+    bit-identical (the holt_smoothing proof pattern; divide is
+    correctly-rounded IEEE in both engines)."""
+    from .operators.smoothing import kalman_level
+
+    return kalman_level(
+        contract.load(spark, sf_dir, "events"),
+        key="user_id", ts_col="ts", val_col="value", id_col="event_id",
+        q=0.25, r=1.0,
+    )
+
+
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization encode (operators/pq.pq_encode) with the fixed
+    codebook: each 64-dim embedding becomes 8 nibble codes, packed into one
+    BIGINT (base-16 digits, subspace 0 most significant) so the hash
+    compares scalars, not arrays."""
+    from .operators.pq import pq_encode
+
+    codes = pq_encode(
+        contract.load(spark, sf_dir, "embeddings"), pq_fixed_codebooks()
+    )
+    return codes.select(
+        "vec_id",
+        F.expr("aggregate(codes, 0L, (acc, c) -> acc * 16L + c)").alias(
+            "code_key"
+        ),
+    )
+
+
+def q_pq_adc_topk(spark, sf_dir):
+    """Asymmetric-distance top-k over PQ codes (operators/pq.pq_adc_topk):
+    queries vec_id<8, k=5. The oracle replays the whole path — encode,
+    (m x k) query LUT, m-gather ADC sum, (adc, cand_id) ranking — in SQL;
+    adc rounded to 6 dp on both sides (LUT op-order ulps)."""
+    from .operators.pq import pq_adc_topk, pq_encode
+
+    B = pq_fixed_codebooks()
+    e = contract.load(spark, sf_dir, "embeddings")
+    codes = pq_encode(e, B)
+    return pq_adc_topk(codes, e.filter(F.col("vec_id") < 8), B, k=5)
+
+
+def q_ivfpq_codes(spark, sf_dir):
+    """IVF-PQ encode (operators/pq.ivfpq_encode): euclidean-nearest coarse
+    cell, then PQ codes of the residual (vector minus cell centroid) —
+    codes packed to one BIGINT like pq_codes."""
+    from .operators.pq import ivfpq_encode
+
+    cents, books = ivfpq_fixed()
+    enc = ivfpq_encode(
+        contract.load(spark, sf_dir, "embeddings"), cents, books
+    )
+    return enc.select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.expr("aggregate(codes, 0L, (acc, c) -> acc * 16L + c)").alias(
+            "code_key"
+        ),
+    )
+
+
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ search (operators/pq.ivfpq_topk) at n_probe=2 of 8 cells —
+    the oracle replays PROBE SELECTION (rank cells by query-centroid
+    distance, ties to the lower cell id, matching np.argsort stable) and
+    residual ADC, so the partial-probe pruning itself is hash-proven, not
+    just the scoring."""
+    from .operators.pq import ivfpq_encode, ivfpq_topk
+
+    cents, books = ivfpq_fixed()
+    e = contract.load(spark, sf_dir, "embeddings")
+    enc = ivfpq_encode(e, cents, books)
+    return ivfpq_topk(
+        enc, e.filter(F.col("vec_id") < 8), cents, books, k=5, n_probe=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+_KALMAN_SQL = """
+WITH RECURSIVE p AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+rec AS (
+  SELECT user_id, rn, event_id,
+         value AS x,
+         CAST(1.0 AS DOUBLE) AS pvar,
+         CAST(0.0 AS DOUBLE) AS gain
+  FROM p WHERE rn = 1
+  UNION ALL
+  SELECT z.user_id, z.rn, z.event_id,
+         z.x_prev + z.g * (z.value - z.x_prev) AS x,
+         (1.0 - z.g) * z.ppred AS pvar,
+         z.g AS gain
+  FROM (
+    SELECT p.user_id, p.rn, p.event_id, p.value,
+           r.x AS x_prev,
+           r.pvar + 0.25 AS ppred,
+           (r.pvar + 0.25) / ((r.pvar + 0.25) + 1.0) AS g
+    FROM rec r JOIN p ON p.user_id = r.user_id AND p.rn = r.rn + 1
+  ) z
+)
+SELECT event_id, x AS kf_mean, pvar AS kf_var, gain AS kf_gain FROM rec
+"""
+
+
+def _pq_codes_cte(books: np.ndarray) -> str:
+    """Shared CTE body: vecs, codebook, per-subspace argmin codes.
+    Scores replay pq_encode's -2·x·c + ||c||² (the rank-constant ||x||² is
+    dropped on both sides); first-min ties via (score, c) ordering."""
+    return f"""
+cb(j, c, cent) AS (VALUES
+  {_cb_values(books)}),
+vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+sub AS (
+  SELECT vec_id, cb.j, cb.c,
+         -2 * list_dot_product(list_slice(v, cb.j*{_DSUB}+1, cb.j*{_DSUB}+{_DSUB}), cent)
+           + list_dot_product(cent, cent) AS sc
+  FROM vecs, cb),
+best AS (
+  SELECT vec_id, j, c,
+         row_number() OVER (PARTITION BY vec_id, j ORDER BY sc, c) AS rn
+  FROM sub),
+codes AS (SELECT vec_id, j, c FROM best WHERE rn = 1)"""
+
+
+def _pq_codes_sql() -> str:
+    return f"""
+WITH {_pq_codes_cte(pq_fixed_codebooks())}
+SELECT vec_id,
+       CAST(sum(c * power(16, {_M - 1} - j)) AS BIGINT) AS code_key
+FROM codes GROUP BY vec_id
+"""
+
+
+def _pq_adc_sql() -> str:
+    books = pq_fixed_codebooks()
+    return f"""
+WITH {_pq_codes_cte(books)},
+q AS (SELECT vec_id AS query_id, v FROM vecs WHERE vec_id < 8),
+qsub AS (
+  SELECT query_id, js.j,
+         list_slice(v, js.j*{_DSUB}+1, js.j*{_DSUB}+{_DSUB}) AS qs
+  FROM q, (SELECT unnest(range({_M})) AS j) js),
+lut AS (
+  SELECT query_id, s.j, cb.c,
+         list_dot_product(qs, qs) - 2 * list_dot_product(qs, cent)
+           + list_dot_product(cent, cent) AS dd
+  FROM qsub s JOIN cb ON cb.j = s.j),
+adc AS (
+  SELECT l.query_id, k.vec_id AS cand_id, sum(l.dd) AS adc_raw
+  FROM codes k JOIN lut l ON l.j = k.j AND l.c = k.c
+  WHERE k.vec_id != l.query_id
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, cand_id, adc_raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc_raw, cand_id) AS rank
+  FROM adc)
+SELECT query_id, cand_id, round(adc_raw, 6) AS adc, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def _ivfpq_cte() -> str:
+    """vecs, cell table, residual, residual-PQ codes — shared by the two
+    IVF-PQ oracles. Cell argmin replays ivfpq_encode's -2·x·c + ||c||²;
+    the residual is ONE subtraction per dimension (bit-identical to
+    numpy's X - cents[cell])."""
+    cents, books = ivfpq_fixed()
+    return f"""
+cc(cell, cent) AS (VALUES
+  {_cell_values(cents)}),
+cb(j, c, cent) AS (VALUES
+  {_cb_values(books)}),
+vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+cellsc AS (
+  SELECT vec_id, cc.cell,
+         -2 * list_dot_product(v, cent) + list_dot_product(cent, cent) AS sc
+  FROM vecs, cc),
+cellbest AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sc, cell) AS rn
+  FROM cellsc),
+assigned AS (
+  SELECT v.vec_id, v.v, b.cell, cc.cent AS ccent
+  FROM vecs v
+  JOIN cellbest b ON b.vec_id = v.vec_id AND b.rn = 1
+  JOIN cc ON cc.cell = b.cell),
+resid AS (
+  SELECT vec_id, cell,
+         list_transform(range(1, {_D + 1}), i -> v[i] - ccent[i]) AS r
+  FROM assigned),
+rsub AS (
+  SELECT vec_id, cell, cb.j, cb.c,
+         -2 * list_dot_product(list_slice(r, cb.j*{_DSUB}+1, cb.j*{_DSUB}+{_DSUB}), cent)
+           + list_dot_product(cent, cent) AS sc
+  FROM resid, cb),
+rbest AS (
+  SELECT vec_id, cell, j, c,
+         row_number() OVER (PARTITION BY vec_id, j ORDER BY sc, c) AS rn
+  FROM rsub),
+rcodes AS (SELECT vec_id, cell, j, c FROM rbest WHERE rn = 1)"""
+
+
+def _ivfpq_codes_sql() -> str:
+    return f"""
+WITH {_ivfpq_cte()}
+SELECT vec_id, CAST(cell AS INT) AS cell,
+       CAST(sum(c * power(16, {_M - 1} - j)) AS BIGINT) AS code_key
+FROM rcodes GROUP BY 1, 2
+"""
+
+
+def _ivfpq_topk_sql() -> str:
+    return f"""
+WITH {_ivfpq_cte()},
+q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 8),
+qcell AS (
+  SELECT query_id, cc.cell, cc.cent,
+         row_number() OVER (PARTITION BY query_id ORDER BY
+           list_dot_product(qv, qv) - 2 * list_dot_product(qv, cent)
+             + list_dot_product(cent, cent), cell) AS prank
+  FROM q, cc),
+probes AS (
+  SELECT c.query_id, c.cell,
+         list_transform(range(1, {_D + 1}), i -> q.qv[i] - c.cent[i]) AS rq
+  FROM qcell c JOIN q ON q.query_id = c.query_id
+  WHERE c.prank <= 2),
+lut AS (
+  SELECT p.query_id, p.cell, cb.j, cb.c,
+         list_dot_product(list_slice(rq, cb.j*{_DSUB}+1, cb.j*{_DSUB}+{_DSUB}),
+                          list_slice(rq, cb.j*{_DSUB}+1, cb.j*{_DSUB}+{_DSUB}))
+           - 2 * list_dot_product(list_slice(rq, cb.j*{_DSUB}+1, cb.j*{_DSUB}+{_DSUB}), cent)
+           + list_dot_product(cent, cent) AS dd
+  FROM probes p, cb),
+adc AS (
+  SELECT l.query_id, k.vec_id AS cand_id, sum(l.dd) AS adc_raw
+  FROM rcodes k
+  JOIN lut l ON l.cell = k.cell AND l.j = k.j AND l.c = k.c
+  WHERE k.vec_id != l.query_id
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, cand_id, adc_raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc_raw, cand_id) AS rank
+  FROM adc)
+SELECT query_id, cand_id, round(adc_raw, 6) AS adc, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry (same shape as contract.QUERIES / contract.ORACLE_SQL)
+# ---------------------------------------------------------------------------
+
+PENDING_QUERIES = {
+    "kalman_level": q_kalman_level,
+    "pq_codes": q_pq_codes,
+    "pq_adc_topk": q_pq_adc_topk,
+    "ivfpq_codes": q_ivfpq_codes,
+    "ivfpq_topk": q_ivfpq_topk,
+}
+
+_PENDING_SQL_BUILDERS = {
+    "kalman_level": lambda: _KALMAN_SQL,
+    "pq_codes": _pq_codes_sql,
+    "pq_adc_topk": _pq_adc_sql,
+    "ivfpq_codes": _ivfpq_codes_sql,
+    "ivfpq_topk": _ivfpq_topk_sql,
+}
+
+
+def pending_oracle_sql() -> dict[str, str]:
+    return {k: b() for k, b in _PENDING_SQL_BUILDERS.items()}

@@ -5,6 +5,10 @@ order-insensitive value hash (floats rounded to 9 sig decimals *after* the
 queries' own explicit rounding — both engines must already agree textually).
 
 Usage: python tools/check_contract.py [sf_dir] [query ...]
+       python tools/check_contract.py --pending [sf_dir] [query ...]
+         (runs the contract_pending round-6 queue instead of the live
+          registry, and skips the ledger check — pending rows are
+          deliberately unregistered until cap slots free up)
 """
 
 from __future__ import annotations
@@ -16,8 +20,10 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
-ONLY = [a for a in sys.argv[1:] if "/" not in a]
+PENDING = "--pending" in sys.argv
+_args = [a for a in sys.argv[1:] if a != "--pending"]
+SF_DIR = _args[0] if _args and "/" in _args[0] else "/root/testdata/sf0.01"
+ONLY = [a for a in _args if "/" not in a]
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -66,8 +72,14 @@ def main():
             f"create view {t} as select * from '{SF_DIR}/{t}.parquet'"
         )
 
-    qs = entrymod.queries()
-    osql = entrymod.oracle_sql()
+    if PENDING:
+        from timeseriestokenizer_spark import contract_pending
+
+        qs = dict(contract_pending.PENDING_QUERIES)
+        osql = contract_pending.pending_oracle_sql()
+    else:
+        qs = entrymod.queries()
+        osql = entrymod.oracle_sql()
     names = [n for n in qs if not ONLY or n in ONLY]
     failures = []
     for name in names:
@@ -114,6 +126,9 @@ def main():
                 for a, b in diffs:
                     print(f"   spark: {a[:220]}\n   duck : {b[:220]}")
     print(f"\n{len(names) - len(failures)}/{len(names)} ok")
+
+    if PENDING:
+        sys.exit(1 if failures else 0)
 
     # driver-proof ledger as an executable check (VERDICT r3 item 8): every
     # registry row must be green in some CORRECTNESS_r*.json or still sit
