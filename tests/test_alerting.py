@@ -1,0 +1,103 @@
+"""alerting.alert_state / alert_episodes vs an explicit sequential state
+machine — the window (LOCF-of-marks) formulation must equal the naive
+per-point loop on real data and on crafted hysteresis edge cases."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeseriestokenizer_spark.operators.alerting import (
+    alert_episodes,
+    alert_state,
+)
+
+
+def _machine(points, hi, lo, n_consec):
+    """Naive sequential reference: returns [(id, alert_on, hi_run)]."""
+    out, run, on = [], 0, 0
+    for _ts, pid, v in sorted(points):
+        run = run + 1 if v >= hi else 0
+        if on and v <= lo:
+            on = 0
+        elif not on and run >= n_consec:
+            on = 1
+        out.append((pid, on, run))
+    return out
+
+
+def _to_df(spark, points, user=1):
+    rows = [
+        (user, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), pid, float(v))
+        for i, (_o, pid, v) in enumerate(sorted(points))
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+
+
+CASES = [
+    # single spike never fires (debounce)
+    [(i, i, v) for i, v in enumerate([10, 200, 10, 10])],
+    # fire on 2nd consecutive, stay on through the lo<v<hi band, clear at lo
+    [(i, i, v) for i, v in enumerate([10, 150, 160, 90, 80, 60, 10, 10])],
+    # clear then immediate refire
+    [(i, i, v) for i, v in enumerate([150, 150, 50, 150, 150, 50])],
+    # run interrupted just before firing
+    [(i, i, v) for i, v in enumerate([150, 90, 150, 90, 150, 150, 10])],
+    # starts in the dead band: stays off
+    [(i, i, v) for i, v in enumerate([90, 90, 90, 61, 119, 90])],
+    # on at series end (open episode)
+    [(i, i, v) for i, v in enumerate([10, 150, 150, 90])],
+]
+
+
+@pytest.mark.parametrize("case", range(len(CASES)))
+def test_state_matches_machine_edges(spark, case):
+    pts = CASES[case]
+    got = {
+        r["event_id"]: (r["alert_on"], r["hi_run"])
+        for r in alert_state(_to_df(spark, pts), hi=120.0, lo=60.0, n_consec=2)
+        .collect()
+    }
+    want = {pid: (on, run) for pid, on, run in _machine(pts, 120.0, 60.0, 2)}
+    assert got == want
+
+
+def test_state_matches_machine_real_data(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = {
+        r["event_id"]: (r["alert_on"], r["hi_run"])
+        for r in alert_state(ev, hi=120.0, lo=60.0, n_consec=2).collect()
+    }
+    want = {}
+    for u, pts in (
+        ev.groupBy("user_id")
+        .agg(F.collect_list(F.struct("ts", "event_id", "value")).alias("p"))
+        .collect()
+    ):
+        for pid, on, run in _machine(
+            [(p["ts"], p["event_id"], p["value"]) for p in pts], 120.0, 60.0, 2
+        ):
+            want[pid] = (on, run)
+    assert got == want
+
+
+def test_episodes_cover_exactly_the_on_points(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    st = alert_state(ev, hi=120.0, lo=60.0, n_consec=2)
+    eps = alert_episodes(ev, hi=120.0, lo=60.0, n_consec=2).collect()
+    n_on = st.filter("alert_on = 1").count()
+    assert sum(e["n_points"] for e in eps) == n_on
+    assert all(e["start_ts"] <= e["end_ts"] for e in eps)
+    # every episode's peak is >= hi: it contains the firing run's end point
+    assert all(e["peak_value"] >= 120.0 for e in eps)
+    assert len(eps) > 0
+
+
+def test_single_exchange_plan(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = alert_state(ev)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan

@@ -103,6 +103,31 @@ def q_kalman_level(spark, sf_dir):
     )
 
 
+def q_alert_state(spark, sf_dir):
+    """Hysteresis alert state per event (operators/alerting.alert_state,
+    hi=120 lo=60 n_consec=2): pure-Catalyst LOCF-of-marks formulation,
+    integer/boolean comparisons only — nothing rounded, exact on both
+    engines."""
+    from .operators.alerting import alert_state
+
+    return alert_state(contract.load(spark, sf_dir, "events")).select(
+        "event_id", "alert_on", "hi_run"
+    )
+
+
+def q_alert_episodes(spark, sf_dir):
+    """Contiguous alert episodes (operators/alerting.alert_episodes):
+    gaps-and-islands over the hysteresis state — start at the firing
+    point, end at the last still-on point, exact max peak."""
+    from .operators.alerting import alert_episodes
+
+    return alert_episodes(contract.load(spark, sf_dir, "events")).select(
+        "user_id", "start_ts", "end_ts",
+        F.col("n_points").cast("long").alias("n_points"),
+        "peak_value",
+    )
+
+
 def q_pq_codes(spark, sf_dir):
     """Product-quantization encode (operators/pq.pq_encode) with the fixed
     codebook: each 64-dim embedding becomes 8 nibble codes, packed into one
@@ -198,6 +223,55 @@ rec AS (
   ) z
 )
 SELECT event_id, x AS kf_mean, pvar AS kf_var, gain AS kf_gain FROM rec
+"""
+
+
+_ALERT_BASE_SQL = """
+o AS (
+  SELECT user_id, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+r AS (
+  SELECT *,
+         rn - coalesce(max(CASE WHEN value < 120.0 THEN rn END)
+                OVER (PARTITION BY user_id ORDER BY rn
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+           AS hi_run
+  FROM o),
+m AS (
+  SELECT *,
+         max(CASE WHEN hi_run >= 2 THEN rn END)
+           OVER (PARTITION BY user_id ORDER BY rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fire_rn,
+         max(CASE WHEN value <= 60.0 THEN rn END)
+           OVER (PARTITION BY user_id ORDER BY rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS clear_rn
+  FROM r),
+st AS (
+  SELECT user_id, event_id, ts, value, rn,
+         CAST(CASE WHEN fire_rn IS NOT NULL
+                    AND (clear_rn IS NULL OR fire_rn > clear_rn)
+              THEN 1 ELSE 0 END AS INT) AS alert_on,
+         CAST(hi_run AS INT) AS hi_run
+  FROM m)"""
+
+_ALERT_STATE_SQL = f"""
+WITH {_ALERT_BASE_SQL}
+SELECT event_id, alert_on, hi_run FROM st
+"""
+
+_ALERT_EPISODES_SQL = f"""
+WITH {_ALERT_BASE_SQL},
+onp AS (
+  SELECT user_id, ts, value, rn,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS island
+  FROM st WHERE alert_on = 1)
+SELECT user_id,
+       min(ts) AS start_ts,
+       max(ts) AS end_ts,
+       CAST(count(*) AS BIGINT) AS n_points,
+       max(value) AS peak_value
+FROM onp GROUP BY user_id, island
 """
 
 
@@ -355,6 +429,8 @@ FROM ranked WHERE rank <= 5
 
 PENDING_QUERIES = {
     "kalman_level": q_kalman_level,
+    "alert_state": q_alert_state,
+    "alert_episodes": q_alert_episodes,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "ivfpq_codes": q_ivfpq_codes,
@@ -363,6 +439,8 @@ PENDING_QUERIES = {
 
 _PENDING_SQL_BUILDERS = {
     "kalman_level": lambda: _KALMAN_SQL,
+    "alert_state": lambda: _ALERT_STATE_SQL,
+    "alert_episodes": lambda: _ALERT_EPISODES_SQL,
     "pq_codes": _pq_codes_sql,
     "pq_adc_topk": _pq_adc_sql,
     "ivfpq_codes": _ivfpq_codes_sql,
