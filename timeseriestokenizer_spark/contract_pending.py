@@ -128,6 +128,16 @@ def q_alert_episodes(spark, sf_dir):
     )
 
 
+def q_swinging_door(spark, sf_dir):
+    """SDT compression keep-set (operators/downsample.swinging_door,
+    comp_dev=15): per-event kept flag, bit-exact vs a recursive CTE
+    stepping the identical door-slope arithmetic (two adds + one divide
+    per door, then min/max/compare only)."""
+    from .operators.downsample import swinging_door
+
+    return swinging_door(contract.load(spark, sf_dir, "events"), comp_dev=15.0)
+
+
 def q_pq_codes(spark, sf_dir):
     """Product-quantization encode (operators/pq.pq_encode) with the fixed
     codebook: each 64-dim embedding becomes 8 nibble codes, packed into one
@@ -272,6 +282,54 @@ SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_points,
        max(value) AS peak_value
 FROM onp GROUP BY user_id, island
+"""
+
+
+# Swinging-door replay: state = (anchor ta/va, door slopes minhi/maxlo);
+# the previous point is the recursion's own previous row (r.t, r.v, r.rn),
+# so closing the doors archives r.rn and re-anchors at (r.t, r.v). Slope
+# op order matches the Python loop exactly: ((v + E) - va) / CAST(dt AS
+# DOUBLE) with dt = greatest(t_us diff, 1).
+_SDT_SQL = """
+WITH RECURSIVE p AS (
+  SELECT user_id, event_id, value AS v, epoch_us(ts) AS t,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+rec AS (
+  SELECT user_id, rn, n, event_id, t, v,
+         t AS ta, v AS va,
+         CAST(1e308 AS DOUBLE) AS minhi, CAST(-1e308 AS DOUBLE) AS maxlo,
+         CAST(NULL AS BIGINT) AS archived_rn
+  FROM p WHERE rn = 1
+  UNION ALL
+  SELECT z.user_id, z.rn, z.n, z.event_id, z.t, z.v,
+         CASE WHEN z.nl > z.nh THEN z.tp ELSE z.ta0 END AS ta,
+         CASE WHEN z.nl > z.nh THEN z.vp ELSE z.va0 END AS va,
+         CASE WHEN z.nl > z.nh
+              THEN (z.v + 15.0 - z.vp) / CAST(greatest(z.t - z.tp, 1) AS DOUBLE)
+              ELSE z.nh END AS minhi,
+         CASE WHEN z.nl > z.nh
+              THEN (z.v - 15.0 - z.vp) / CAST(greatest(z.t - z.tp, 1) AS DOUBLE)
+              ELSE z.nl END AS maxlo,
+         CASE WHEN z.nl > z.nh THEN z.prn END AS archived_rn
+  FROM (
+    SELECT p.user_id, p.rn, p.n, p.event_id, p.t, p.v,
+           r.ta AS ta0, r.va AS va0, r.t AS tp, r.v AS vp, r.rn AS prn,
+           least(r.minhi,
+                 (p.v + 15.0 - r.va) / CAST(greatest(p.t - r.ta, 1) AS DOUBLE)) AS nh,
+           greatest(r.maxlo,
+                    (p.v - 15.0 - r.va) / CAST(greatest(p.t - r.ta, 1) AS DOUBLE)) AS nl
+    FROM rec r JOIN p ON p.user_id = r.user_id AND p.rn = r.rn + 1
+  ) z
+),
+keep AS (
+  SELECT user_id, rn FROM p WHERE rn = 1 OR rn = n
+  UNION
+  SELECT user_id, archived_rn AS rn FROM rec WHERE archived_rn IS NOT NULL)
+SELECT p.event_id,
+       CAST(CASE WHEN k.rn IS NOT NULL THEN 1 ELSE 0 END AS INT) AS kept
+FROM p LEFT JOIN keep k ON k.user_id = p.user_id AND k.rn = p.rn
 """
 
 
@@ -431,6 +489,7 @@ PENDING_QUERIES = {
     "kalman_level": q_kalman_level,
     "alert_state": q_alert_state,
     "alert_episodes": q_alert_episodes,
+    "swinging_door_keep": q_swinging_door,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "ivfpq_codes": q_ivfpq_codes,
@@ -441,6 +500,7 @@ _PENDING_SQL_BUILDERS = {
     "kalman_level": lambda: _KALMAN_SQL,
     "alert_state": lambda: _ALERT_STATE_SQL,
     "alert_episodes": lambda: _ALERT_EPISODES_SQL,
+    "swinging_door_keep": lambda: _SDT_SQL,
     "pq_codes": _pq_codes_sql,
     "pq_adc_topk": _pq_adc_sql,
     "ivfpq_codes": _ivfpq_codes_sql,

@@ -250,3 +250,100 @@ def sax_motifs(
         )
         .filter(F.col("n_occurrences") >= int(min_count))
     )
+
+
+def swinging_door(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    comp_dev: float = 15.0,
+) -> DataFrame:
+    """Swinging-door trending (SDT) compression — the process-historian
+    archival filter (Bristol, "Swinging door trending: adaptive trend
+    recording", ISA 1990; the algorithm behind OSIsoft PI compression,
+    public knowledge). Keeps a point only when the line from the current
+    anchor can no longer stay within ±``comp_dev`` of every skipped point:
+    two "door" slopes per candidate —
+
+        hi = (v + E - v_anchor) / dt,   lo = (v - E - v_anchor) / dt
+
+    — tighten running min(hi) / max(lo); when max(lo) > min(hi) the doors
+    close, the PREVIOUS point is archived and becomes the new anchor, and
+    the current point re-evaluates against it (one re-evaluation suffices:
+    a single point can never close its own doors for E > 0). First and
+    last points are always kept. dt is exact-µs BIGINT clamped to >= 1
+    (strictly increasing timestamps make the clamp a no-op; it exists so a
+    pathological duplicate can't divide by zero on either engine).
+
+    Emits (id_col, kept int) for EVERY input point. Float contract: the
+    recurrence is two adds and one correctly-rounded IEEE divide per door,
+    with min/max/compare (no further arithmetic) — a DuckDB recursive CTE
+    stepping the same op order is bit-identical, so the kept set needs no
+    tolerance (the pending contract row `swinging_door_keep` hash-matches).
+
+    Scale shape: same one-exchange batched-arrays form as ewma/kalman —
+    series collapse to sorted arrays JVM-side, Python sees Arrow batches
+    of whole series, no per-group dispatch, no driver state. At 100 TB
+    this is the retention-tier compressor that runs BEFORE gorilla packing
+    (SDT decides which points survive; gorilla encodes the survivors)."""
+    seqs = (
+        df.select(
+            F.col(key).alias("k"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+            F.col(id_col).alias("i"),
+            F.col(val_col).cast("double").alias("v"),
+        )
+        .groupBy("k")
+        .agg(F.expr("array_sort(collect_list(struct(t, i, v)))").alias("seq"))
+        .select(
+            F.expr("transform(seq, x -> x.t)").alias("ts_us"),
+            F.expr("transform(seq, x -> x.i)").alias("ids"),
+            F.expr("transform(seq, x -> x.v)").alias("vals"),
+        )
+    )
+    E = float(comp_dev)
+    if not E > 0:
+        raise ValueError(f"comp_dev must be positive, got {comp_dev}")
+    out_schema = T.StructType(
+        [
+            T.StructField("out_id", df.schema[id_col].dataType),
+            T.StructField("kept", T.IntegerType()),
+        ]
+    )
+
+    def _sdt(batches):
+        for pdf in batches:
+            out_ids, out_kept = [], []
+            for ts_us, ids, vals in zip(pdf["ts_us"], pdf["ids"], pdf["vals"]):
+                n = len(ids)
+                kept = [0] * n
+                kept[0] = 1
+                kept[n - 1] = 1
+                tA, vA = int(ts_us[0]), float(vals[0])
+                min_hi, max_lo = 1e308, -1e308
+                for i in range(1, n):
+                    t, v = int(ts_us[i]), float(vals[i])
+                    dt = t - tA
+                    if dt < 1:
+                        dt = 1
+                    hi = (v + E - vA) / float(dt)
+                    lo = (v - E - vA) / float(dt)
+                    nh = hi if hi < min_hi else min_hi
+                    nl = lo if lo > max_lo else max_lo
+                    if nl > nh:
+                        kept[i - 1] = 1
+                        tA, vA = int(ts_us[i - 1]), float(vals[i - 1])
+                        d2 = t - tA
+                        if d2 < 1:
+                            d2 = 1
+                        min_hi = (v + E - vA) / float(d2)
+                        max_lo = (v - E - vA) / float(d2)
+                    else:
+                        min_hi, max_lo = nh, nl
+                out_ids.extend(ids)
+                out_kept.extend(kept)
+            yield pd.DataFrame({"out_id": out_ids, "kept": out_kept})
+
+    return seqs.mapInPandas(_sdt, out_schema).withColumnRenamed("out_id", id_col)
