@@ -1,0 +1,65 @@
+"""Count-min sketch tier: the one-sided guarantee, the exact small regime,
+merge-vs-direct equality, and the JVM-only plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from timeseriestokenizer_spark.operators.cms import (
+    cms_build,
+    cms_merge,
+    cms_point_estimate,
+)
+
+
+def _evk(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.withColumn("k", ((cents % 1000) + 1000) % 1000)
+
+
+def test_never_underestimates_and_eps_bound(spark):
+    evk = _evk(spark)
+    n = evk.count()
+    cells = cms_build(evk, "k")
+    est = cms_point_estimate(cells, evk.select("k").distinct())
+    true = evk.groupBy("k").agg(F.count(F.lit(1)).alias("true_cnt"))
+    rows = est.join(true, "k").collect()
+    assert all(r["est"] >= r["true_cnt"] for r in rows)
+    # CMS bound: overestimate <= e/width * n with prob 1 - e^-depth per key;
+    # assert the loose deterministic-ish envelope holds for the vast majority
+    bad = sum(1 for r in rows if r["est"] - r["true_cnt"] > 2.718 / 256 * n)
+    assert bad <= max(1, len(rows) // 50)
+
+
+def test_exact_when_keys_fit_width(spark):
+    # 5 event types, width 256: collisions are possible but md5 spreads 5
+    # keys into distinct cells here — the small regime is exact
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    cells = cms_build(ev, "event_type")
+    est = cms_point_estimate(cells, ev.select("event_type").distinct(),
+                             key_col="event_type")
+    true = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("t"))
+    rows = est.join(true, est.k == true.event_type).collect()
+    assert len(rows) == 5
+    assert all(r["est"] == r["t"] for r in rows)
+
+
+def test_cascade_equals_direct(spark):
+    evk = _evk(spark).withColumn(
+        "day", F.date_trunc("day", F.col("ts").cast("timestamp"))
+    )
+    direct = cms_build(evk, "k")
+    merged = cms_merge(cms_build(evk, "k", ["day"]), [])
+    keys = evk.select("k").distinct()
+    a = {r["k"]: r["est"] for r in cms_point_estimate(direct, keys).collect()}
+    b = {r["k"]: r["est"] for r in cms_point_estimate(merged, keys).collect()}
+    assert a == b
+
+
+def test_sketch_is_bounded_and_jvm_only(spark):
+    evk = _evk(spark)
+    cells = cms_build(evk, "k")
+    assert cells.count() <= 4 * 256
+    plan = cells._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "mapInPandas" not in plan, plan

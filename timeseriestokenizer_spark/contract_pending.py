@@ -138,6 +138,42 @@ def q_swinging_door(spark, sf_dir):
     return swinging_door(contract.load(spark, sf_dir, "events"), comp_dev=15.0)
 
 
+def _events_k(spark, sf_dir):
+    """events keyed by k = cents % 1000 (integer-exact, ~1000 distinct at
+    sf0.01 — real CMS collisions at width 256, which the oracle replays)."""
+    ev = contract.load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.withColumn("k", ((cents % 1000) + 1000) % 1000)
+
+
+def q_cms_point_freq(spark, sf_dir):
+    """Count-min point frequencies (operators/cms): depth 4 × width 256
+    sketch over events keys, estimate vs exact count per distinct key.
+    The oracle replays the sketch — md5 cells, collisions, min-over-rows —
+    so est matches exactly, not just within the ε bound."""
+    from .operators.cms import cms_build, cms_point_estimate
+
+    evk = _events_k(spark, sf_dir)
+    cells = cms_build(evk, "k")
+    est = cms_point_estimate(cells, evk.select("k").distinct())
+    true = evk.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    return est.join(true, "k").select("k", "est", "true_cnt")
+
+
+def q_cms_freq_cascade(spark, sf_dir):
+    """CMS mergeability: per-day sketches summed to a global sketch give
+    the SAME estimates as building directly (counter addition commutes) —
+    the distinct_rollup proof shape. Oracle = direct build in SQL."""
+    from .operators.cms import cms_build, cms_merge, cms_point_estimate
+
+    evk = _events_k(spark, sf_dir).withColumn(
+        "day", F.date_trunc("day", F.col("ts").cast("timestamp"))
+    )
+    daily = cms_build(evk, "k", ["day"])
+    merged = cms_merge(daily, [])
+    return cms_point_estimate(merged, evk.select("k").distinct())
+
+
 def q_pq_codes(spark, sf_dir):
     """Product-quantization encode (operators/pq.pq_encode) with the fixed
     codebook: each 64-dim embedding becomes 8 nibble codes, packed into one
@@ -333,6 +369,38 @@ FROM p LEFT JOIN keep k ON k.user_id = p.user_id AND k.rn = p.rn
 """
 
 
+_CMS_BASE_SQL = """
+keys AS (
+  SELECT ((CAST(round(value*100) AS BIGINT) % 1000) + 1000) % 1000 AS k
+  FROM events),
+js AS (SELECT unnest(range(4)) AS j),
+cells AS (
+  SELECT j AS row,
+         CAST(concat('0x', substr(md5(concat(j, ':', CAST(k AS VARCHAR))), 1, 8)) AS BIGINT) % 256 AS col,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM keys, js GROUP BY 1, 2),
+qk AS (SELECT DISTINCT k FROM keys),
+qrc AS (
+  SELECT k, j AS row,
+         CAST(concat('0x', substr(md5(concat(j, ':', CAST(k AS VARCHAR))), 1, 8)) AS BIGINT) % 256 AS col
+  FROM qk, js),
+est AS (
+  SELECT q.k, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+  FROM qrc q LEFT JOIN cells c ON c.row = q.row AND c.col = q.col
+  GROUP BY 1)"""
+
+_CMS_POINT_SQL = f"""
+WITH {_CMS_BASE_SQL},
+tc AS (SELECT k, CAST(count(*) AS BIGINT) AS true_cnt FROM keys GROUP BY 1)
+SELECT e.k, e.est, t.true_cnt FROM est e JOIN tc t ON t.k = e.k
+"""
+
+_CMS_CASCADE_SQL = f"""
+WITH {_CMS_BASE_SQL}
+SELECT k, est FROM est
+"""
+
+
 def _pq_codes_cte(books: np.ndarray) -> str:
     """Shared CTE body: vecs, codebook, per-subspace argmin codes.
     Scores replay pq_encode's -2·x·c + ||c||² (the rank-constant ||x||² is
@@ -490,6 +558,8 @@ PENDING_QUERIES = {
     "alert_state": q_alert_state,
     "alert_episodes": q_alert_episodes,
     "swinging_door_keep": q_swinging_door,
+    "cms_point_freq": q_cms_point_freq,
+    "cms_freq_cascade": q_cms_freq_cascade,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "ivfpq_codes": q_ivfpq_codes,
@@ -501,6 +571,8 @@ _PENDING_SQL_BUILDERS = {
     "alert_state": lambda: _ALERT_STATE_SQL,
     "alert_episodes": lambda: _ALERT_EPISODES_SQL,
     "swinging_door_keep": lambda: _SDT_SQL,
+    "cms_point_freq": lambda: _CMS_POINT_SQL,
+    "cms_freq_cascade": lambda: _CMS_CASCADE_SQL,
     "pq_codes": _pq_codes_sql,
     "pq_adc_topk": _pq_adc_sql,
     "ivfpq_codes": _ivfpq_codes_sql,
