@@ -174,6 +174,16 @@ def q_cms_freq_cascade(spark, sf_dir):
     return cms_point_estimate(merged, evk.select("k").distinct())
 
 
+def q_lm_doc_score(spark, sf_dir):
+    """Corpus-LM quality score per document (functions/textstats.
+    unigram_lm_score): add-1-smoothed unigram log-prob averaged per doc,
+    r6 — the pretraining-data fluency filter, trained and applied in one
+    pass with groupBy/join only."""
+    from .functions.textstats import unigram_lm_score
+
+    return unigram_lm_score(contract.load(spark, sf_dir, "documents"))
+
+
 def q_pq_codes(spark, sf_dir):
     """Product-quantization encode (operators/pq.pq_encode) with the fixed
     codebook: each 64-dim embedding becomes 8 nibble codes, packed into one
@@ -401,6 +411,27 @@ SELECT k, est FROM est
 """
 
 
+_LM_SCORE_SQL = r"""
+WITH w0 AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents),
+w AS (SELECT doc_id, w FROM w0 WHERE w <> ''),
+c AS (SELECT w, count(*) AS cnt FROM w GROUP BY 1),
+tot AS (SELECT (SELECT count(*) FROM w) AS n_total,
+               (SELECT count(*) FROM c) AS v_size),
+lp AS (
+  SELECT c.w,
+         ln((c.cnt + 1)::DOUBLE / (tot.n_total + tot.v_size)::DOUBLE) AS logp
+  FROM c, tot)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(l.logp), 6) AS lm_score
+FROM w d JOIN lp l ON l.w = d.w
+GROUP BY 1
+"""
+
+
 def _pq_codes_cte(books: np.ndarray) -> str:
     """Shared CTE body: vecs, codebook, per-subspace argmin codes.
     Scores replay pq_encode's -2·x·c + ||c||² (the rank-constant ||x||² is
@@ -560,6 +591,7 @@ PENDING_QUERIES = {
     "swinging_door_keep": q_swinging_door,
     "cms_point_freq": q_cms_point_freq,
     "cms_freq_cascade": q_cms_freq_cascade,
+    "lm_doc_score": q_lm_doc_score,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "ivfpq_codes": q_ivfpq_codes,
@@ -573,6 +605,7 @@ _PENDING_SQL_BUILDERS = {
     "swinging_door_keep": lambda: _SDT_SQL,
     "cms_point_freq": lambda: _CMS_POINT_SQL,
     "cms_freq_cascade": lambda: _CMS_CASCADE_SQL,
+    "lm_doc_score": lambda: _LM_SCORE_SQL,
     "pq_codes": _pq_codes_sql,
     "pq_adc_topk": _pq_adc_sql,
     "ivfpq_codes": _ivfpq_codes_sql,

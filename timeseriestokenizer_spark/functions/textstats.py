@@ -437,3 +437,52 @@ def oov_rate(
             ).alias("oov_frac"),
         )
     )
+
+
+def unigram_lm_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """KenLM-style corpus-LM quality scoring, unigram with add-1 smoothing:
+    train word counts on the corpus itself (one groupBy), then score each
+    document by its mean token log-probability
+
+        lm_score(d) = avg over tokens w of ln((count(w) + 1) / (N + V))
+
+    — the standard pretraining-data filter signal (docs of rare/garbled
+    tokens score far below fluent text; threshold or quantile-cut on it).
+    Tokenization matches the corpus_report convention exactly (lowercase,
+    whitespace split, empty tokens dropped) so the DuckDB oracle shares it.
+
+    Scale shape: counts and scores are groupBy/join only — the vocabulary
+    table shuffles by word (no driver collect, works at web-corpus vocab
+    sizes), the one-row (N, V) total broadcasts, and the per-token logp is
+    computed ONCE per vocab word, not per occurrence. Float contract:
+    (cnt+1)/(N+V) is a correctly-rounded division of exact integers on
+    both engines; ln may differ in the last ulp across libms and the
+    per-doc avg is summation-order sensitive, so lm_score rounds to 6 dp
+    (the repo's r6 convention)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("n_total"), F.count(F.lit(1)).alias("v_size")
+    )
+    logp = counts.crossJoin(F.broadcast(totals)).select(
+        "w",
+        F.log(
+            (F.col("cnt") + 1).cast("double")
+            / (F.col("n_total") + F.col("v_size")).cast("double")
+        ).alias("logp"),
+    )
+    return (
+        toks.join(logp, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg("logp"), 6).alias("lm_score"),
+        )
+    )
