@@ -1,0 +1,72 @@
+"""KMV bottom-k sketch: estimator accuracy, exact small regime, merge
+closure, Jaccard sanity, and the TakeOrderedAndProject global-build plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from timeseriestokenizer_spark.operators.kmv import (
+    kmv_build,
+    kmv_estimate,
+    kmv_merge,
+    kmv_overlap_pairs,
+)
+
+
+def _evk(spark, sf="sf0.01"):
+    ev = spark.read.parquet(f"/root/testdata/{sf}/events.parquet")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.withColumn("k", ((cents % 1000) + 1000) % 1000)
+
+
+def test_estimate_within_kmv_error_band(spark):
+    evk = _evk(spark)
+    true = evk.select("k").distinct().count()
+    est = kmv_estimate(kmv_build(evk, "k", k=64), k=64).collect()[0]["est"]
+    # std error ~ 1/sqrt(k-2) ≈ 12.7% at k=64; allow 3 sigma
+    assert abs(est - true) / true < 0.4, (est, true)
+
+
+def test_exact_below_k(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sk = kmv_build(ev, "event_type", k=64)
+    row = kmv_estimate(sk, k=64).collect()[0]
+    assert row["n_sketch"] == 5 and row["est"] == 5.0
+
+
+def test_merge_equals_direct_exactly(spark):
+    evk = _evk(spark).withColumn(
+        "day", F.date_trunc("day", F.col("ts").cast("timestamp"))
+    )
+    direct = {r["h"] for r in kmv_build(evk, "k", k=64).collect()}
+    merged = {
+        r["h"]
+        for r in kmv_merge(kmv_build(evk, "k", ["day"], k=64), k=64).collect()
+    }
+    assert direct == merged and len(direct) == 64
+
+
+def test_jaccard_estimate_tracks_truth(spark):
+    evk = _evk(spark)
+    pairs = kmv_overlap_pairs(evk, "k", "event_type", k=64).collect()
+    assert len(pairs) == 10
+    sets = {
+        r["event_type"]: set(
+            x["k"] for x in evk.filter(F.col("event_type") == r["event_type"])
+            .select("k").distinct().collect()
+        )
+        for r in evk.select("event_type").distinct().collect()
+    }
+    for p in pairs:
+        a, b = sets[p["seg_a"]], sets[p["seg_b"]]
+        true_j = len(a & b) / len(a | b)
+        assert abs(p["jaccard_est"] - true_j) < 0.25, (p, true_j)
+        true_i = len(a & b)
+        assert abs(p["inter_est"] - true_i) / max(true_i, 1) < 0.5
+
+
+def test_global_build_is_take_ordered(spark):
+    evk = _evk(spark)
+    hashes = kmv_build(evk, "k", k=64)
+    plan = hashes._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan

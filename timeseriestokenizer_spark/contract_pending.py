@@ -184,6 +184,44 @@ def q_lm_doc_score(spark, sf_dir):
     return unigram_lm_score(contract.load(spark, sf_dir, "documents"))
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV bottom-64 distinct estimates per event_type (operators/kmv):
+    est vs exact distinct — the oracle replays the sketch (md5-60 order,
+    (k-1)*2^60/h_(k) estimator) so est matches by hash."""
+    from .operators.kmv import kmv_build, kmv_estimate
+
+    evk = _events_k(spark, sf_dir)
+    sk = kmv_build(evk, "k", ["event_type"], k=64)
+    est = kmv_estimate(sk, ["event_type"], k=64)
+    true = evk.groupBy("event_type").agg(
+        F.countDistinct("k").cast("long").alias("true_distinct")
+    )
+    return est.join(true, "event_type")
+
+
+def q_kmv_overlap(spark, sf_dir):
+    """Pairwise segment overlap from KMV sketches (operators/kmv.
+    kmv_overlap_pairs): Jaccard / union / intersection estimates for all
+    event-type pairs — the set-operation capability HLL lacks."""
+    from .operators.kmv import kmv_overlap_pairs
+
+    return kmv_overlap_pairs(_events_k(spark, sf_dir), "k", "event_type", k=64)
+
+
+def q_kmv_union_cascade(spark, sf_dir):
+    """KMV mergeability: bottom-k(A∪B) ⊆ bottom-k(A) ∪ bottom-k(B), so
+    merging per-day sketches reproduces the direct global sketch EXACTLY
+    (not approximately) — oracle = direct build in SQL."""
+    from .operators.kmv import kmv_build, kmv_estimate, kmv_merge
+
+    evk = _events_k(spark, sf_dir).withColumn(
+        "day", F.date_trunc("day", F.col("ts").cast("timestamp"))
+    )
+    daily = kmv_build(evk, "k", ["day"], k=64)
+    merged = kmv_merge(daily, [], k=64)
+    return kmv_estimate(merged, [], k=64)
+
+
 def q_pq_codes(spark, sf_dir):
     """Product-quantization encode (operators/pq.pq_encode) with the fixed
     codebook: each 64-dim embedding becomes 8 nibble codes, packed into one
@@ -432,6 +470,79 @@ GROUP BY 1
 """
 
 
+_KMV_HASH = "CAST(concat(\'0x\', substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+_KMV_DISTINCT_SQL = f"""
+WITH keys AS (
+  SELECT event_type,
+         ((CAST(round(value*100) AS BIGINT) % 1000) + 1000) % 1000 AS k
+  FROM events),
+h AS (SELECT DISTINCT event_type, {_KMV_HASH} AS h FROM keys),
+r AS (SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rank
+      FROM h),
+sk AS (SELECT * FROM r WHERE rank <= 64),
+a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_sketch, max(h) AS kth
+      FROM sk GROUP BY 1),
+t AS (SELECT event_type, CAST(count(DISTINCT k) AS BIGINT) AS true_distinct
+      FROM keys GROUP BY 1)
+SELECT a.event_type, a.n_sketch,
+       round(CASE WHEN a.n_sketch < 64 THEN a.n_sketch::DOUBLE
+             ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                  / (a.kth + 1)::DOUBLE END, 4) AS est,
+       t.true_distinct
+FROM a JOIN t USING (event_type)
+"""
+
+_KMV_OVERLAP_SQL = f"""
+WITH keys AS (
+  SELECT event_type,
+         ((CAST(round(value*100) AS BIGINT) % 1000) + 1000) % 1000 AS k
+  FROM events),
+h AS (SELECT DISTINCT event_type AS seg, {_KMV_HASH} AS h FROM keys),
+segs AS (SELECT DISTINCT seg FROM h),
+pairs AS (SELECT a.seg AS seg_a, b.seg AS seg_b
+          FROM segs a, segs b WHERE a.seg < b.seg),
+tagged AS (
+  SELECT p.seg_a, p.seg_b, h.h FROM pairs p JOIN h ON h.seg = p.seg_a
+  UNION ALL
+  SELECT p.seg_a, p.seg_b, h.h FROM pairs p JOIN h ON h.seg = p.seg_b),
+presence AS (
+  SELECT seg_a, seg_b, h, count(*) AS n_in FROM tagged GROUP BY 1, 2, 3),
+r AS (SELECT *, row_number() OVER (PARTITION BY seg_a, seg_b ORDER BY h) AS rank
+      FROM presence),
+sk AS (SELECT * FROM r WHERE rank <= 64),
+a AS (SELECT seg_a, seg_b, CAST(count(*) AS BIGINT) AS n_union_sketch,
+             CAST(sum(CASE WHEN n_in = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+             max(h) AS kth
+      FROM sk GROUP BY 1, 2),
+z AS (SELECT *,
+             CASE WHEN n_union_sketch < 64 THEN n_union_sketch::DOUBLE
+                  ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                       / (kth + 1)::DOUBLE END AS uest
+      FROM a)
+SELECT seg_a, seg_b, n_union_sketch, n_both,
+       round(n_both::DOUBLE / n_union_sketch::DOUBLE, 6) AS jaccard_est,
+       round(uest, 4) AS union_est,
+       round((n_both::DOUBLE / n_union_sketch::DOUBLE) * uest, 4) AS inter_est
+FROM z
+"""
+
+_KMV_CASCADE_SQL = f"""
+WITH keys AS (
+  SELECT ((CAST(round(value*100) AS BIGINT) % 1000) + 1000) % 1000 AS k
+  FROM events),
+h AS (SELECT DISTINCT {_KMV_HASH} AS h FROM keys),
+sk AS (SELECT h FROM h ORDER BY h LIMIT 64),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n_sketch, max(h) AS kth FROM sk)
+SELECT n_sketch,
+       round(CASE WHEN n_sketch < 64 THEN n_sketch::DOUBLE
+             ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                  / (kth + 1)::DOUBLE END, 4) AS est
+FROM a
+"""
+
+
 def _pq_codes_cte(books: np.ndarray) -> str:
     """Shared CTE body: vecs, codebook, per-subspace argmin codes.
     Scores replay pq_encode's -2·x·c + ||c||² (the rank-constant ||x||² is
@@ -592,6 +703,9 @@ PENDING_QUERIES = {
     "cms_point_freq": q_cms_point_freq,
     "cms_freq_cascade": q_cms_freq_cascade,
     "lm_doc_score": q_lm_doc_score,
+    "kmv_distinct": q_kmv_distinct,
+    "kmv_overlap": q_kmv_overlap,
+    "kmv_union_cascade": q_kmv_union_cascade,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "ivfpq_codes": q_ivfpq_codes,
@@ -606,6 +720,9 @@ _PENDING_SQL_BUILDERS = {
     "cms_point_freq": lambda: _CMS_POINT_SQL,
     "cms_freq_cascade": lambda: _CMS_CASCADE_SQL,
     "lm_doc_score": lambda: _LM_SCORE_SQL,
+    "kmv_distinct": lambda: _KMV_DISTINCT_SQL,
+    "kmv_overlap": lambda: _KMV_OVERLAP_SQL,
+    "kmv_union_cascade": lambda: _KMV_CASCADE_SQL,
     "pq_codes": _pq_codes_sql,
     "pq_adc_topk": _pq_adc_sql,
     "ivfpq_codes": _ivfpq_codes_sql,
