@@ -101,3 +101,49 @@ def test_single_exchange_plan(spark):
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     plan = alert_state(ev)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_hw_forecast_matches_python_recurrence(spark):
+    """holt_winters_forecast: bit-exact vs the explicit recurrence +
+    ring-slot forecast; singleton series forecast flat."""
+    from timeseriestokenizer_spark.operators.smoothing import (
+        holt_winters_forecast,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = {
+        (r["user_id"], r["h"]): r["yhat"]
+        for r in holt_winters_forecast(
+            ev, key="user_id", ts_col="ts", val_col="value",
+            id_col="event_id", period=4, horizon=3,
+        ).collect()
+    }
+    a, bcf, g, m = 0.5, 0.25, 0.25, 4
+    want = {}
+    for u, pts in (
+        ev.groupBy("user_id")
+        .agg(F.collect_list(F.struct("ts", "event_id", "value")).alias("p"))
+        .collect()
+    ):
+        vals = [p["value"] for p in sorted(pts, key=lambda p: (p["ts"], p["event_id"]))]
+        l = float(vals[0])
+        b = float(vals[1]) - float(vals[0]) if len(vals) >= 2 else 0.0
+        seas = [0.0] * m
+        for t, x in enumerate(vals[1:], start=1):
+            s_old = seas[t % m]
+            l_new = a * (x - s_old) + (1.0 - a) * (l + b)
+            b = bcf * (l_new - l) + (1.0 - bcf) * b
+            seas[t % m] = g * (x - l_new) + (1.0 - g) * s_old
+            l = l_new
+        for h in (1, 2, 3):
+            want[(u, h)] = l + float(h) * b + seas[(len(vals) - 1 + h) % m]
+    assert got == want
+
+    one = spark.createDataFrame(
+        [(9, "2024-01-01 00:00:00", 1, 42.0)],
+        "user_id long, ts string, event_id long, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = holt_winters_forecast(
+        one, key="user_id", ts_col="ts", val_col="value", id_col="event_id"
+    ).collect()
+    assert all(r["yhat"] == 42.0 for r in rows) and len(rows) == 4

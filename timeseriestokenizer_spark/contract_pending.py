@@ -222,6 +222,20 @@ def q_kmv_union_cascade(spark, sf_dir):
     return kmv_estimate(merged, [], k=64)
 
 
+def q_hw_forecast(spark, sf_dir):
+    """h-step Holt-Winters forecasts from final state (operators/
+    smoothing.holt_winters_forecast, horizon 4): yhat = l + h*b + ring
+    slot, bit-exact unrounded vs the recursive-CTE oracle carrying the
+    season ring to each series' last row."""
+    from .operators.smoothing import holt_winters_forecast
+
+    return holt_winters_forecast(
+        contract.load(spark, sf_dir, "events"),
+        key="user_id", ts_col="ts", val_col="value", id_col="event_id",
+        alpha=0.5, beta=0.25, gamma=0.25, period=4, horizon=4,
+    )
+
+
 def q_pq_codes(spark, sf_dir):
     """Product-quantization encode (operators/pq.pq_encode) with the fixed
     codebook: each 64-dim embedding becomes 8 nibble codes, packed into one
@@ -543,6 +557,45 @@ FROM a
 """
 
 
+_HW_FORECAST_SQL = """
+WITH RECURSIVE p AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+rec AS (
+  SELECT p.user_id, p.rn, p.n,
+         p.value AS l,
+         CASE WHEN p.n >= 2
+              THEN (SELECT p2.value FROM p p2 WHERE p2.user_id = p.user_id AND p2.rn = 2) - p.value
+              ELSE 0.0 END AS b,
+         [0.0, 0.0, 0.0, 0.0]::DOUBLE[] AS sl
+  FROM p WHERE p.rn = 1
+  UNION ALL
+  SELECT z.user_id, z.rn, z.n,
+         z.l_new AS l,
+         0.25 * (z.l_new - z.l_prev) + 0.75 * z.b_prev AS b,
+         list_transform(range(1, 5),
+             i -> CASE WHEN i = z.j
+                       THEN 0.25 * (z.value - z.l_new) + 0.75 * z.s_old
+                       ELSE z.sl[i] END) AS sl
+  FROM (
+    SELECT p.user_id, p.rn, p.n, p.value,
+           r.l AS l_prev, r.b AS b_prev, r.sl AS sl,
+           (r.rn % 4) + 1 AS j,
+           r.sl[(r.rn % 4) + 1] AS s_old,
+           0.5 * (p.value - r.sl[(r.rn % 4) + 1]) + 0.5 * (r.l + r.b) AS l_new
+    FROM rec r JOIN p ON p.user_id = r.user_id AND p.rn = r.rn + 1
+  ) z
+),
+fin AS (SELECT * FROM rec WHERE rn = n),
+hs AS (SELECT unnest(range(1, 5)) AS h)
+SELECT f.user_id, CAST(hs.h AS INT) AS h,
+       f.l + CAST(hs.h AS DOUBLE) * f.b + f.sl[((f.rn - 1 + hs.h) % 4) + 1] AS yhat
+FROM fin f, hs
+"""
+
+
 def _pq_codes_cte(books: np.ndarray) -> str:
     """Shared CTE body: vecs, codebook, per-subspace argmin codes.
     Scores replay pq_encode's -2·x·c + ||c||² (the rank-constant ||x||² is
@@ -706,6 +759,7 @@ PENDING_QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "kmv_overlap": q_kmv_overlap,
     "kmv_union_cascade": q_kmv_union_cascade,
+    "hw_forecast": q_hw_forecast,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "ivfpq_codes": q_ivfpq_codes,
@@ -723,6 +777,7 @@ _PENDING_SQL_BUILDERS = {
     "kmv_distinct": lambda: _KMV_DISTINCT_SQL,
     "kmv_overlap": lambda: _KMV_OVERLAP_SQL,
     "kmv_union_cascade": lambda: _KMV_CASCADE_SQL,
+    "hw_forecast": lambda: _HW_FORECAST_SQL,
     "pq_codes": _pq_codes_sql,
     "pq_adc_topk": _pq_adc_sql,
     "ivfpq_codes": _ivfpq_codes_sql,

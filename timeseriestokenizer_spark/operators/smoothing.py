@@ -400,3 +400,80 @@ def kalman_level(
             )
 
     return seqs.mapInPandas(_filt, out_schema).withColumnRenamed("out_id", id_col)
+
+
+def holt_winters_forecast(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+    period: int = 4,
+    horizon: int = 4,
+) -> DataFrame:
+    """h-step-ahead Holt-Winters forecasts from each series' FINAL state:
+
+        yhat(t+h) = l_t + h*b_t + s[(t+h) mod m]
+
+    with (l, b, season ring) stepped by the exact holt_winters recurrence
+    (same zero-seasonal cold start, same IEEE op order; see holt_winters's
+    float contract). The forecast itself is one multiply and two adds of
+    bit-identical state, so yhat is emitted UNROUNDED and hash-matches a
+    recursive-CTE oracle that carries the ring to the last row. Singleton
+    series forecast flat at x_0 (b = 0, ring all zero).
+
+    Output (key, h, yhat) for h = 1..horizon — the rollup-tier companion
+    ("what do the next h buckets look like") to the smoothing filters.
+    Same one-exchange batched-arrays shape."""
+    seqs = (
+        df.select(
+            F.col(key).alias("k"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+            F.col(id_col).alias("i"),
+            F.col(val_col).cast("double").alias("v"),
+        )
+        .groupBy("k")
+        .agg(F.expr("array_sort(collect_list(struct(t, i, v)))").alias("seq"))
+        .select("k", F.expr("transform(seq, x -> x.v)").alias("vals"))
+    )
+    a, bcf, g = float(alpha), float(beta), float(gamma)
+    m, H = int(period), int(horizon)
+    if m < 1 or H < 1:
+        raise ValueError("period and horizon must be >= 1")
+    out_schema = T.StructType(
+        [
+            T.StructField("out_key", df.schema[key].dataType),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("yhat", T.DoubleType()),
+        ]
+    )
+
+    def _forecast(batches):
+        for pdf in batches:
+            keys_all, h_all, y_all = [], [], []
+            for k, vals in zip(pdf["k"], pdf["vals"]):
+                l = float(vals[0])
+                b = float(vals[1]) - float(vals[0]) if len(vals) >= 2 else 0.0
+                seas = [0.0] * m
+                for t, x in enumerate(vals[1:], start=1):
+                    x = float(x)
+                    s_old = seas[t % m]
+                    l_new = a * (x - s_old) + (1.0 - a) * (l + b)
+                    b = bcf * (l_new - l) + (1.0 - bcf) * b
+                    seas[t % m] = g * (x - l_new) + (1.0 - g) * s_old
+                    l = l_new
+                t_last = len(vals) - 1
+                for h in range(1, H + 1):
+                    keys_all.append(k)
+                    h_all.append(h)
+                    y_all.append(l + float(h) * b + seas[(t_last + h) % m])
+            yield pd.DataFrame(
+                {"out_key": keys_all, "h": h_all, "yhat": y_all}
+            )
+
+    return seqs.mapInPandas(_forecast, out_schema).withColumnRenamed(
+        "out_key", key
+    )
