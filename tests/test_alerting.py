@@ -147,3 +147,53 @@ def test_hw_forecast_matches_python_recurrence(spark):
         one, key="user_id", ts_col="ts", val_col="value", id_col="event_id"
     ).collect()
     assert all(r["yhat"] == 42.0 for r in rows) and len(rows) == 4
+
+
+def test_best_changepoint_planted_and_plan(spark):
+    """best_changepoint: finds a planted level shift at the exact index,
+    matches the numpy argmax oracle on real data, one exchange."""
+    import datetime as dt
+
+    import numpy as np
+
+    from timeseriestokenizer_spark.operators.anomaly import best_changepoint
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), i,
+         100 if i < 30 else 500)
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, cents long"
+    )
+    r = best_changepoint(df).collect()[0]
+    assert r["split_k"] == 30
+    assert r["left_mean"] == 100.0 and r["right_mean"] == 500.0
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+    )
+    got = {
+        r["user_id"]: (r["split_k"], r["score"])
+        for r in best_changepoint(ev).collect()
+    }
+    for u, pts in (
+        ev.groupBy("user_id")
+        .agg(F.collect_list(F.struct("ts", "event_id", "cents")).alias("p"))
+        .collect()
+    ):
+        v = np.array(
+            [p["cents"] for p in sorted(pts, key=lambda p: (p["ts"], p["event_id"]))],
+            dtype=np.int64,
+        )
+        n = len(v)
+        s = np.cumsum(v)
+        ks = np.arange(1, n)
+        a = (n * s[:-1] - ks * s[-1]).astype(np.float64)
+        score = a * a / (ks * (n - ks)).astype(np.float64)
+        best = int(np.argmax(score))  # first max == smallest k
+        assert got[u] == (best + 1, float(score[best]))
+
+    plan = best_changepoint(ev)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan

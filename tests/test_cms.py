@@ -63,3 +63,35 @@ def test_sketch_is_bounded_and_jvm_only(spark):
     assert cells.count() <= 4 * 256
     plan = cells._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "mapInPandas" not in plan, plan
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    """Bloom: every inserted key hits (no false negatives — structural);
+    FP rate on non-members near the (1-e^{-kn/m})^k prediction; filter
+    size bounded by m; JVM-only plan."""
+    import math
+
+    from timeseriestokenizer_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    evk = _evk(spark)
+    members = evk.filter("k < 500").select("k").distinct()
+    non_members = evk.filter("k >= 500").select("k").distinct()
+    bloom = bloom_build(members, "k")
+    n_bits = bloom.count()
+    assert n_bits <= 8192
+
+    m_hits = bloom_probe(members, bloom, "k").collect()
+    assert all(r["bloom_hit"] == 1 for r in m_hits)
+
+    nm = bloom_probe(non_members, bloom, "k").collect()
+    fp = sum(r["bloom_hit"] for r in nm) / len(nm)
+    n_mem = members.count()
+    pred = (1 - math.exp(-3 * n_mem / 8192)) ** 3
+    assert fp <= 3 * pred + 0.02, (fp, pred)
+
+    plan = bloom_probe(non_members, bloom, "k")._jdf.queryExecution()
+    ps = plan.executedPlan().toString()
+    assert "Python" not in ps and "BroadcastHashJoin" in ps, ps

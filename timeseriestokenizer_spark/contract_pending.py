@@ -236,6 +236,39 @@ def q_hw_forecast(spark, sf_dir):
     )
 
 
+def q_best_changepoint(spark, sf_dir):
+    """Binary-segmentation best split per series (operators/anomaly.
+    best_changepoint) on integer cents: n2-scaled between-segments SS,
+    BIGINT numerator base, score/means emitted unrounded (single
+    correctly-rounded IEEE ops on identical operands)."""
+    from .operators.anomaly import best_changepoint
+
+    ev = contract.load(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    return best_changepoint(ev)
+
+
+def q_bloom_membership(spark, sf_dir):
+    """Bloom prefilter (operators/bloom, m=8192 k=3): filter built over
+    first-half-of-month keys, every distinct key probed; emits hit flag
+    AND actual membership so false positives are visible rows. The oracle
+    replays bit positions exactly — hit flags hash-match, FPs included."""
+    from .operators.bloom import bloom_build, bloom_probe
+
+    evk = _events_k(spark, sf_dir)
+    train = evk.filter(
+        F.dayofmonth(F.col("ts").cast("timestamp")) <= 15
+    ).select("k").distinct()
+    allk = evk.select("k").distinct()
+    bloom = bloom_build(train, "k")
+    hits = bloom_probe(allk, bloom, "k")
+    actual = allk.join(
+        train.withColumn("actual", F.lit(1)), "k", "left"
+    ).select("k", F.coalesce("actual", F.lit(0)).cast("int").alias("actual"))
+    return hits.join(actual, "k")
+
+
 def q_pq_codes(spark, sf_dir):
     """Product-quantization encode (operators/pq.pq_encode) with the fixed
     codebook: each 64-dim embedding becomes 8 nibble codes, packed into one
@@ -596,6 +629,64 @@ FROM fin f, hs
 """
 
 
+_CHANGEPOINT_SQL = """
+WITH b AS (
+  SELECT user_id, event_id, ts, CAST(round(value*100) AS BIGINT) AS v
+  FROM events),
+o AS (
+  SELECT user_id, v,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         sum(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_k,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         sum(v) OVER (PARTITION BY user_id) AS s_n
+  FROM b),
+sc AS (
+  SELECT user_id, rn, n, s_k, s_n,
+         (CAST(n*s_k - rn*s_n AS DOUBLE) * CAST(n*s_k - rn*s_n AS DOUBLE))
+           / CAST(rn*(n - rn) AS DOUBLE) AS score
+  FROM o WHERE rn < n),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY score DESC, rn) AS pick
+  FROM sc)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_points,
+       CAST(rn AS BIGINT) AS split_k,
+       score,
+       CAST(s_k AS DOUBLE) / CAST(rn AS DOUBLE) AS left_mean,
+       CAST(s_n - s_k AS DOUBLE) / CAST(n - rn AS DOUBLE) AS right_mean
+FROM r WHERE pick = 1
+"""
+
+
+_BLOOM_SQL = """
+WITH keys AS (
+  SELECT ((CAST(round(value*100) AS BIGINT) % 1000) + 1000) % 1000 AS k, ts
+  FROM events),
+train AS (SELECT DISTINCT k FROM keys WHERE date_part('day', ts) <= 15),
+allk AS (SELECT DISTINCT k FROM keys),
+js AS (SELECT unnest(range(3)) AS j),
+bits AS (
+  SELECT DISTINCT
+         CAST(concat('0x', substr(md5(concat(j, ':', CAST(k AS VARCHAR))), 1, 8)) AS BIGINT) % 8192 AS pos
+  FROM train, js),
+probe AS (
+  SELECT DISTINCT k,
+         CAST(concat('0x', substr(md5(concat(j, ':', CAST(k AS VARCHAR))), 1, 8)) AS BIGINT) % 8192 AS pos
+  FROM allk, js),
+hits AS (
+  SELECT p.k,
+         CAST(CASE WHEN count(*) = sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+              THEN 1 ELSE 0 END AS INT) AS bloom_hit
+  FROM probe p LEFT JOIN bits b ON b.pos = p.pos GROUP BY 1),
+act AS (
+  SELECT a.k, CAST(CASE WHEN t.k IS NOT NULL THEN 1 ELSE 0 END AS INT) AS actual
+  FROM allk a LEFT JOIN train t ON t.k = a.k)
+SELECT h.k, h.bloom_hit, act.actual FROM hits h JOIN act USING (k)
+"""
+
+
 def _pq_codes_cte(books: np.ndarray) -> str:
     """Shared CTE body: vecs, codebook, per-subspace argmin codes.
     Scores replay pq_encode's -2·x·c + ||c||² (the rank-constant ||x||² is
@@ -760,6 +851,8 @@ PENDING_QUERIES = {
     "kmv_overlap": q_kmv_overlap,
     "kmv_union_cascade": q_kmv_union_cascade,
     "hw_forecast": q_hw_forecast,
+    "best_changepoint": q_best_changepoint,
+    "bloom_membership": q_bloom_membership,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "ivfpq_codes": q_ivfpq_codes,
@@ -778,6 +871,8 @@ _PENDING_SQL_BUILDERS = {
     "kmv_overlap": lambda: _KMV_OVERLAP_SQL,
     "kmv_union_cascade": lambda: _KMV_CASCADE_SQL,
     "hw_forecast": lambda: _HW_FORECAST_SQL,
+    "best_changepoint": lambda: _CHANGEPOINT_SQL,
+    "bloom_membership": lambda: _BLOOM_SQL,
     "pq_codes": _pq_codes_sql,
     "pq_adc_topk": _pq_adc_sql,
     "ivfpq_codes": _ivfpq_codes_sql,

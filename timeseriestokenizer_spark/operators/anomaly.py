@@ -270,3 +270,68 @@ def weighted_percentile(
             F.first("_tot").alias("w_total"),
         )
     )
+
+
+def best_changepoint(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "cents",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Single best changepoint per series — the binary-segmentation step
+    (Scott & Knott 1974; the primitive PELT/BinSeg iterate): the split
+    k that maximizes the between-segments sum of squares. n²-scaled to
+    clear both means' divisions (the cusum convention):
+
+        score_k = (n·S_k − k·S_n)² / (k·(n−k)),   S_k = prefix sum
+
+    Float contract: with integer input (cents) the numerator base
+    A = n·S_k − k·S_n is an exact BIGINT; A² and the divide are single
+    correctly-rounded IEEE ops on identical operands, so score is
+    BIT-IDENTICAL across engines and emitted UNROUNDED. Ties break to the
+    smallest k (identical doubles ⇒ the tie set is identical on both
+    engines). left/right means are single exact-integer divisions.
+
+    Pure Catalyst, ONE exchange: running-sum window, full-frame window,
+    rank window and the final filter all cluster on the series key.
+    Series with n < 2 have no valid split and are omitted. Emits
+    (key, n_points, split_k, score, left_mean, right_mean)."""
+    ordw = W.partitionBy(key).orderBy(ts_col, id_col)
+    runf = ordw.rowsBetween(W.unboundedPreceding, W.currentRow)
+    full = W.partitionBy(key).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    base = df.select(
+        key, ts_col, id_col, F.col(val_col).cast("long").alias("v")
+    )
+    pref = base.select(
+        key,
+        F.row_number().over(ordw).alias("rn"),
+        F.sum("v").over(runf).alias("s_k"),
+        F.count(F.lit(1)).over(full).alias("n"),
+        F.sum("v").over(full).alias("s_n"),
+    ).filter(F.col("rn") < F.col("n"))
+    a = F.col("n") * F.col("s_k") - F.col("rn") * F.col("s_n")
+    score = (a.cast("double") * a.cast("double")) / (
+        F.col("rn") * (F.col("n") - F.col("rn"))
+    ).cast("double")
+    scored = pref.withColumn("score", score)
+    rankw = W.partitionBy(key).orderBy(F.col("score").desc(), F.col("rn"))
+    return (
+        scored.withColumn("pick", F.row_number().over(rankw))
+        .filter(F.col("pick") == 1)
+        .select(
+            key,
+            F.col("n").cast("long").alias("n_points"),
+            F.col("rn").cast("long").alias("split_k"),
+            "score",
+            (
+                F.col("s_k").cast("double") / F.col("rn").cast("double")
+            ).alias("left_mean"),
+            (
+                (F.col("s_n") - F.col("s_k")).cast("double")
+                / (F.col("n") - F.col("rn")).cast("double")
+            ).alias("right_mean"),
+        )
+    )
