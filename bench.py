@@ -201,11 +201,13 @@ def incremental_refresh_bench(spark) -> dict:
         refresh_tiers(
             spark, raw5.filter(F.to_date("ts") < F.lit(days[-1])), store,
             with_hll=False, with_hist=False, with_kll=False, with_heavy=False,
+            with_cms=False, with_kmv=False,
         )
         t0 = time.time()
         refresh_tiers(
             spark, raw5, store, days=[days[-1]],
             with_hll=False, with_hist=False, with_kll=False, with_heavy=False,
+            with_cms=False, with_kmv=False,
         )
         incr_s = time.time() - t0
 

@@ -62,7 +62,7 @@ def test_incremental_store_equals_from_scratch(spark, tmp_path):
     # initial ingest: all but the last two days — auto mode takes the
     # BATCH path (one cascade, dynamic day-partition overwrite)
     head = raw.filter(F.to_date("ts") <= F.lit(days[-3]))
-    stats = refresh_tiers(spark, head, store)
+    stats = refresh_tiers(spark, head, store, with_cms=False, with_kmv=False)
     assert len(stats) == 1 and stats[0]["mode"] == "batch"
     assert stats[0]["days"] == days[:-2]
     assert completed_days(spark, store) == days[:-2]
@@ -73,14 +73,14 @@ def test_incremental_store_equals_from_scratch(spark, tmp_path):
         (F.to_date("ts") <= F.lit(days[-2]))
         | ((F.to_date("ts") == F.lit(days[-1])) & (F.crc32("conv_id") % 2 == 0))
     )
-    stats = refresh_tiers(spark, part, store)
+    stats = refresh_tiers(spark, part, store, with_cms=False, with_kmv=False)
     assert [s["day"] for s in stats] == days[-2:]
 
     # late data lands for the newest day: stale_days flags ONLY that day
     # (its raw count changed), and one replay absorbs it
     stale = stale_days(spark, raw, store)
     assert stale == [days[-1]]
-    refresh_tiers(spark, raw, store)
+    refresh_tiers(spark, raw, store, with_cms=False, with_kmv=False)
     assert stale_days(spark, raw, store) == []
 
     _assert_store_equals_scratch(spark, store, raw)
@@ -109,9 +109,9 @@ def test_forward_only_guard(spark, tmp_path):
         str(r["d"]) for r in raw.select(F.to_date("ts").alias("d")).distinct().collect()
     )
     store = str(tmp_path / "store2")
-    refresh_tiers(spark, raw, store, days=days[:2])
+    refresh_tiers(spark, raw, store, days=days[:2], with_cms=False, with_kmv=False)
     with pytest.raises(ValueError, match="forward-only"):
-        refresh_tiers(spark, raw, store, days=[days[0]])
+        refresh_tiers(spark, raw, store, days=[days[0]], with_cms=False, with_kmv=False)
 
 
 def test_store_layout_prunes_by_day(spark, tmp_path):
@@ -120,7 +120,7 @@ def test_store_layout_prunes_by_day(spark, tmp_path):
     north-rule retention engine requires)."""
     raw = transcripts_df(spark, C=10, seed=3)
     store = str(tmp_path / "store3")
-    stats = refresh_tiers(spark, raw, store)  # auto → batch for a fresh load
+    stats = refresh_tiers(spark, raw, store, with_cms=False, with_kmv=False)  # auto → batch for a fresh load
     some_day = (stats[0].get("days") or [stats[0]["day"]])[0]
     assert os.path.isdir(os.path.join(store, "1h", f"day={some_day}"))
     one = spark.read.parquet(os.path.join(store, "1h", f"day={some_day}"))
@@ -139,9 +139,9 @@ def test_batch_equals_per_day_equals_scratch(spark, tmp_path):
     the from-scratch cascade."""
     raw = transcripts_df(spark, C=25, seed=13).cache()
     s_batch, s_daily = str(tmp_path / "b"), str(tmp_path / "d")
-    out_b = refresh_tiers(spark, raw, s_batch, mode="batch")
+    out_b = refresh_tiers(spark, raw, s_batch, mode="batch", with_cms=False, with_kmv=False)
     assert out_b[0]["mode"] == "batch"
-    refresh_tiers(spark, raw, s_daily, mode="per_day")
+    refresh_tiers(spark, raw, s_daily, mode="per_day", with_cms=False, with_kmv=False)
     cols = [
         "conv_id", "bucket_ts", "n_turns", "n_lat", "sum_lat", "min_lat",
         "max_lat", "sum_chars", "sum_tokens", "n_tool_calls",
@@ -165,9 +165,9 @@ def test_batch_snapshot_gap_guard(spark, tmp_path):
     )
     assert len(days) >= 4
     store = str(tmp_path / "g")
-    refresh_tiers(spark, raw, store, mode="batch")
+    refresh_tiers(spark, raw, store, mode="batch", with_cms=False, with_kmv=False)
     with pytest.raises(ValueError, match="replay"):
-        refresh_tiers(spark, raw, store, days=days[-2:-1], mode="per_day")
+        refresh_tiers(spark, raw, store, days=days[-2:-1], mode="per_day", with_cms=False, with_kmv=False)
 
 
 def test_batch_rejects_holes(spark, tmp_path):
@@ -191,7 +191,7 @@ def test_incremental_histogram_tiers(spark, tmp_path):
 
     raw = transcripts_df(spark, C=20, seed=21).cache()
     store = str(tmp_path / "hist")
-    refresh_tiers(spark, raw, store, with_hll=False)
+    refresh_tiers(spark, raw, store, with_hll=False, with_cms=False, with_kmv=False)
     direct = histogram_rollup_tier(derive_signals(raw), "1h")
     got = _rows(read_tier(spark, store, "hist_1h"), ["bucket_ts", "bin", "n"])
     exp = _rows(direct, ["bucket_ts", "bin", "n"])
@@ -216,7 +216,7 @@ def test_retention_sweep_store(spark, tmp_path):
     )
     assert len(days) >= 5
     store = str(tmp_path / "ret")
-    refresh_tiers(spark, raw, store, mode="batch")
+    refresh_tiers(spark, raw, store, mode="batch", with_cms=False, with_kmv=False)
 
     full_1m = _rows(
         read_tier(spark, store, "1m"), ["conv_id", "bucket_ts", "sum_lat"]
@@ -276,7 +276,7 @@ def test_compact_store(spark, tmp_path):
 
     raw = transcripts_df(spark, C=15, seed=19)
     store = str(tmp_path / "cmp")
-    refresh_tiers(spark, raw, store, with_hll=False, with_hist=False)
+    refresh_tiers(spark, raw, store, with_hll=False, with_hist=False, with_cms=False, with_kmv=False)
     before = _rows(read_tier(spark, store, "1m"), ["conv_id", "bucket_ts", "n_turns"])
     n_files_before = {}
     for d in _os.listdir(_os.path.join(store, "1m")):
@@ -314,7 +314,7 @@ def test_read_tier_with_cold(spark, tmp_path):
         str(r["d"]) for r in raw.select(F.to_date("ts").alias("d")).distinct().collect()
     )
     store = str(tmp_path / "rc")
-    refresh_tiers(spark, raw, store, mode="batch", with_hll=False, with_hist=False)
+    refresh_tiers(spark, raw, store, mode="batch", with_hll=False, with_hist=False, with_cms=False, with_kmv=False)
     full = [
         t for t in _rows(read_tier(spark, store, "1m"),
                          ["conv_id", "bucket_ts", "sum_lat"])
@@ -346,7 +346,7 @@ def test_incremental_kll_tiers(spark, tmp_path):
 
     store = str(tmp_path / "store")
     raw = transcripts_df(spark, C=25, seed=5)
-    refresh_tiers(spark, raw, store, with_hll=False, with_hist=False)
+    refresh_tiers(spark, raw, store, with_hll=False, with_hist=False, with_cms=False, with_kmv=False)
 
     scratch = kll_cascade(derive_signals(raw))
     for tier in ("1h", "1d"):
@@ -386,7 +386,7 @@ def test_incremental_heavy_tiers(spark, tmp_path):
 
     store = str(tmp_path / "store")
     raw = transcripts_df(spark, C=25, seed=9)
-    refresh_tiers(spark, raw, store, with_hll=False, with_hist=False, with_kll=False)
+    refresh_tiers(spark, raw, store, with_hll=False, with_hist=False, with_kll=False, with_cms=False, with_kmv=False)
 
     scratch = heavy_cascade(raw, "conv_id", "ts")
     got = _rows(
@@ -399,3 +399,74 @@ def test_incremental_heavy_tiers(spark, tmp_path):
     )
     assert got == exp and got
     assert all(r[5] == 0 for r in got)  # exact regime: err == 0
+
+
+def test_incremental_cms_kmv_tiers(spark, tmp_path):
+    """CMS and KMV tiers refresh incrementally: refreshed day partitions
+    equal the from-scratch cascade cell for cell, and in the exact small
+    regime the kmv_1d sketch recovers the true distinct-conv count while
+    cms_1d point estimates equal true per-conv counts."""
+    from timeseriestokenizer_spark.operators.cms import (
+        cms_point_estimate,
+        cms_rollup_from_finer,
+        cms_rollup_tier,
+    )
+    from timeseriestokenizer_spark.operators.kmv import (
+        kmv_estimate,
+        kmv_rollup_from_finer,
+        kmv_rollup_tier,
+    )
+
+    store = str(tmp_path / "store")
+    raw = transcripts_df(spark, C=25, seed=5)
+    refresh_tiers(
+        spark, raw, store,
+        with_hll=False, with_hist=False, with_kll=False, with_heavy=False,
+    )
+    sig = derive_signals(raw)
+
+    cms = kmv = None
+    for i, tier in enumerate(TIERS):
+        cms = cms_rollup_tier(sig, tier) if i == 0 else cms_rollup_from_finer(cms, tier)
+        kmv = kmv_rollup_tier(sig, tier) if i == 0 else kmv_rollup_from_finer(kmv, tier)
+        if tier in ("1h", "1d"):
+            got = _rows(read_tier(spark, store, f"cms_{tier}"),
+                        ["bucket_ts", "row", "col", "cnt"])
+            exp = _rows(cms, ["bucket_ts", "row", "col", "cnt"])
+            assert got == exp, f"cms tier {tier} diverged from scratch"
+            gotk = _rows(read_tier(spark, store, f"kmv_{tier}"),
+                         ["bucket_ts", "h", "rank"])
+            expk = _rows(kmv, ["bucket_ts", "h", "rank"])
+            assert gotk == expk, f"kmv tier {tier} diverged from scratch"
+
+    # exact small regime on the 1d tier: 25 convs < k=64 and width=256
+    day_truth = {
+        (r["d"], r["conv_id"]): r["n"]
+        for r in sig.groupBy(
+            F.date_trunc("day", "ts").alias("d"), "conv_id"
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_distinct = {}
+    for (d, c), _n in day_truth.items():
+        n_distinct[d] = n_distinct.get(d, 0) + 1
+    kmv_1d = kmv_estimate(read_tier(spark, store, "kmv_1d"), ["bucket_ts"])
+    for r in kmv_1d.collect():
+        assert r["n_sketch"] == n_distinct[r["bucket_ts"]]
+        assert r["est"] == float(n_distinct[r["bucket_ts"]])
+
+    cms_1d = read_tier(spark, store, "cms_1d")
+    days = [r["bucket_ts"] for r in cms_1d.select("bucket_ts").distinct().collect()]
+    convs = sig.select("conv_id").distinct()
+    for d in days:
+        est = {
+            r["k"]: r["est"]
+            for r in cms_point_estimate(
+                cms_1d.filter(F.col("bucket_ts") == d).drop("bucket_ts"),
+                convs, key_col="conv_id",
+            ).collect()
+        }
+        for c, e in est.items():
+            true = day_truth.get((d, c), 0)
+            assert e >= true
+            if true > 0:
+                assert e == true  # 25 keys into 256 cells: no collisions here

@@ -10,6 +10,7 @@ from timeseriestokenizer_spark.operators.kmv import (
     kmv_estimate,
     kmv_merge,
     kmv_overlap_pairs,
+    kmv_retention_series,
 )
 
 
@@ -70,3 +71,36 @@ def test_global_build_is_take_ordered(spark):
     hashes = kmv_build(evk, "k", k=64)
     plan = hashes._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_retention_series_tracks_truth(spark):
+    """kmv_retention_series vs exact day-over-day overlap on real data;
+    pairs exist only where both days exist; estimates inside the k=64
+    band."""
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("bucket_ts"),
+        "user_id",
+    )
+    cells = kmv_build(ev, "user_id", ["bucket_ts"], k=64)
+    got = {
+        r["bucket_ts"]: r
+        for r in kmv_retention_series(cells, k=64).collect()
+    }
+    days = sorted(r["bucket_ts"] for r in ev.select("bucket_ts").distinct().collect())
+    sets = {
+        d: {r["user_id"] for r in ev.filter(F.col("bucket_ts") == d)
+            .select("user_id").distinct().collect()}
+        for d in days
+    }
+    import datetime as dt
+
+    expected_pairs = {
+        d for d in days if (d + dt.timedelta(days=1)) in sets
+    }
+    assert set(got) == expected_pairs and got
+    for d in expected_pairs:
+        a, b = sets[d], sets[d + dt.timedelta(days=1)]
+        true_j = len(a & b) / len(a | b)
+        assert abs(got[d]["jaccard_est"] - true_j) < 0.25
+        true_i = len(a & b)
+        assert abs(got[d]["inter_est"] - true_i) / max(true_i, 1) < 0.5

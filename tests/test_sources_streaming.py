@@ -360,3 +360,37 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
     assert len(exp) == 3  # a x2 + b x1 — the fixture really split sessions
+
+
+def test_streaming_cms_matches_batch(spark, tmp_path):
+    """foreachBatch CMS state merge (streaming/rollup_stream.stream_cms_1m):
+    stream-built cells equal a batch cms_rollup_tier over the same rows
+    EXACTLY across multiple micro-batches (counters sum, no estimate
+    regime caveat)."""
+    from timeseriestokenizer_spark.operators.cms import cms_rollup_tier
+    from timeseriestokenizer_spark.streaming.rollup_stream import stream_cms_1m
+
+    rng = np.random.RandomState(47)
+    base = pd.Timestamp("2026-07-01")
+    rows = [
+        (
+            (base + pd.Timedelta(seconds=int(rng.randint(0, 1800)))).to_pydatetime(),
+            f"conv-{int(rng.randint(0, 40))}",
+        )
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, conv_id string")
+    src = str(tmp_path / "cms_src")
+    df.limit(200).coalesce(1).write.mode("append").parquet(src)
+    df.subtract(df.limit(200)).coalesce(1).write.mode("append").parquet(src)
+
+    store = str(tmp_path / "cms_store")
+    state = stream_cms_1m(
+        spark, src, df.schema, str(tmp_path / "cms_ckpt"), store
+    )
+    got = sorted(tuple(r) for r in state.select("bucket_ts", "row", "col", "cnt").collect())
+    exp = sorted(
+        tuple(r)
+        for r in cms_rollup_tier(df, "1m").select("bucket_ts", "row", "col", "cnt").collect()
+    )
+    assert got == exp and got

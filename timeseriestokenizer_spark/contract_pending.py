@@ -269,6 +269,21 @@ def q_bloom_membership(spark, sf_dir):
     return hits.join(actual, "k")
 
 
+def q_kmv_retention_days(spark, sf_dir):
+    """Day-over-day returning-user estimates from daily KMV sketches
+    alone (operators/kmv.kmv_retention_series) — membership of
+    union-sketch hashes against the two stored sketches is provably
+    exact, so the SQL replay hash-matches estimates, not a band."""
+    from .operators.kmv import kmv_build, kmv_retention_series
+
+    ev = contract.load(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("bucket_ts"),
+        "user_id",
+    )
+    cells = kmv_build(ev, "user_id", ["bucket_ts"], k=64)
+    return kmv_retention_series(cells, k=64)
+
+
 def q_pq_codes(spark, sf_dir):
     """Product-quantization encode (operators/pq.pq_encode) with the fixed
     codebook: each 64-dim embedding becomes 8 nibble codes, packed into one
@@ -687,6 +702,44 @@ SELECT h.k, h.bloom_hit, act.actual FROM hits h JOIN act USING (k)
 """
 
 
+_KMV_RETENTION_SQL = """
+WITH hh AS (
+  SELECT DISTINCT date_trunc('day', ts) AS b,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events),
+sk AS (
+  SELECT b, h FROM (
+    SELECT b, h, row_number() OVER (PARTITION BY b ORDER BY h) AS rnk FROM hh
+  ) WHERE rnk <= 64),
+bl AS (SELECT DISTINCT b FROM sk),
+valid AS (SELECT a.b FROM bl a JOIN bl c ON c.b = a.b + INTERVAL 1 DAY),
+tagged AS (
+  SELECT s.b, s.h, 0 AS side FROM sk s JOIN valid v ON v.b = s.b
+  UNION ALL
+  SELECT s.b - INTERVAL 1 DAY AS b, s.h, 1 AS side
+  FROM sk s JOIN valid v ON v.b = s.b - INTERVAL 1 DAY),
+presence AS (
+  SELECT b, h, count(DISTINCT side) AS n_in FROM tagged GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY b ORDER BY h) AS rnk FROM presence),
+u AS (SELECT * FROM r WHERE rnk <= 64),
+a AS (
+  SELECT b AS bucket_ts, CAST(count(*) AS BIGINT) AS n_union_sketch,
+         CAST(sum(CASE WHEN n_in = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         max(h) AS kth
+  FROM u GROUP BY 1),
+z AS (SELECT *,
+             CASE WHEN n_union_sketch < 64 THEN n_union_sketch::DOUBLE
+                  ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                       / (kth + 1)::DOUBLE END AS uest
+      FROM a)
+SELECT bucket_ts, n_union_sketch, n_both,
+       round(n_both::DOUBLE / n_union_sketch::DOUBLE, 6) AS jaccard_est,
+       round(uest, 4) AS union_est,
+       round((n_both::DOUBLE / n_union_sketch::DOUBLE) * uest, 4) AS inter_est
+FROM z
+"""
+
+
 def _pq_codes_cte(books: np.ndarray) -> str:
     """Shared CTE body: vecs, codebook, per-subspace argmin codes.
     Scores replay pq_encode's -2·x·c + ||c||² (the rank-constant ||x||² is
@@ -853,6 +906,7 @@ PENDING_QUERIES = {
     "hw_forecast": q_hw_forecast,
     "best_changepoint": q_best_changepoint,
     "bloom_membership": q_bloom_membership,
+    "kmv_retention_days": q_kmv_retention_days,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "ivfpq_codes": q_ivfpq_codes,
@@ -873,6 +927,7 @@ _PENDING_SQL_BUILDERS = {
     "hw_forecast": lambda: _HW_FORECAST_SQL,
     "best_changepoint": lambda: _CHANGEPOINT_SQL,
     "bloom_membership": lambda: _BLOOM_SQL,
+    "kmv_retention_days": lambda: _KMV_RETENTION_SQL,
     "pq_codes": _pq_codes_sql,
     "pq_adc_topk": _pq_adc_sql,
     "ivfpq_codes": _ivfpq_codes_sql,

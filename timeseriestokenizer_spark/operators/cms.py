@@ -133,3 +133,36 @@ def cms_point_estimate(
     return joined.groupBy("k").agg(
         F.min("cell_cnt").cast("long").alias("est")
     )
+
+
+def cms_rollup_tier(
+    signals: DataFrame,
+    tier: str,
+    key: str = "conv_id",
+    depth: int = DEFAULT_DEPTH,
+    width: int = DEFAULT_WIDTH,
+) -> DataFrame:
+    """Finest CMS tier over the rollup bucketing: per-bucket key-frequency
+    sketch (bucket_ts, row, col, cnt) — the point-query companion to the
+    heavy_{tier} top-k state (MG tells you WHO is hot; CMS answers "how
+    often did THIS key occur" for any key, hot or not)."""
+    from .rollup import bucket_ts
+
+    return cms_build(
+        signals.select(bucket_ts(tier).alias("bucket_ts"), F.col(key)),
+        key,
+        ["bucket_ts"],
+        depth,
+        width,
+    )
+
+
+def cms_rollup_from_finer(finer: DataFrame, tier: str) -> DataFrame:
+    """Coarser CMS tier by counter addition (cascade == direct; also the
+    incremental-refresh merge path)."""
+    from .rollup import bucket_ts
+
+    coarse = finer.withColumn(
+        "bucket_ts2", bucket_ts(tier, "bucket_ts")
+    ).drop("bucket_ts").withColumnRenamed("bucket_ts2", "bucket_ts")
+    return cms_merge(coarse, ["bucket_ts"])

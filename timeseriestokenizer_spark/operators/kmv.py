@@ -162,3 +162,96 @@ def kmv_overlap_pairs(
         F.round(union_est, 4).alias("union_est"),
         F.round(jac * union_est, 4).alias("inter_est"),
     )
+
+
+def kmv_rollup_tier(
+    signals: DataFrame,
+    tier: str,
+    key: str = "conv_id",
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Finest KMV tier over the rollup bucketing: per-bucket bottom-k key
+    sketch — the tier that answers bucket-over-bucket OVERLAP questions
+    (returning-series retention, audience intersection) which the
+    hll_{tier} cardinality state cannot."""
+    from .rollup import bucket_ts
+
+    return kmv_build(
+        signals.select(bucket_ts(tier).alias("bucket_ts"), F.col(key)),
+        key,
+        ["bucket_ts"],
+        k,
+    )
+
+
+def kmv_rollup_from_finer(finer: DataFrame, tier: str, k: int = DEFAULT_K) -> DataFrame:
+    """Coarser KMV tier by bottom-k merge (exactly equal to a direct
+    build — bottom-k is closed under union)."""
+    from .rollup import bucket_ts
+
+    coarse = finer.withColumn(
+        "bucket_ts2", bucket_ts(tier, "bucket_ts")
+    ).drop("bucket_ts").withColumnRenamed("bucket_ts2", "bucket_ts")
+    return kmv_merge(coarse, ["bucket_ts"], k)
+
+
+def kmv_retention_series(
+    cells: DataFrame,
+    k: int = DEFAULT_K,
+    step: str = "INTERVAL 1 DAY",
+) -> DataFrame:
+    """Bucket-over-bucket returning-key estimates from KMV TIER STATE
+    alone (no raw re-scan — the drift_series doctrine applied to set
+    overlap): for each bucket pair (b, b+step) present in the store,
+    Jaccard / union / intersection estimates of the two key sets.
+
+    Soundness of sketch-only membership: for any hash h in the bottom-k
+    of A ∪ B, h ∈ A implies h ∈ bottom-k(A) (fewer than k union elements
+    precede h, so fewer than k of A do) — so testing union-sketch members
+    against the two stored sketches is EXACT, never a guess. Output
+    (bucket_ts, n_union_sketch, n_both, jaccard_est, union_est,
+    inter_est) keyed by the EARLIER bucket; pairs where either bucket is
+    absent from the store are omitted (no fake zeros)."""
+    buckets = cells.select("bucket_ts").distinct()
+    valid = buckets.join(
+        buckets.select(
+            (F.col("bucket_ts") - F.expr(step)).alias("bucket_ts")
+        ),
+        "bucket_ts",
+    )  # buckets whose successor exists
+    prev = cells.select(
+        F.col("bucket_ts"), "h", F.lit(0).alias("side")
+    ).join(valid, "bucket_ts")
+    nxt = cells.select(
+        (F.col("bucket_ts") - F.expr(step)).alias("bucket_ts"),
+        "h",
+        F.lit(1).alias("side"),
+    ).join(valid, "bucket_ts")
+    presence = (
+        prev.unionByName(nxt)
+        .groupBy("bucket_ts", "h")
+        .agg(F.count_distinct("side").alias("n_in"))
+    )
+    w = W.partitionBy("bucket_ts").orderBy("h")
+    sk = presence.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= int(k)
+    )
+    agg = sk.groupBy("bucket_ts").agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_sketch"),
+        F.sum((F.col("n_in") == 2).cast("long")).alias("n_both"),
+        F.max("h").alias("kth"),
+    )
+    union_est = F.when(
+        F.col("n_union_sketch") < int(k),
+        F.col("n_union_sketch").cast("double"),
+    ).otherwise(
+        F.lit(float(int(k) - 1)) * F.lit(_M60)
+        / (F.col("kth") + 1).cast("double")
+    )
+    jac = F.col("n_both").cast("double") / F.col("n_union_sketch").cast("double")
+    return agg.select(
+        "bucket_ts", "n_union_sketch", "n_both",
+        F.round(jac, 6).alias("jaccard_est"),
+        F.round(union_est, 4).alias("union_est"),
+        F.round(jac * union_est, 4).alias("inter_est"),
+    )

@@ -41,8 +41,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from ..operators.cms import cms_rollup_from_finer, cms_rollup_tier
 from ..operators.heavy import heavy_rollup_from_finer, heavy_rollup_tier
 from ..operators.kll import kll_rollup_from_finer, kll_rollup_tier
+from ..operators.kmv import kmv_rollup_from_finer, kmv_rollup_tier
 from ..operators.rollup import (
     TIERS,
     distinct_rollup_from_finer,
@@ -55,6 +57,54 @@ from ..operators.rollup import (
 from .manifest import commit_partition, read_manifest
 
 TIER_ORDER = ["1m", "5m", "1h", "1d"]
+
+
+def _side_tier_day(spark, store_root, manifest, day, t0, prefix, first, finer):
+    """One sketch family's 1m->1d cascade for a single day partition —
+    finest tier from signals, coarser tiers by sketch merge (identical to
+    the cascade path, so refreshed state equals scratch state)."""
+    cur, prev_cache = None, None
+    for i, tier in enumerate(TIER_ORDER):
+        cur = (first(tier) if i == 0 else finer(cur, tier)).persist()
+        cur.write.mode("overwrite").parquet(
+            os.path.join(store_root, f"{prefix}_{tier}", f"day={day}")
+        )
+        commit_partition(
+            spark, manifest, "incremental", f"{prefix}_{tier}", day,
+            cur.count(), wall_s=time.time() - t0,
+        )
+        if prev_cache is not None:
+            prev_cache.unpersist()
+        prev_cache = cur
+    prev_cache.unpersist()
+
+
+def _side_tier_batch(spark, store_root, manifest, days, t0, prefix, first, finer):
+    """Batch-mode twin of _side_tier_day: one cascade for the whole run,
+    day partitions split out by dynamic partition overwrite."""
+    cur, prev_cache = None, None
+    for i, tier in enumerate(TIER_ORDER):
+        cur = (first(tier) if i == 0 else finer(cur, tier)).persist()
+        cur.withColumn("day", F.to_date("bucket_ts")).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "day"
+        ).parquet(os.path.join(store_root, f"{prefix}_{tier}"))
+        per_day = {
+            str(r["d"]): r["n"]
+            for r in cur.groupBy(F.to_date("bucket_ts").alias("d"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for d in days:
+            commit_partition(
+                spark, manifest, "incremental", f"{prefix}_{tier}", d,
+                per_day.get(d, 0), wall_s=time.time() - t0,
+            )
+        if prev_cache is not None:
+            prev_cache.unpersist()
+        prev_cache = cur
+    prev_cache.unpersist()
 
 
 def _state_path(store_root: str, through_day: str) -> str:
@@ -186,6 +236,11 @@ def refresh_day(
     kll_k: int = 512,
     with_heavy: bool = True,
     mg_k: int = 256,
+    with_cms: bool = True,
+    cms_depth: int = 4,
+    cms_width: int = 256,
+    with_kmv: bool = True,
+    kmv_k: int = 64,
 ) -> dict:
     """Refresh every tier's ``day=<day>`` partition (and the conv-state
     snapshot ``through=<day>``) from that day's raw rows + the previous
@@ -301,6 +356,19 @@ def refresh_day(
             prev_cache = hh
         prev_cache.unpersist()
 
+    if with_cms:
+        _side_tier_day(
+            spark, store_root, manifest, day, t0, "cms",
+            lambda tier: cms_rollup_tier(signals, tier, key, cms_depth, cms_width),
+            lambda cur, tier: cms_rollup_from_finer(cur, tier),
+        )
+    if with_kmv:
+        _side_tier_day(
+            spark, store_root, manifest, day, t0, "kmv",
+            lambda tier: kmv_rollup_tier(signals, tier, key, kmv_k),
+            lambda cur, tier: kmv_rollup_from_finer(cur, tier, kmv_k),
+        )
+
     # state through this day = merge(previous state, today's last turn)
     day_max = signals.groupBy("conv_id").agg(F.max("ts").alias("last_ts"))
     if prev_state is not None:
@@ -336,6 +404,11 @@ def refresh_days_batch(
     kll_k: int = 512,
     with_heavy: bool = True,
     mg_k: int = 256,
+    with_cms: bool = True,
+    cms_depth: int = 4,
+    cms_width: int = 256,
+    with_kmv: bool = True,
+    kmv_k: int = 64,
 ) -> dict:
     """Refresh a CONTIGUOUS run of days as ONE cascade — the bulk-load /
     backfill path. The per-day loop costs O(days) Spark job rounds (fine
@@ -527,6 +600,19 @@ def refresh_days_batch(
             prev_cache = hh
         prev_cache.unpersist()
 
+    if with_cms:
+        _side_tier_batch(
+            spark, store_root, manifest, days, t0, "cms",
+            lambda tier: cms_rollup_tier(signals, tier, key, cms_depth, cms_width),
+            lambda cur, tier: cms_rollup_from_finer(cur, tier),
+        )
+    if with_kmv:
+        _side_tier_batch(
+            spark, store_root, manifest, days, t0, "kmv",
+            lambda tier: kmv_rollup_tier(signals, tier, key, kmv_k),
+            lambda cur, tier: kmv_rollup_from_finer(cur, tier, kmv_k),
+        )
+
     batch_max = signals.groupBy("conv_id").agg(F.max("ts").alias("last_ts"))
     merged = (
         prev_state.unionByName(batch_max)
@@ -562,6 +648,8 @@ def refresh_tiers(
     kll_k: int = 512,
     with_heavy: bool = True,
     mg_k: int = 256,
+    with_cms: bool = True,
+    with_kmv: bool = True,
 ) -> list[dict]:
     """Refresh the tier store for ``days`` (default: stale_days — new days
     plus days whose raw count changed). Days run in ascending order so each
@@ -594,12 +682,14 @@ def refresh_tiers(
             refresh_days_batch(
                 spark, raw, store_root, days, key, ts_col, with_hll, lg_k,
                 with_hist, with_kll, kll_k, with_heavy, mg_k,
+                with_cms=with_cms, with_kmv=with_kmv,
             )
         ]
     return [
         refresh_day(
             spark, raw, store_root, d, key, ts_col, with_hll, lg_k, with_hist,
             with_kll, kll_k, with_heavy, mg_k,
+            with_cms=with_cms, with_kmv=with_kmv,
         )
         for d in days
     ]
@@ -630,7 +720,7 @@ def retention_sweep(
     cold_pack_tiers: tuple[str, ...] = ("1m",),
     key: str = "conv_id",
     value_col: str = "sum_lat",
-    side_prefixes: tuple[str, ...] = ("hll_", "hist_", "kll_", "heavy_"),
+    side_prefixes: tuple[str, ...] = ("hll_", "hist_", "kll_", "heavy_", "cms_", "kmv_"),
 ) -> dict:
     """Enforce TTLs on the tier store PHYSICALLY — the retention leg of the
     north rule applied to storage, not just DataFrames: day partitions

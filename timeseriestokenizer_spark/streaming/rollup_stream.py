@@ -296,6 +296,38 @@ def stream_heavy_1m(
     )
 
 
+def stream_cms_1m(
+    spark,
+    input_dir: str,
+    schema,
+    checkpoint_dir: str,
+    store_path: str,
+    key_col: str = "conv_id",
+    depth: int = 4,
+    width: int = 256,
+):
+    """Streaming count-min tier — same foreachBatch state-merge shape as
+    stream_kll_1m / stream_heavy_1m, but the merge is PLAIN COUNTER
+    ADDITION (groupBy sum over (bucket, row, col)): commutative and
+    idempotence-free like the others, so it rides the exactly-once
+    ``_applied_batch`` marker unchanged. Stream-built cells equal a batch
+    build over the same rows EXACTLY (counters, not estimates — no
+    regime caveat needed)."""
+    from ..operators.cms import cms_merge, cms_rollup_tier
+
+    return _run_state_merge_stream(
+        spark,
+        input_dir,
+        schema,
+        checkpoint_dir,
+        store_path,
+        partial_fn=lambda batch: cms_rollup_tier(
+            batch, "1m", key=key_col, depth=depth, width=width
+        ),
+        merge_fn=lambda state: cms_merge(state, ["bucket_ts"]),
+    )
+
+
 def _run_state_merge_stream(
     spark,
     input_dir: str,

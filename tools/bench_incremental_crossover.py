@@ -61,11 +61,13 @@ def main():
             refresh_tiers(
                 spark, raw.filter(F.to_date("ts") < F.lit(new_day)), store,
                 with_hll=False, with_hist=False, with_kll=False, with_heavy=False,
+            with_cms=False, with_kmv=False,
             )
             t0 = time.time()
             refresh_tiers(
                 spark, raw, store, days=[new_day],
                 with_hll=False, with_hist=False, with_kll=False, with_heavy=False,
+            with_cms=False, with_kmv=False,
             )
             incr_s = time.time() - t0
 
