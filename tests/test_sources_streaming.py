@@ -394,3 +394,35 @@ def test_streaming_cms_matches_batch(spark, tmp_path):
         for r in cms_rollup_tier(df, "1m").select("bucket_ts", "row", "col", "cnt").collect()
     )
     assert got == exp and got
+
+
+def test_streaming_kmv_matches_batch(spark, tmp_path):
+    """stream_kmv_1m: streamed bottom-k state equals a batch
+    kmv_rollup_tier over the same rows exactly (closure under union)."""
+    from timeseriestokenizer_spark.operators.kmv import kmv_rollup_tier
+    from timeseriestokenizer_spark.streaming.rollup_stream import stream_kmv_1m
+
+    rng = np.random.RandomState(53)
+    base = pd.Timestamp("2026-07-01")
+    rows = [
+        (
+            (base + pd.Timedelta(seconds=int(rng.randint(0, 600)))).to_pydatetime(),
+            f"conv-{int(rng.randint(0, 200))}",
+        )
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, conv_id string")
+    src = str(tmp_path / "kmv_src")
+    df.limit(250).coalesce(1).write.mode("append").parquet(src)
+    df.subtract(df.limit(250)).coalesce(1).write.mode("append").parquet(src)
+
+    state = stream_kmv_1m(
+        spark, src, df.schema, str(tmp_path / "kmv_ckpt"),
+        str(tmp_path / "kmv_store"),
+    )
+    got = sorted(tuple(r) for r in state.select("bucket_ts", "h", "rank").collect())
+    exp = sorted(
+        tuple(r)
+        for r in kmv_rollup_tier(df, "1m").select("bucket_ts", "h", "rank").collect()
+    )
+    assert got == exp and got

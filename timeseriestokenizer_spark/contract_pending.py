@@ -11,13 +11,12 @@ get the full Spark-vs-DuckDB value-hash proof from
 and round 6 promotes them into contract.QUERIES / ORACLE_SQL verbatim once
 CORRECTNESS_r05.json frees cap slots.
 
-Rows staged (see COVERAGE.md "round-6 queue"):
-* kalman_level       — operators/smoothing.kalman_level, bit-exact CTE oracle
-* pq_codes           — operators/pq.pq_encode with a FIXED 6-dp codebook
-* pq_adc_topk        — operators/pq.pq_adc_topk, full ADC replay in SQL
-* ivfpq_codes        — operators/pq.ivfpq_encode (cell + residual codes)
-* ivfpq_topk         — operators/pq.ivfpq_topk at n_probe=2, probe-selection
-                       AND residual-ADC replay in SQL
+Rows staged (the authoritative list is PENDING_QUERIES below; one line
+each in COVERAGE.md "round-6 queue"): kalman_level, alert_state,
+alert_episodes, swinging_door_keep, cms_point_freq, cms_freq_cascade,
+lm_doc_score, kmv_distinct, kmv_overlap, kmv_union_cascade, hw_forecast,
+best_changepoint, bloom_membership, kmv_retention_days, pq_codes,
+pq_adc_topk, ivfpq_codes, ivfpq_topk.
 
 Fixed-codebook convention (the ann_ivf_assign pattern): centroid values are
 `float(f"{x:.6f}")` — both engines parse the same 6-dp decimal string to the

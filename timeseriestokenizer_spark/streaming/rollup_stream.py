@@ -328,6 +328,33 @@ def stream_cms_1m(
     )
 
 
+def stream_kmv_1m(
+    spark,
+    input_dir: str,
+    schema,
+    checkpoint_dir: str,
+    store_path: str,
+    key_col: str = "conv_id",
+    k: int = 64,
+):
+    """Streaming KMV tier — bottom-k state merge on the shared runner.
+    The merge re-ranks the distinct union of stored and batch hashes and
+    keeps the bottom k: order-insensitive AND exactly equal to a batch
+    build (bottom-k is closed under union), so the stream/batch reconcile
+    is an equality, not an estimate comparison."""
+    from ..operators.kmv import kmv_merge, kmv_rollup_tier
+
+    return _run_state_merge_stream(
+        spark,
+        input_dir,
+        schema,
+        checkpoint_dir,
+        store_path,
+        partial_fn=lambda batch: kmv_rollup_tier(batch, "1m", key=key_col, k=k),
+        merge_fn=lambda state: kmv_merge(state, ["bucket_ts"], k),
+    )
+
+
 def _run_state_merge_stream(
     spark,
     input_dir: str,
