@@ -95,3 +95,39 @@ def test_bloom_no_false_negatives_and_fp_rate(spark):
     plan = bloom_probe(non_members, bloom, "k")._jdf.queryExecution()
     ps = plan.executedPlan().toString()
     assert "Python" not in ps and "BroadcastHashJoin" in ps, ps
+
+
+def test_count_bracket_contains_truth(spark):
+    """count_bracket over real heavy_/cms_ tier state: mg_count <= true <=
+    cms_est for every surfaced key, and gap == 0 certifies exactness."""
+    from timeseriestokenizer_spark.operators.cms import (
+        cms_rollup_tier,
+        count_bracket,
+    )
+    from timeseriestokenizer_spark.operators.heavy import heavy_rollup_tier
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(
+            F.col("ts"),
+            F.col("user_id").cast("string").alias("conv_id"),
+        )
+    )
+    mg = heavy_rollup_tier(ev, "1h", key_col="conv_id", k=8)
+    cells = cms_rollup_tier(ev, "1h", key="conv_id")
+    br = count_bracket(mg, cells).collect()
+    truth = {
+        (r["b"], r["conv_id"]): r["n"]
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("b"), "conv_id"
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert br
+    certified = 0
+    for r in br:
+        t = truth[(r["bucket_ts"], r["key"])]
+        assert r["mg_count"] <= t <= r["cms_est"], (r, t)
+        if r["gap"] == 0:
+            certified += 1
+            assert r["mg_count"] == t
+    assert certified > 0

@@ -166,3 +166,63 @@ def cms_rollup_from_finer(finer: DataFrame, tier: str) -> DataFrame:
         "bucket_ts2", bucket_ts(tier, "bucket_ts")
     ).drop("bucket_ts").withColumnRenamed("bucket_ts2", "bucket_ts")
     return cms_merge(coarse, ["bucket_ts"])
+
+
+def count_bracket(
+    mg_df: DataFrame,
+    cms_cells: DataFrame,
+    depth: int = DEFAULT_DEPTH,
+    width: int = DEFAULT_WIDTH,
+) -> DataFrame:
+    """Two-sided per-key count bounds by combining the two frequency
+    tiers: Misra-Gries NEVER overestimates (reported count ≥ true − err,
+    and ≤ true), count-min NEVER underestimates — so for every key the MG
+    tier surfaces,
+
+        mg_count ≤ true ≤ cms_est,   gap = cms_est − mg_count
+
+    brackets the truth from tier STATE alone (no raw re-scan), and
+    gap == 0 certifies the count exactly. Reads heavy_{tier} summaries
+    (bucket_ts, keys, counts, err arrays) and cms_{tier} cells sharing the
+    same bucketing; pure Catalyst (posexplode + the CMS min-over-rows
+    join)."""
+    pairs = mg_df.select(
+        "bucket_ts",
+        "err",
+        F.posexplode(F.arrays_zip("keys", "counts")).alias("pos", "kc"),
+    ).select(
+        "bucket_ts",
+        F.col("kc.keys").alias("key"),
+        F.col("kc.counts").cast("long").alias("mg_count"),
+        F.col("err").cast("long").alias("mg_err"),
+    )
+    krc = pairs.select(
+        "bucket_ts", "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("row"),
+                        _col_hash("key", j, width).cast("int").alias("col"),
+                    )
+                    for j in range(int(depth))
+                ]
+            )
+        ).alias("rc"),
+    ).select(
+        "bucket_ts", "key",
+        F.col("rc.row").alias("row"), F.col("rc.col").alias("col"),
+    )
+    est = (
+        krc.join(cms_cells, ["bucket_ts", "row", "col"], "left")
+        .select(
+            "bucket_ts", "key",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cell_cnt"),
+        )
+        .groupBy("bucket_ts", "key")
+        .agg(F.min("cell_cnt").cast("long").alias("cms_est"))
+    )
+    return pairs.join(est, ["bucket_ts", "key"]).select(
+        "bucket_ts", "key", "mg_count", "mg_err", "cms_est",
+        (F.col("cms_est") - F.col("mg_count")).cast("long").alias("gap"),
+    )
