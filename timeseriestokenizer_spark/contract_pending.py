@@ -15,7 +15,8 @@ Rows staged (the authoritative list is PENDING_QUERIES below; one line
 each in COVERAGE.md "round-6 queue"): kalman_level, alert_state,
 alert_episodes, swinging_door_keep, cms_point_freq, cms_freq_cascade,
 lm_doc_score, kmv_distinct, kmv_overlap, kmv_union_cascade, hw_forecast,
-best_changepoint, bloom_membership, kmv_retention_days, pq_codes,
+best_changepoint, bloom_membership, kmv_retention_days, count_bracket,
+pq_codes,
 pq_adc_topk, ivfpq_codes, ivfpq_topk.
 
 Fixed-codebook convention (the ann_ivf_assign pattern): centroid values are
@@ -281,6 +282,24 @@ def q_kmv_retention_days(spark, sf_dir):
     )
     cells = kmv_build(ev, "user_id", ["bucket_ts"], k=64)
     return kmv_retention_series(cells, k=64)
+
+
+def q_count_bracket(spark, sf_dir):
+    """Two-sided per-key count bounds from tier state (operators/cms.
+    count_bracket): daily Misra-Gries summaries at k=256 (> distinct
+    users, so the exact no-eviction regime: mg_count = true, err = 0)
+    joined with daily CMS cells — the oracle replays exact counts AND the
+    sketch, so the bracket columns hash-match including gap."""
+    from .operators.cms import cms_rollup_tier, count_bracket
+    from .operators.heavy import heavy_rollup_tier
+
+    ev = contract.load(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("user_id").cast("string").alias("conv_id"),
+    )
+    mg = heavy_rollup_tier(ev, "1d", key_col="conv_id", k=256)
+    cells = cms_rollup_tier(ev, "1d", key="conv_id")
+    return count_bracket(mg, cells)
 
 
 def q_pq_codes(spark, sf_dir):
@@ -739,6 +758,37 @@ FROM z
 """
 
 
+_COUNT_BRACKET_SQL = """
+WITH e AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+         CAST(user_id AS VARCHAR) AS key
+  FROM events),
+mg AS (
+  SELECT bucket_ts, key, CAST(count(*) AS BIGINT) AS mg_count,
+         CAST(0 AS BIGINT) AS mg_err
+  FROM e GROUP BY 1, 2),
+js AS (SELECT unnest(range(4)) AS j),
+cells AS (
+  SELECT bucket_ts, j AS row,
+         CAST(concat('0x', substr(md5(concat(j, ':', key)), 1, 8)) AS BIGINT) % 256 AS col,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM e, js GROUP BY 1, 2, 3),
+probe AS (
+  SELECT DISTINCT m.bucket_ts, m.key, j AS row,
+         CAST(concat('0x', substr(md5(concat(j, ':', m.key)), 1, 8)) AS BIGINT) % 256 AS col
+  FROM mg m, js),
+est AS (
+  SELECT p.bucket_ts, p.key,
+         CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_est
+  FROM probe p
+  LEFT JOIN cells c ON c.bucket_ts = p.bucket_ts AND c.row = p.row AND c.col = p.col
+  GROUP BY 1, 2)
+SELECT m.bucket_ts, m.key, m.mg_count, m.mg_err, e2.cms_est,
+       CAST(e2.cms_est - m.mg_count AS BIGINT) AS gap
+FROM mg m JOIN est e2 ON e2.bucket_ts = m.bucket_ts AND e2.key = m.key
+"""
+
+
 def _pq_codes_cte(books: np.ndarray) -> str:
     """Shared CTE body: vecs, codebook, per-subspace argmin codes.
     Scores replay pq_encode's -2·x·c + ||c||² (the rank-constant ||x||² is
@@ -906,6 +956,7 @@ PENDING_QUERIES = {
     "best_changepoint": q_best_changepoint,
     "bloom_membership": q_bloom_membership,
     "kmv_retention_days": q_kmv_retention_days,
+    "count_bracket": q_count_bracket,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "ivfpq_codes": q_ivfpq_codes,
@@ -927,6 +978,7 @@ _PENDING_SQL_BUILDERS = {
     "best_changepoint": lambda: _CHANGEPOINT_SQL,
     "bloom_membership": lambda: _BLOOM_SQL,
     "kmv_retention_days": lambda: _KMV_RETENTION_SQL,
+    "count_bracket": lambda: _COUNT_BRACKET_SQL,
     "pq_codes": _pq_codes_sql,
     "pq_adc_topk": _pq_adc_sql,
     "ivfpq_codes": _ivfpq_codes_sql,
