@@ -224,3 +224,53 @@ def test_ivfpq_residual_beats_flat_pq(spark):
         return float(np.sqrt(((R - X) ** 2).mean()))
 
     assert rmse(rec_ivf) < rmse(rec_flat)
+
+
+def test_exact_rerank_refines_adc(spark):
+    """ADC+R (exact_rerank): with a full-corpus shortlist the rerank IS
+    the exact euclidean top-k; with a c*k ADC shortlist recall@k can only
+    improve over raw ADC; the rerank plan stays JVM-only."""
+    from timeseriestokenizer_spark.operators.pq import exact_rerank
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    B = pq_train(emb, m=8, k=16, sample_n=500)
+    codes = pq_encode(emb, B)
+
+    # exact euclidean truth (numpy, driver-side for the assertion only)
+    rows = sorted(
+        (r["vec_id"], np.asarray(r["embedding"], dtype=np.float64))
+        for r in emb.collect()
+    )
+    ids = np.array([i for i, _ in rows])
+    X = np.stack([v for _, v in rows])
+    truth = {}
+    for qid in range(10):
+        d = ((X - X[ids == qid][0]) ** 2).sum(1)
+        d[ids == qid] = np.inf
+        truth[qid] = [int(ids[i]) for i in np.argsort(d, kind="stable")[:5]]
+
+    # full-corpus shortlist -> rerank == exact top-k
+    full_short = q.select(F.col("vec_id").alias("query_id")).crossJoin(
+        emb.select(F.col("vec_id").alias("cand_id"))
+    ).filter("query_id != cand_id")
+    got = {}
+    for r in exact_rerank(full_short, emb, q, k=5).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["cand_id"]))
+    for qid in range(10):
+        assert [c for _, c in sorted(got[qid])] == truth[qid]
+
+    # ADC shortlist (4x over-fetch) -> rerank recall >= raw ADC recall
+    adc = pq_adc_topk(codes, q, B, k=20)
+    rr = exact_rerank(adc, emb, q, k=5)
+    def recall(df_rows):
+        hits = 0
+        for r in df_rows:
+            if r["cand_id"] in truth[r["query_id"]]:
+                hits += 1
+        return hits / 50
+    adc5 = pq_adc_topk(codes, q, B, k=5).collect()
+    assert recall(rr.collect()) >= recall(adc5)
+
+    plan = rr._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "mapInPandas" not in plan.lower(), plan

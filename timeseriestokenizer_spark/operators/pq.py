@@ -404,3 +404,47 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", F.round("adc", 6).alias("adc"), "rank")
     )
+
+
+def exact_rerank(
+    shortlist: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """The ADC+R refine step (Jegou et al. 2011 §V): re-score an ADC
+    SHORTLIST (query_id, cand_id) with exact euclidean distance and keep
+    the top-k. Only shortlist-sized data moves — the candidate vectors
+    join by id (shortlist rows ≪ corpus rows; Spark broadcasts the
+    shortlist side), queries broadcast, and the distance is a JVM
+    zip_with/aggregate fold — no Python, no full-corpus scan. Output
+    (query_id, cand_id, d2 r6, rank) with (d2, cand_id) tie order."""
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    cv = vectors.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        shortlist.select("query_id", "cand_id")
+        .join(cv, "cand_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.expr(
+                "aggregate(zip_with(_cv, _qv, (a, b) ->"
+                " (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
+                " * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))),"
+                " 0D, (acc, x) -> acc + x)"
+            ).alias("d2"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("d2", "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "cand_id", F.round("d2", 6).alias("d2"), "rank")
+    )

@@ -124,6 +124,103 @@ def main():
         )
         print("clustered", out["ivf_clustered"][-1], flush=True)
 
+    # --- PQ / IVF-PQ: recall under code compression --------------------
+    # ADC ranks by (approximate) EUCLIDEAN distance, so the truth set for
+    # these curves is the exact euclidean top-k (numpy on the collected
+    # 2000x64 matrix — trivially driver-sized for the measurement; the
+    # operators themselves never collect the corpus). Measured on the
+    # CLUSTERED corpus (the regime the index is for) and the isotropic
+    # one, trained codebooks in both cases.
+    from timeseriestokenizer_spark.operators.pq import (
+        exact_rerank,
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_train,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    def euclid_truth(frame):
+        rows = sorted(
+            (r["vec_id"], np.asarray(r["embedding"], dtype=np.float64))
+            for r in frame.select("vec_id", "embedding").collect()
+        )
+        ids = np.array([i for i, _ in rows])
+        X = np.stack([v for _, v in rows])
+        qmask = ids < 50
+        d2 = ((X[qmask][:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+        truth_set = set()
+        for qi, qid in enumerate(ids[qmask]):
+            dd = d2[qi].copy()
+            dd[ids == qid] = np.inf
+            for ci in np.argsort(dd, kind="stable")[:k]:
+                truth_set.add((int(qid), int(ids[ci])))
+        return truth_set
+
+    for tag, frame in (("pq_isotropic", emb), ("pq_clustered", cdf)):
+        et = euclid_truth(frame)
+
+        def erecall(rows):
+            return sum(
+                1 for r in rows if (r["query_id"], r["cand_id"]) in et
+            ) / (n_q * k)
+
+        fq = frame.filter(F.col("vec_id") < 50)
+        out[tag] = {"flat_adc": [], "ivfpq": []}
+        for m_sub, kc in ((8, 16), (8, 64), (16, 256)):
+            books = pq_train(frame, m=m_sub, k=kc, sample_n=2000)
+            codes = pq_encode(frame, books).cache()
+            codes.count()
+            t0 = time.time()
+            rows = pq_adc_topk(codes, fq, books, k=k).collect()
+            wall_adc = time.time() - t0
+            # ADC+R: 4x over-fetch shortlist, exact euclidean rerank —
+            # the standard refine step; only shortlist rows move
+            t0 = time.time()
+            short = pq_adc_topk(codes, fq, books, k=4 * k)
+            rrows = exact_rerank(short, frame, fq, k=k).collect()
+            wall_rr = time.time() - t0
+            codes.unpersist()
+            out[tag]["flat_adc"].append(
+                {
+                    "m": m_sub, "k_cent": kc,
+                    "code_bytes": m_sub,
+                    "recall_at_10": round(erecall(rows), 4),
+                    "wall_s": round(wall_adc, 2),
+                    "rerank4x_recall_at_10": round(erecall(rrows), 4),
+                    "rerank_wall_s": round(wall_rr, 2),
+                }
+            )
+            print(tag, out[tag]["flat_adc"][-1], flush=True)
+        cents, rbooks = ivfpq_train(frame, n_cells=n_cells, m=8, k=64,
+                                    sample_n=2000)
+        enc = ivfpq_encode(frame, cents, rbooks).cache()
+        enc.count()
+        for n_probe in (1, 2, 4, 8, n_cells):
+            t0 = time.time()
+            rows = ivfpq_topk(
+                enc, fq, cents, rbooks, k=k, n_probe=n_probe
+            ).collect()
+            wall_adc = time.time() - t0
+            t0 = time.time()
+            short = ivfpq_topk(
+                enc, fq, cents, rbooks, k=4 * k, n_probe=n_probe
+            )
+            rrows = exact_rerank(short, frame, fq, k=k).collect()
+            out[tag]["ivfpq"].append(
+                {
+                    "n_probe": n_probe, "m": 8, "k_cent": 64,
+                    "recall_at_10": round(erecall(rows), 4),
+                    "wall_s": round(wall_adc, 2),
+                    "rerank4x_recall_at_10": round(erecall(rrows), 4),
+                    "rerank_wall_s": round(time.time() - t0, 2),
+                    "probed_frac": round(n_probe / n_cells, 3),
+                }
+            )
+            print(tag, out[tag]["ivfpq"][-1], flush=True)
+        enc.unpersist()
+
     dest = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "BENCH", "ann_recall.json")
     with open(dest, "w") as f:
