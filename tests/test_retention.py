@@ -129,3 +129,65 @@ def test_retention_crash_leaves_no_double_count(spark, tmp_path):
     out = read_tier_with_cold(spark, str(store), "1m").collect()
     assert len(out) == 10                       # once, not twice
     assert all(not r["is_cold"] for r in out)   # the hot copy won
+
+
+def test_retention_sweep_sdt_lossy_cold_pack(spark, tmp_path):
+    """Opt-in swinging-door pre-filter in the cold-pack path: the cold
+    blob keeps fewer points, endpoints survive, every dropped point is
+    within the 2E interpolation envelope of the kept ones — and the
+    default path (sdt_comp_dev=None) stays exact/lossless."""
+    import os
+
+    import pandas as pd
+
+    from timeseriestokenizer_spark.plans.incremental import retention_sweep
+
+    def build_store(name):
+        store = tmp_path / name
+        root = store / "1m"
+        root.mkdir(parents=True)
+        base = pd.Timestamp("2026-01-01")
+        rows = []
+        for i in range(240):
+            # smooth ramp with one spike: SDT should drop most ramp points
+            v = 10.0 + 0.25 * i + (300.0 if i == 120 else 0.0)
+            rows.append(("a", (base + pd.Timedelta(minutes=i)).to_pydatetime(), float(v)))
+        df = spark.createDataFrame(
+            rows, "conv_id string, bucket_ts timestamp, sum_lat double"
+        )
+        df.write.parquet(str(root / "day=2026-01-01"))
+        df.write.parquet(str(root / "day=2026-03-01"))  # recent: survives
+        return store, {(r[0], r[1]): r[2] for r in rows}
+
+    # lossy sweep
+    store, orig = build_store("lossy")
+    retention_sweep(
+        spark, str(store), "2026-03-02", policy={"1m": 30 * 86400},
+        sdt_comp_dev=5.0,
+    )
+    assert not os.path.isdir(str(store / "1m" / "day=2026-01-01"))
+    assert os.path.isdir(str(store / "1m" / "day=2026-03-01"))
+    packed = spark.read.parquet(str(store / "cold_1m" / "day=2026-01-01"))
+    back = gorilla_unpack(packed).toPandas().sort_values("ts")
+    kept = list(zip(back["ts"].astype("datetime64[us]"), back["value"]))
+    n_orig = 240
+    assert 2 < len(kept) < n_orig  # genuinely compressed
+    # spike survives
+    assert any(v > 200 for _, v in kept)
+    # every original point within 2E of interpolation between kept points
+    kt = [(t.timestamp(), v) for t, v in kept]
+    for (cid, ts), v in orig.items():
+        x = pd.Timestamp(ts).timestamp()
+        for (t0, v0), (t1, v1) in zip(kt, kt[1:]):
+            if t0 <= x <= t1:
+                interp = v0 if t1 == t0 else v0 + (x - t0) / (t1 - t0) * (v1 - v0)
+                assert abs(v - interp) <= 2 * 5.0 + 1e-9
+                break
+
+    # default sweep stays lossless
+    store2, _ = build_store("lossless")
+    retention_sweep(
+        spark, str(store2), "2026-03-02", policy={"1m": 30 * 86400}
+    )
+    packed2 = spark.read.parquet(str(store2 / "cold_1m" / "day=2026-01-01"))
+    assert gorilla_unpack(packed2).count() == 240

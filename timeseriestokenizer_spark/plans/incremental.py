@@ -721,6 +721,7 @@ def retention_sweep(
     key: str = "conv_id",
     value_col: str = "sum_lat",
     side_prefixes: tuple[str, ...] = ("hll_", "hist_", "kll_", "heavy_", "cms_", "kmv_"),
+    sdt_comp_dev: float | None = None,
 ) -> dict:
     """Enforce TTLs on the tier store PHYSICALLY — the retention leg of the
     north rule applied to storage, not just DataFrames: day partitions
@@ -783,6 +784,33 @@ def retention_sweep(
                     expiring = spark.read.parquet(part).withColumn(
                         "_day", F.lit(day)
                     )
+                    if sdt_comp_dev is not None:
+                        # OPT-IN LOSSY historian compression (explicitly off
+                        # by default): swinging-door keeps only the points
+                        # needed to reconstruct the day within
+                        # ±2*sdt_comp_dev by linear interpolation
+                        # (operators/downsample.swinging_door docstring);
+                        # first/last per series always survive. The PI-style
+                        # ancient-data trade: cold blobs shrink further,
+                        # exact point identity is given up knowingly.
+                        from ..operators.downsample import swinging_door
+
+                        with_id = expiring.withColumn(
+                            "_sdt_id",
+                            F.concat_ws(
+                                ":",
+                                F.col(key).cast("string"),
+                                F.unix_micros(
+                                    F.col("bucket_ts").cast("timestamp")
+                                ).cast("string"),
+                            ),
+                        )
+                        kept = swinging_door(
+                            with_id, key=key, ts_col="bucket_ts",
+                            val_col=value_col, id_col="_sdt_id",
+                            comp_dev=sdt_comp_dev,
+                        ).filter(F.col("kept") == 1).select("_sdt_id")
+                        expiring = with_id.join(kept, "_sdt_id").drop("_sdt_id")
                     packed = gorilla_pack(expiring, [key, "_day"], "bucket_ts", value_col)
                     packed.write.mode("overwrite").parquet(cold_tmp)
                     if os.path.isdir(cold_final):
