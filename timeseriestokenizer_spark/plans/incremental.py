@@ -939,7 +939,13 @@ def read_tier_with_cold(
     Crash-consistency (round-5 ADVICE fix): a cold day whose HOT partition
     still exists (retention_sweep crashed between cold finalize and hot
     drop) is excluded from the cold side — the hot copy wins, so the day
-    is never returned twice; the next sweep completes the drop."""
+    is never returned twice; the next sweep completes the drop.
+
+    If the sweep ran with ``sdt_comp_dev`` set, cold days are the LOSSY
+    swinging-door keep-set: reads return the kept points only, and the
+    day's full shape is recoverable within ±2·comp_dev by interpolating
+    between them — callers that need exact history must keep the tier hot
+    (or sweep with the default lossless packing)."""
     from ..operators.gorilla import gorilla_unpack
 
     hot = read_tier(spark, store_root, tier).select(
