@@ -17,7 +17,7 @@ alert_episodes, swinging_door_keep, cms_point_freq, cms_freq_cascade,
 lm_doc_score, kmv_distinct, kmv_overlap, kmv_union_cascade, hw_forecast,
 best_changepoint, bloom_membership, kmv_retention_days, count_bracket,
 pq_codes,
-pq_adc_topk, ivfpq_codes, ivfpq_topk.
+pq_adc_topk, pq_rerank_topk, ivfpq_codes, ivfpq_topk.
 
 Fixed-codebook convention (the ann_ivf_assign pattern): centroid values are
 `float(f"{x:.6f}")` — both engines parse the same 6-dp decimal string to the
@@ -300,6 +300,19 @@ def q_count_bracket(spark, sf_dir):
     mg = heavy_rollup_tier(ev, "1d", key_col="conv_id", k=256)
     cells = cms_rollup_tier(ev, "1d", key="conv_id")
     return count_bracket(mg, cells)
+
+
+def q_pq_rerank_topk(spark, sf_dir):
+    """ADC+R end to end (operators/pq.exact_rerank): fixed-codebook ADC
+    4x-over-fetch shortlist, exact euclidean re-score, top-5 — the oracle
+    replays the shortlist AND the refine (list arithmetic on the raw
+    vectors), so d2/rank hash-match."""
+    from .operators.pq import exact_rerank, pq_adc_topk, pq_encode
+
+    B = pq_fixed_codebooks()
+    e = contract.load(spark, sf_dir, "embeddings")
+    short = pq_adc_topk(pq_encode(e, B), e.filter(F.col("vec_id") < 8), B, k=20)
+    return exact_rerank(short, e, e.filter(F.col("vec_id") < 8), k=5)
 
 
 def q_pq_codes(spark, sf_dir):
@@ -848,6 +861,46 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def _pq_rerank_sql() -> str:
+    books = pq_fixed_codebooks()
+    return f"""
+WITH {_pq_codes_cte(books)},
+q AS (SELECT vec_id AS query_id, v FROM vecs WHERE vec_id < 8),
+qsub AS (
+  SELECT query_id, js.j,
+         list_slice(v, js.j*{_DSUB}+1, js.j*{_DSUB}+{_DSUB}) AS qs
+  FROM q, (SELECT unnest(range({_M})) AS j) js),
+lut AS (
+  SELECT query_id, s.j, cb.c,
+         list_dot_product(qs, qs) - 2 * list_dot_product(qs, cent)
+           + list_dot_product(cent, cent) AS dd
+  FROM qsub s JOIN cb ON cb.j = s.j),
+adc AS (
+  SELECT l.query_id, k.vec_id AS cand_id, sum(l.dd) AS adc_raw
+  FROM codes k JOIN lut l ON l.j = k.j AND l.c = k.c
+  WHERE k.vec_id != l.query_id
+  GROUP BY 1, 2),
+short AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY adc_raw, cand_id) AS r
+    FROM adc) WHERE r <= 20),
+rescored AS (
+  SELECT s.query_id, s.cand_id,
+         list_sum(list_transform(range(1, {_D + 1}),
+                  i -> (cv.v[i] - qv.v[i]) * (cv.v[i] - qv.v[i]))) AS d2_raw
+  FROM short s
+  JOIN vecs cv ON cv.vec_id = s.cand_id
+  JOIN vecs qv ON qv.vec_id = s.query_id),
+ranked AS (
+  SELECT query_id, cand_id, d2_raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY d2_raw, cand_id) AS rank
+  FROM rescored)
+SELECT query_id, cand_id, round(d2_raw, 6) AS d2, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 def _ivfpq_cte() -> str:
     """vecs, cell table, residual, residual-PQ codes — shared by the two
     IVF-PQ oracles. Cell argmin replays ivfpq_encode's -2·x·c + ||c||²;
@@ -957,6 +1010,7 @@ PENDING_QUERIES = {
     "bloom_membership": q_bloom_membership,
     "kmv_retention_days": q_kmv_retention_days,
     "count_bracket": q_count_bracket,
+    "pq_rerank_topk": q_pq_rerank_topk,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "ivfpq_codes": q_ivfpq_codes,
@@ -979,6 +1033,7 @@ _PENDING_SQL_BUILDERS = {
     "bloom_membership": lambda: _BLOOM_SQL,
     "kmv_retention_days": lambda: _KMV_RETENTION_SQL,
     "count_bracket": lambda: _COUNT_BRACKET_SQL,
+    "pq_rerank_topk": lambda: _pq_rerank_sql(),
     "pq_codes": _pq_codes_sql,
     "pq_adc_topk": _pq_adc_sql,
     "ivfpq_codes": _ivfpq_codes_sql,
