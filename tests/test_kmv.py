@@ -104,3 +104,27 @@ def test_retention_series_tracks_truth(spark):
         assert abs(got[d]["jaccard_est"] - true_j) < 0.25
         true_i = len(a & b)
         assert abs(got[d]["inter_est"] - true_i) / max(true_i, 1) < 0.5
+
+
+def test_h_cap_prefilter_is_lossless_above_kth(spark):
+    """kmv_build(h_cap=...): with the cap above the true kth hash the
+    sketch is IDENTICAL; the filter sits before the rank window (the
+    unbounded-cardinality scale knob); an over-tight cap is detectable
+    (n_sketch < k)."""
+    evk = _evk(spark).withColumn(
+        "day", F.date_trunc("day", F.col("ts").cast("timestamp"))
+    )
+    full = kmv_build(evk, "k", ["day"], k=64)
+    kth_max = max(r["h"] for r in full.filter("rank = 64").collect())
+    capped = kmv_build(evk, "k", ["day"], k=64, h_cap=kth_max + 1)
+    a = sorted(tuple(r) for r in full.select("day", "h", "rank").collect())
+    b = sorted(tuple(r) for r in capped.select("day", "h", "rank").collect())
+    assert a == b
+
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "Filter" in plan and plan.index("Window") < plan.index("Scan"), plan
+
+    tight = kmv_build(evk, "k", ["day"], k=64, h_cap=kth_max // 100)
+    from timeseriestokenizer_spark.operators.kmv import kmv_estimate
+    est = kmv_estimate(tight, ["day"], k=64).collect()
+    assert any(r["n_sketch"] < 64 for r in est)  # detectably under-filled

@@ -53,12 +53,25 @@ def kmv_build(
     key_col: str,
     bucket_cols: list[str] | None = None,
     k: int = DEFAULT_K,
+    h_cap: int | None = None,
 ) -> DataFrame:
     """Sketch table (bucket..., h, rank): the k smallest distinct hashes
     per bucket (all of them when fewer). Global (no bucket) builds stay
-    a TakeOrderedAndProject; bucketed builds rank over the bucket key."""
+    a TakeOrderedAndProject; bucketed builds rank over the bucket key.
+
+    ``h_cap`` is the bucketed build's scale knob: the per-bucket window
+    sorts every distinct hash, so at unbounded key cardinality pass an
+    upper bound on the expected kth hash (e.g. 2× a previous period's
+    h_(k), or k/n_est · 2^60 from any cardinality estimate) and the
+    filter prunes BEFORE the rank shuffle — survivors are
+    ~k·(cap/h_(k)) per bucket instead of the full distinct set. Safe by
+    construction when cap ≥ the true h_(k) (all bottom-k hashes pass;
+    results identical — pytest-pinned); a too-tight cap is detectable
+    after the fact (n_sketch < k) and the build re-runs wider."""
     b = list(bucket_cols or [])
     hashes = df.select(*b, _h60(key_col).alias("h")).distinct()
+    if h_cap is not None:
+        hashes = hashes.filter(F.col("h") < int(h_cap))
     if not b:
         topk = hashes.orderBy("h").limit(int(k))
         return topk.withColumn("rank", F.row_number().over(W.orderBy("h")))
