@@ -1,0 +1,251 @@
+"""Engine tests vs in-test NumPy oracles for the round-5 session-3
+operators: correlate.ccf, drift.ks_drift, trend.predict_linear,
+decompose.dft_power. The DuckDB value-hash proof lives in
+tests/test_pending_contract.py (rows ccf_lead_lag / ks_drift /
+predict_linear / dft_dominant); these tests pin the SEMANTICS on planted
+fixtures a random table can't exercise (a known lead, a known
+distribution shift, an exact line, a planted period).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _events(spark, rows):
+    """rows: (key, minute_offset, x, y) -> DataFrame with ts/event_id."""
+    data = [
+        (k, T0 + dt.timedelta(minutes=m), i, int(x), int(y))
+        for i, (k, m, x, y) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "k string, ts timestamp, event_id long, x long, y long"
+    )
+
+
+def _ccf_oracle(x, y, max_lag):
+    x, y = np.asarray(x, dtype=object), np.asarray(y, dtype=object)
+    n = len(x)
+    cx = x * n - sum(x)
+    cy = y * n - sum(y)
+    denom = math.sqrt(float(sum(cx * cx))) * math.sqrt(float(sum(cy * cy)))
+    out = {}
+    for k in range(-max_lag, max_lag + 1):
+        tot = 0
+        for t in range(n):
+            u = t + k
+            if 0 <= u < n:
+                tot += cx[t] * cy[u]
+        out[k] = None if denom == 0.0 else float(tot) / denom
+    return out
+
+
+class TestCcf:
+    def test_matches_numpy_oracle(self, spark):
+        rng = np.random.RandomState(7)
+        x = rng.randint(0, 1000, size=40)
+        y = rng.randint(0, 1000, size=40)
+        df = _events(spark, [("a", i, x[i], y[i]) for i in range(40)])
+        from timeseriestokenizer_spark.operators.correlate import ccf
+
+        got = {
+            r["lag"]: r["ccf"]
+            for r in ccf(
+                df, key="k", x_col="x", y_col="y", max_lag=3, min_points=10
+            ).collect()
+        }
+        want = _ccf_oracle(x, y, 3)
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+    def test_planted_lead_sets_best_lag(self, spark):
+        # y is x delayed by 2 steps (x leads): x_t aligns with y_{t+2},
+        # so the CCF peaks at lag +2 under the positive-k-shifts-y-forward
+        # convention.
+        rng = np.random.RandomState(11)
+        x = rng.randint(0, 1000, size=60)
+        y = np.roll(x, 2)
+        y[:2] = rng.randint(0, 1000, size=2)
+        df = _events(spark, [("a", i, x[i], y[i]) for i in range(60)])
+        from timeseriestokenizer_spark.operators.correlate import ccf
+
+        rows = ccf(
+            df, key="k", x_col="x", y_col="y", max_lag=3, min_points=10
+        ).collect()
+        assert all(r["best_lag"] == 2 for r in rows)
+        peak = {r["lag"]: r["ccf"] for r in rows}[2]
+        assert peak > 0.9
+
+    def test_short_and_constant_series(self, spark):
+        from timeseriestokenizer_spark.operators.correlate import ccf
+
+        rows = [("short", i, i, i) for i in range(5)] + [
+            ("flat", i, 7, i * 3) for i in range(20)
+        ]
+        out = ccf(
+            _events(spark, rows), key="k", x_col="x", y_col="y",
+            max_lag=3, min_points=10,
+        ).collect()
+        # short series filtered entirely; flat series has zero x-variance
+        # so every ccf is NULL and best_lag falls back to the smallest lag
+        assert {r["k"] for r in out} == {"flat"}
+        assert all(r["ccf"] is None for r in out)
+        assert all(r["best_lag"] == -3 for r in out)
+
+
+def _ks_oracle(a, b):
+    vals = sorted(set(a) | set(b))
+    na, nb, best = len(a), len(b), 0
+    for v in vals:
+        ca = sum(1 for t in a if t <= v)
+        cb = sum(1 for t in b if t <= v)
+        best = max(best, abs(ca * nb - cb * na))
+    return best / (na * nb)
+
+
+class TestKsDrift:
+    def test_matches_exhaustive_oracle_with_ties(self, spark):
+        rng = np.random.RandomState(3)
+        a = [int(v) for v in rng.randint(0, 30, size=80)]  # dense ties
+        b = [int(v) for v in rng.randint(5, 35, size=50)]
+        rows = [("u", i, v, 0) for i, v in enumerate(a)] + [
+            ("u", 1000 + i, v, 1) for i, v in enumerate(b)
+        ]
+        df = _events(spark, rows)
+        from timeseriestokenizer_spark.operators.drift import ks_drift
+
+        out = ks_drift(
+            df, split_expr=F.col("y") == 0, key="k", val_col="x"
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["n_a"], r["n_b"]) == (80, 50)
+        assert r["ks_d"] == pytest.approx(_ks_oracle(a, b), abs=0)
+
+    def test_identical_and_disjoint(self, spark):
+        rows = (
+            [("same", i, v, s) for s in (0, 1) for i, v in enumerate(range(10))]
+            + [("disj", i, i, 0) for i in range(10)]
+            + [("disj", 100 + i, 1000 + i, 1) for i in range(10)]
+            + [("onesided", i, i, 0) for i in range(10)]
+        )
+        from timeseriestokenizer_spark.operators.drift import ks_drift
+
+        out = {
+            r["k"]: r["ks_d"]
+            for r in ks_drift(
+                _events(spark, rows), split_expr=F.col("y") == 0,
+                key="k", val_col="x",
+            ).collect()
+        }
+        assert out == {"same": 0.0, "disj": 1.0}  # one-sided key dropped
+
+
+class TestPredictLinear:
+    def test_exact_line_recovered(self, spark):
+        # v = 40 + 3 * seconds: slope and the 1h-ahead point are exact.
+        rows = [
+            ("u", dt.timedelta(seconds=60 * i), 40 + 3 * 60 * i)
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(
+            [("u", T0 + d, v) for _, d, v in rows], "k string, ts timestamp, v long"
+        )
+        from timeseriestokenizer_spark.operators.trend import predict_linear
+
+        r = predict_linear(
+            df, key="k", ts_col="ts", val_col="v", horizon_s=3600
+        ).collect()[0]
+        assert r["slope_per_s"] == pytest.approx(3.0, abs=0)
+        last_s = 60 * 19
+        assert r["predicted"] == pytest.approx(40 + 3 * (last_s + 3600), abs=1e-9)
+
+    def test_zero_time_variance_is_null(self, spark):
+        df = spark.createDataFrame(
+            [("u", T0, 1), ("u", T0 + dt.timedelta(microseconds=500), 9)],
+            "k string, ts timestamp, v long",
+        )
+        from timeseriestokenizer_spark.operators.trend import predict_linear
+
+        r = predict_linear(df, key="k", ts_col="ts", val_col="v").collect()[0]
+        assert r["slope_per_s"] is None and r["predicted"] is None
+
+    def test_matches_numpy_polyfit(self, spark):
+        rng = np.random.RandomState(5)
+        secs = np.sort(rng.choice(np.arange(0, 100000), size=50, replace=False))
+        vals = rng.randint(0, 50000, size=50)
+        df = spark.createDataFrame(
+            [
+                ("u", T0 + dt.timedelta(seconds=int(s)), int(v))
+                for s, v in zip(secs, vals)
+            ],
+            "k string, ts timestamp, v long",
+        )
+        from timeseriestokenizer_spark.operators.trend import predict_linear
+
+        r = predict_linear(
+            df, key="k", ts_col="ts", val_col="v", horizon_s=3600
+        ).collect()[0]
+        slope, intercept = np.polyfit(secs.astype(float), vals.astype(float), 1)
+        assert r["slope_per_s"] == pytest.approx(slope, rel=1e-9)
+        assert r["predicted"] == pytest.approx(
+            intercept + slope * (float(secs[-1]) + 3600.0), rel=1e-9
+        )
+
+
+class TestDftPower:
+    def test_planted_period_wins(self, spark):
+        # A clean period-6 sinusoid (integer amplitude) must put its power
+        # at p=6 far above the other candidates.
+        n = 120
+        vals = [int(round(1000 * math.sin(2 * math.pi * t / 6))) + 5000 for t in range(n)]
+        df = _events(spark, [("a", i, v, 0) for i, v in enumerate(vals)])
+        from timeseriestokenizer_spark.operators.decompose import dft_power
+
+        rows = dft_power(
+            df, key="k", ts_col="ts", val_col="x", id_col="event_id"
+        ).collect()
+        assert all(r["best_period"] == 6 for r in rows)
+        power = {r["period"]: r["spec_power"] for r in rows}
+        assert power[6] > 100 * max(power[p] for p in (4, 8))
+
+    def test_matches_numpy_oracle(self, spark):
+        rng = np.random.RandomState(9)
+        vals = rng.randint(0, 100000, size=75)
+        df = _events(spark, [("a", i, int(v), 0) for i, v in enumerate(vals)])
+        from timeseriestokenizer_spark.operators.decompose import (
+            dft_power,
+            dft_tables,
+        )
+
+        got = {
+            r["period"]: r["spec_power"]
+            for r in dft_power(
+                df, key="k", ts_col="ts", val_col="x", id_col="event_id"
+            ).collect()
+        }
+        n = len(vals)
+        c0 = [int(v) * n - int(vals.sum()) for v in vals]
+        for p, (ic, isn) in dft_tables((4, 6, 8, 12), 1000).items():
+            a = sum(c * ic[m % p] for m, c in enumerate(c0))
+            b = sum(c * isn[m % p] for m, c in enumerate(c0))
+            want = float(a) * float(a) + float(b) * float(b)
+            assert got[p] == pytest.approx(want, rel=1e-15)
+
+    def test_constant_series_all_zero_power(self, spark):
+        df = _events(spark, [("a", i, 42, 0) for i in range(30)])
+        from timeseriestokenizer_spark.operators.decompose import dft_power
+
+        rows = dft_power(
+            df, key="k", ts_col="ts", val_col="x", id_col="event_id"
+        ).collect()
+        assert all(r["spec_power"] == 0.0 for r in rows)
+        assert all(r["best_period"] == 4 for r in rows)

@@ -16,8 +16,8 @@ each in COVERAGE.md "round-6 queue"): kalman_level, alert_state,
 alert_episodes, swinging_door_keep, cms_point_freq, cms_freq_cascade,
 lm_doc_score, kmv_distinct, kmv_overlap, kmv_union_cascade, hw_forecast,
 best_changepoint, bloom_membership, kmv_retention_days, count_bracket,
-pq_codes,
-pq_adc_topk, pq_rerank_topk, ivfpq_codes, ivfpq_topk.
+pq_codes, pq_adc_topk, pq_rerank_topk, ivfpq_codes, ivfpq_topk,
+ccf_lead_lag, ks_drift, predict_linear, dft_dominant.
 
 Fixed-codebook convention (the ann_ivf_assign pattern): centroid values are
 `float(f"{x:.6f}")` — both engines parse the same 6-dp decimal string to the
@@ -994,6 +994,268 @@ FROM ranked WHERE rank <= 5
 # registry (same shape as contract.QUERIES / contract.ORACLE_SQL)
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# round-5 session-3 additions: ccf_lead_lag, ks_drift, predict_linear,
+# dft_dominant
+# ---------------------------------------------------------------------------
+
+
+def q_ccf_lead_lag(spark, sf_dir):
+    """Signed-lag cross-correlation (operators/correlate.ccf) between a
+    series' value (exact cents) and its inter-event gap in whole seconds
+    (floor-µs-division — identical integer op both engines): does a long
+    silence precede a big value? Exact-BIGINT centered product-sums, two
+    IEEE sqrt + one divide at the end, emitted unrounded; best_lag =
+    argmax |r| (ties → smallest lag)."""
+    from pyspark.sql import Window as W
+    from .operators.correlate import ccf
+
+    ev = contract.load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s1 = ev.select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("x"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    s2 = s1.select(
+        "user_id", "ts", "event_id", "x",
+        (F.col("us") - F.lag("us").over(w)).alias("gap_us"),
+    ).selectExpr(
+        "user_id", "ts", "event_id", "x",
+        "coalesce(gap_us div 1000000, 0L) AS y",
+    )
+    return ccf(
+        s2, key="user_id", ts_col="ts", id_col="event_id",
+        x_col="x", y_col="y", max_lag=3, min_points=10,
+    )
+
+
+_CCF_SQL = """
+WITH b AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value*100) AS BIGINT) AS x,
+         epoch_us(ts) AS us
+  FROM events),
+g AS (
+  SELECT user_id, ts, event_id, x,
+         COALESCE((us - lag(us) OVER w) // 1000000, 0) AS y,
+         count(x) OVER (PARTITION BY user_id) AS n
+  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+f AS (SELECT * FROM g WHERE n >= 10),
+c AS (
+  SELECT user_id, ts, event_id, n,
+         x*n - sum(x) OVER (PARTITION BY user_id) AS cx,
+         y*n - sum(y) OVER (PARTITION BY user_id) AS cy
+  FROM f),
+ld AS (
+  SELECT user_id, n, cx, cy,
+         lag(cy, 3)  OVER w AS cy_0,
+         lag(cy, 2)  OVER w AS cy_1,
+         lag(cy, 1)  OVER w AS cy_2,
+         cy          AS cy_3,
+         lead(cy, 1) OVER w AS cy_4,
+         lead(cy, 2) OVER w AS cy_5,
+         lead(cy, 3) OVER w AS cy_6
+  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+ag AS (
+  SELECT user_id, CAST(max(n) AS BIGINT) AS n_points,
+         sum(cx*cx) AS nx, sum(cy*cy) AS ny,
+         sum(cx*cy_0) AS num_0, sum(cx*cy_1) AS num_1,
+         sum(cx*cy_2) AS num_2, sum(cx*cy_3) AS num_3,
+         sum(cx*cy_4) AS num_4, sum(cx*cy_5) AS num_5,
+         sum(cx*cy_6) AS num_6
+  FROM ld GROUP BY 1),
+uv AS (
+  SELECT user_id, n_points, nx, ny, -3 AS lag_k, num_0 AS numer FROM ag
+  UNION ALL SELECT user_id, n_points, nx, ny, -2, num_1 FROM ag
+  UNION ALL SELECT user_id, n_points, nx, ny, -1, num_2 FROM ag
+  UNION ALL SELECT user_id, n_points, nx, ny,  0, num_3 FROM ag
+  UNION ALL SELECT user_id, n_points, nx, ny,  1, num_4 FROM ag
+  UNION ALL SELECT user_id, n_points, nx, ny,  2, num_5 FROM ag
+  UNION ALL SELECT user_id, n_points, nx, ny,  3, num_6 FROM ag),
+r AS (
+  SELECT user_id, lag_k, n_points,
+         CASE WHEN sqrt(CAST(nx AS DOUBLE)) * sqrt(CAST(ny AS DOUBLE)) > 0.0
+              THEN CAST(numer AS DOUBLE)
+                   / (sqrt(CAST(nx AS DOUBLE)) * sqrt(CAST(ny AS DOUBLE)))
+         END AS ccf
+  FROM uv)
+SELECT user_id, lag_k AS lag, n_points, ccf,
+       first_value(lag_k) OVER (
+         PARTITION BY user_id
+         ORDER BY CASE WHEN ccf IS NULL THEN -2.0 ELSE abs(ccf) END DESC,
+                  lag_k ASC) AS best_lag
+FROM r
+"""
+
+
+def q_ks_drift(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov drift (operators/drift.ks_drift)
+    per user between the first half of January and the rest: D has an
+    exact BIGINT numerator (cum_a*n_b - cum_b*n_a over the per-key value
+    histogram), one IEEE division at the end — the binning-free companion
+    to histogram_drift."""
+    from .operators.drift import ks_drift
+
+    ev = contract.load(spark, sf_dir, "events").select(
+        "user_id", "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return ks_drift(
+        ev,
+        split_expr=F.col("ts").cast("timestamp")
+        < F.to_timestamp(F.lit("2024-01-16 00:00:00")),
+        key="user_id",
+        val_col="cents",
+    )
+
+
+_KS_DRIFT_SQL = """
+WITH b AS (
+  SELECT user_id,
+         CAST(round(value*100) AS BIGINT) AS v,
+         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS ia
+  FROM events),
+g AS (
+  SELECT user_id, v,
+         sum(ia) AS a_cnt, sum(1 - ia) AS b_cnt
+  FROM b GROUP BY 1, 2),
+st AS (
+  SELECT user_id,
+         sum(a_cnt) OVER (PARTITION BY user_id ORDER BY v) AS cum_a,
+         sum(b_cnt) OVER (PARTITION BY user_id ORDER BY v) AS cum_b,
+         sum(a_cnt) OVER (PARTITION BY user_id) AS n_a,
+         sum(b_cnt) OVER (PARTITION BY user_id) AS n_b
+  FROM g),
+ag AS (
+  SELECT user_id,
+         CAST(max(n_a) AS BIGINT) AS n_a,
+         CAST(max(n_b) AS BIGINT) AS n_b,
+         max(abs(cum_a * n_b - cum_b * n_a)) AS d_num
+  FROM st WHERE n_a > 0 AND n_b > 0 GROUP BY 1)
+SELECT user_id, n_a, n_b,
+       CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS ks_d
+FROM ag
+"""
+
+
+def q_predict_linear(spark, sf_dir):
+    """PromQL-style predict_linear (operators/trend.predict_linear):
+    time-based OLS on (whole-second offset, cents) per user, value
+    extrapolated one hour past the last event. Exact-BIGINT normal
+    equations, identical float tail both engines, emitted unrounded."""
+    from .operators.trend import predict_linear
+
+    ev = contract.load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return predict_linear(
+        ev, key="user_id", ts_col="ts", val_col="cents", horizon_s=3600
+    )
+
+
+_PREDICT_LINEAR_SQL = """
+WITH b AS (
+  SELECT user_id,
+         CAST(round(value*100) AS BIGINT) AS v,
+         epoch_us(ts) AS us
+  FROM events),
+x AS (
+  SELECT user_id, v,
+         (us - min(us) OVER (PARTITION BY user_id)) // 1000000 AS x
+  FROM b),
+ag AS (
+  SELECT user_id,
+         CAST(count(v) AS BIGINT) AS n_points,
+         sum(x) AS sx, sum(v) AS sy, max(x) AS x_last,
+         sum(x*x) AS sxx_raw, sum(x*v) AS sxy_raw
+  FROM x GROUP BY 1),
+m AS (
+  SELECT user_id, n_points, sx, sy, x_last,
+         n_points * sxx_raw - sx * sx AS sxx,
+         n_points * sxy_raw - sx * sy AS sxy
+  FROM ag),
+s AS (
+  SELECT user_id, n_points, sx, sy, x_last,
+         CASE WHEN sxx > 0
+              THEN CAST(sxy AS DOUBLE) / CAST(sxx AS DOUBLE) END AS slope
+  FROM m),
+i AS (
+  SELECT user_id, n_points, x_last, slope,
+         (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+           / CAST(n_points AS DOUBLE) AS intercept
+  FROM s)
+SELECT user_id, n_points,
+       slope AS slope_per_s,
+       intercept + slope * CAST(x_last + 3600 AS DOUBLE) AS predicted
+FROM i
+"""
+
+
+def q_dft_dominant(spark, sf_dir):
+    """Quantized-basis DFT power at candidate periods 4/6/8/12
+    (operators/decompose.dft_power): exact-BIGINT correlations against a
+    round(cos*1000) integer sinusoid table (the table IS the spec: the
+    oracle SQL below is generated from the same dft_tables() call), power
+    = a²+b² in three IEEE ops, best_period = argmax (ties → smallest)."""
+    from .operators.decompose import dft_power
+
+    return dft_power(
+        contract._event_cents(spark, sf_dir),
+        key="user_id", ts_col="ts", val_col="cents", id_col="event_id",
+        periods=(4, 6, 8, 12), scale=1000,
+    )
+
+
+def _dft_dominant_sql() -> str:
+    from .operators.decompose import dft_tables
+
+    tables = dft_tables((4, 6, 8, 12), 1000)
+    terms, unions = [], []
+    for p, (ic, isn) in tables.items():
+        cos_case = " ".join(f"WHEN {j} THEN {v}" for j, v in enumerate(ic))
+        sin_case = " ".join(f"WHEN {j} THEN {v}" for j, v in enumerate(isn))
+        terms.append(
+            f"sum(c0 * CASE m % {p} {cos_case} END) AS a_{p},\n"
+            f"         sum(c0 * CASE m % {p} {sin_case} END) AS b_{p}"
+        )
+        unions.append(
+            f"SELECT user_id, n_points, {p} AS period, a_{p} AS a, b_{p} AS b FROM ag"
+        )
+    terms_sql = ",\n         ".join(terms)
+    unions_sql = " UNION ALL ".join(unions)
+    return f"""
+WITH b AS (
+  SELECT user_id, ts, event_id, CAST(round(value*100) AS BIGINT) AS c
+  FROM events),
+st AS (
+  SELECT user_id, ts, event_id, c,
+         count(c) OVER (PARTITION BY user_id) AS n,
+         sum(c)   OVER (PARTITION BY user_id) AS s,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS m
+  FROM b),
+cc AS (SELECT user_id, n, m, c*n - s AS c0 FROM st),
+ag AS (
+  SELECT user_id, CAST(max(n) AS BIGINT) AS n_points,
+         {terms_sql}
+  FROM cc GROUP BY 1),
+uv AS (
+  {unions_sql}),
+pw AS (
+  SELECT user_id, period, n_points,
+         CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+           + CAST(b AS DOUBLE) * CAST(b AS DOUBLE) AS spec_power
+  FROM uv)
+SELECT user_id, period, n_points, spec_power,
+       first_value(period) OVER (
+         PARTITION BY user_id ORDER BY spec_power DESC, period ASC
+       ) AS best_period
+FROM pw
+"""
+
+
 PENDING_QUERIES = {
     "kalman_level": q_kalman_level,
     "alert_state": q_alert_state,
@@ -1015,7 +1277,12 @@ PENDING_QUERIES = {
     "pq_adc_topk": q_pq_adc_topk,
     "ivfpq_codes": q_ivfpq_codes,
     "ivfpq_topk": q_ivfpq_topk,
+    "ccf_lead_lag": q_ccf_lead_lag,
+    "ks_drift": q_ks_drift,
+    "predict_linear": q_predict_linear,
+    "dft_dominant": q_dft_dominant,
 }
+
 
 _PENDING_SQL_BUILDERS = {
     "kalman_level": lambda: _KALMAN_SQL,
@@ -1038,6 +1305,10 @@ _PENDING_SQL_BUILDERS = {
     "pq_adc_topk": _pq_adc_sql,
     "ivfpq_codes": _ivfpq_codes_sql,
     "ivfpq_topk": _ivfpq_topk_sql,
+    "ccf_lead_lag": lambda: _CCF_SQL,
+    "ks_drift": lambda: _KS_DRIFT_SQL,
+    "predict_linear": lambda: _PREDICT_LINEAR_SQL,
+    "dft_dominant": _dft_dominant_sql,
 }
 
 

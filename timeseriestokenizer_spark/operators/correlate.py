@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from .rollup import bucket_ts
 
@@ -117,3 +118,104 @@ def correlate_to(
     )
     joined = rest.join(F.broadcast(target), "bucket_ts")
     return _corr_from_pairs(joined, min_overlap)
+
+
+def ccf(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    x_col: str = "x",
+    y_col: str = "y",
+    max_lag: int = 3,
+    min_points: int = 10,
+) -> DataFrame:
+    """Cross-correlation function between two INTEGER signals of the same
+    series at signed lags -max_lag..max_lag — the lead/lag detector a
+    transcript store runs ("does a long silence precede a large turn?":
+    positive best_lag ⇒ x leads y).
+
+    Same-division-free doctrine as ``decompose.acf``: center both signals
+    exactly as c = n·v - Σv (BIGINT), so every lagged product-sum is an
+    exact integer; the norms Σcx², Σcy² are exact; the only float ops are
+    two IEEE sqrt's, one multiply, and one divide — the identical
+    sequence on identical inputs on any engine, emitted unrounded.
+
+        r_k = Σ_t cx_t · cy_{t+k} / (√Σcx² · √Σcy²),  k ∈ [-L, L]
+
+    (positive k shifts y forward: x_t pairs with the LATER y_{t+k}).
+    Products at the series edge (no overlap partner) drop out of the sum
+    on both engines. ``best_lag`` is the lag maximizing |r_k| (NULL r
+    sorts last, ties break to the smallest lag) — constant on all of a
+    series' rows.
+
+    Integer-exactness bound (documented, the mann_kendall pattern):
+    n³·max|x|·max|y| must stay under 2⁶³ — at 10⁴-row series with 10⁵
+    magnitudes that holds; longer series pre-downsample via the rollup
+    tiers first.
+
+    One hash exchange on ``key``: the centering window, the shift
+    window, the final groupBy, and the best-lag window all cluster on
+    the series key.
+    """
+    order = [F.col(ts_col), F.col(id_col)]
+    wall = W.partitionBy(key)
+    wrun = W.partitionBy(key).orderBy(*order)
+    n = F.count(x_col).over(wall)
+    lags = list(range(-int(max_lag), int(max_lag) + 1))
+    s1 = df.select(
+        F.col(key),
+        *order,
+        n.alias("n"),
+        (F.col(x_col) * n - F.sum(x_col).over(wall)).alias("cx"),
+        (F.col(y_col) * n - F.sum(y_col).over(wall)).alias("cy"),
+    ).where(F.col("n") >= int(min_points))
+    shifted = s1.select(
+        F.col(key),
+        F.col("n"),
+        F.col("cx"),
+        F.col("cy"),
+        *[
+            (
+                F.lead("cy", k).over(wrun) if k >= 0 else F.lag("cy", -k).over(wrun)
+            ).alias(f"cy_{k + max_lag}")
+            for k in lags
+        ],
+    )
+    aggd = shifted.groupBy(key).agg(
+        F.first("n").alias("n_points"),
+        F.sum(F.col("cx") * F.col("cx")).alias("nx"),
+        F.sum(F.col("cy") * F.col("cy")).alias("ny"),
+        *[
+            F.sum(F.col("cx") * F.col(f"cy_{k + max_lag}")).alias(f"num_{k + max_lag}")
+            for k in lags
+        ],
+    )
+    denom = F.sqrt(F.col("nx").cast("double")) * F.sqrt(F.col("ny").cast("double"))
+    pairs = ", ".join(f"{k}, num_{k + max_lag}" for k in lags)
+    stacked = aggd.select(
+        F.col(key),
+        F.col("n_points"),
+        denom.alias("denom"),
+        F.expr(f"stack({len(lags)}, {pairs}) AS (lag, numer)"),
+    ).select(
+        F.col(key),
+        F.col("lag"),
+        F.col("n_points"),
+        F.when(
+            F.col("denom") > 0.0, F.col("numer").cast("double") / F.col("denom")
+        ).alias("ccf"),
+    )
+    wbest = W.partitionBy(key).orderBy(
+        F.when(F.col("ccf").isNull(), F.lit(-2.0))
+        .otherwise(F.abs(F.col("ccf")))
+        .desc(),
+        F.col("lag").asc(),
+    )
+    return stacked.select(
+        F.col(key),
+        F.col("lag"),
+        F.col("n_points"),
+        F.col("ccf"),
+        F.first("lag").over(wbest).alias("best_lag"),
+    )

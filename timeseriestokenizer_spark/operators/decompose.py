@@ -331,3 +331,103 @@ def seasonal_strength(
     return ranked.select(
         key, "period", "m_cycles", "strength", "is_best"
     )
+
+
+def dft_tables(periods=(4, 6, 8, 12), scale: int = 1000):
+    """Integer-quantized cos/sin tables for ``dft_power``: for each
+    candidate period p, ic[j] = round(cos(2πj/p)·scale) (likewise sin)
+    as plain Python ints. Quantizing the basis is PART OF THE OPERATOR'S
+    SPEC, not an approximation knob: it makes every correlation sum an
+    exact BIGINT, so Spark and any oracle engine agree bit-wise — the
+    contract SQL is generated from THIS function, so the two plans can't
+    drift. At scale=1000 the basis error is < 5·10⁻⁴ per term, far below
+    what a dominant-period argmax can feel."""
+    import math
+
+    out = {}
+    for p in periods:
+        out[int(p)] = (
+            [round(math.cos(2.0 * math.pi * j / p) * scale) for j in range(p)],
+            [round(math.sin(2.0 * math.pi * j / p) * scale) for j in range(p)],
+        )
+    return out
+
+
+def dft_power(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    periods=(4, 6, 8, 12),
+    scale: int = 1000,
+) -> DataFrame:
+    """Spectral power of each series at candidate periods — the
+    frequency-domain sibling of ``seasonal_strength`` (that one measures
+    phase-bucket variance; this one is the Goertzel/DFT correlation
+    against a quantized sinusoid basis, so it also catches seasonality
+    whose shape is sinusoidal rather than phase-locked).
+
+    Per period p over the position-indexed, exactly-centered series
+    (c_t = n·x_t - Σx, the acf centering — kills DC leakage):
+
+        a_p = Σ_t c_t · ic_p[(t-1) mod p]     (exact BIGINT)
+        b_p = Σ_t c_t · is_p[(t-1) mod p]     (exact BIGINT)
+        power_p = (double)a_p² + (double)b_p²
+
+    The squares and the add are three IEEE ops on identical inputs —
+    identical on every engine, emitted unrounded. ``best_period`` is the
+    argmax over p (ties → smallest p), constant per series.
+
+    Overflow bound: n²·max|x|·scale·n < 2⁶³ — at 10³-row series with
+    10⁶ magnitudes and scale 10³ that holds with two decades of slack.
+
+    One hash exchange on ``key`` (centering window + position window +
+    groupBy + argmax window all cluster on the series key).
+    """
+    tables = dft_tables(periods, scale)
+    order = [F.col(ts_col), F.col(id_col)]
+    wall = W.partitionBy(key)
+    wrun = W.partitionBy(key).orderBy(*order)
+    n = F.count(val_col).over(wall)
+    s1 = df.select(
+        F.col(key),
+        (F.row_number().over(wrun) - 1).alias("m"),
+        n.alias("n"),
+        (F.col(val_col) * n - F.sum(val_col).over(wall)).alias("c0"),
+    )
+    aggs = [F.first("n").alias("n_points")]
+    for p, (ic, isn) in tables.items():
+        cosv = F.element_at(
+            F.array(*[F.lit(v) for v in ic]), (F.col("m") % p + 1).cast("int")
+        )
+        sinv = F.element_at(
+            F.array(*[F.lit(v) for v in isn]), (F.col("m") % p + 1).cast("int")
+        )
+        aggs.append(F.sum(F.col("c0") * cosv).alias(f"a_{p}"))
+        aggs.append(F.sum(F.col("c0") * sinv).alias(f"b_{p}"))
+    aggd = s1.groupBy(key).agg(*aggs)
+    triples = ", ".join(f"{p}, a_{p}, b_{p}" for p in tables)
+    stacked = aggd.select(
+        F.col(key),
+        F.col("n_points"),
+        F.expr(f"stack({len(tables)}, {triples}) AS (period, a, b)"),
+    ).select(
+        F.col(key),
+        F.col("period"),
+        F.col("n_points"),
+        (
+            F.col("a").cast("double") * F.col("a").cast("double")
+            + F.col("b").cast("double") * F.col("b").cast("double")
+        ).alias("spec_power"),
+    )
+    wbest = W.partitionBy(key).orderBy(
+        F.col("spec_power").desc(), F.col("period").asc()
+    )
+    return stacked.select(
+        F.col(key),
+        F.col("period"),
+        F.col("n_points"),
+        F.col("spec_power"),
+        F.first("period").over(wbest).alias("best_period"),
+    )

@@ -178,3 +178,72 @@ def histogram_drift(
             ).alias("tvd"),
         )
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    split_expr,
+    key: str = "conv_id",
+    val_col: str = "value",
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic per series between
+    the rows where ``split_expr`` is true (period A) and the rest
+    (period B) — the binning-free companion to ``histogram_drift``: TVD
+    over fixed bins can miss a shift that stays inside one bin; the KS
+    statistic D = max_v |F_A(v) - F_B(v)| is binning-free and
+    distribution-free.
+
+    Exactness: with an integer ``val_col`` the empirical CDFs are
+    rational with denominators n_a, n_b, so
+
+        D = max_v | cum_a(v)·n_b - cum_b(v)·n_a |  /  (n_a·n_b)
+
+    has an exact BIGINT numerator (ties handled exactly: the CDF is
+    evaluated after ALL rows of a tied value on both engines, because
+    the cumulative window orders by the value itself over the
+    pre-grouped (key, value) table). One IEEE division at the end.
+
+    Scale shape: one map-side-combined groupBy (key, value) collapses
+    the raw stream to its per-key value histogram; the cumulative window
+    and the final max share the key exchange over that already-collapsed
+    table. Keys with an empty side are dropped (D is undefined there).
+
+    Overflow: cum·n stays under 2⁶³ for per-key period counts up to
+    ~3e9 — same DECIMAL(38,0) escape hatch as the TVD note above.
+    """
+    g = (
+        df.groupBy(F.col(key), F.col(val_col).alias("v"))
+        .agg(
+            F.sum(F.when(split_expr, 1).otherwise(0)).alias("a_cnt"),
+            F.sum(F.when(split_expr, 0).otherwise(1)).alias("b_cnt"),
+        )
+    )
+    wcum = W.partitionBy(key).orderBy("v")
+    wall = W.partitionBy(key)
+    staged = g.select(
+        F.col(key),
+        F.sum("a_cnt").over(wcum).alias("cum_a"),
+        F.sum("b_cnt").over(wcum).alias("cum_b"),
+        F.sum("a_cnt").over(wall).alias("n_a"),
+        F.sum("b_cnt").over(wall).alias("n_b"),
+    )
+    return (
+        staged.where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .groupBy(key)
+        .agg(
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            F.max(
+                F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+            ).alias("d_num"),
+        )
+        .select(
+            F.col(key),
+            F.col("n_a"),
+            F.col("n_b"),
+            (
+                F.col("d_num").cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("ks_d"),
+        )
+    )

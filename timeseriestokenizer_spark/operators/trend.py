@@ -290,3 +290,68 @@ def spearman_trend(
     suw = n * F.col("suw_raw") - F.col("su") * F.col("sw")
     rho = suw.cast("double") / F.sqrt(_null_safe_pos(suu) * _null_safe_pos(sww))
     return aggd.select(F.col(key), n, rho.alias("spearman_rho"))
+
+
+def predict_linear(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    horizon_s: int = 3600,
+) -> DataFrame:
+    """TIME-based OLS extrapolation per series — the PromQL
+    ``predict_linear`` shape ("where will this counter be in an hour?"),
+    the wall-clock companion to the position-based ``trend_fit``: x is
+    the whole-second offset from the series' own first event
+    (floor(Δµs / 10⁶) — integer division, identical on every engine), so
+    irregular spacing weights the fit the way real time does.
+
+        slope = sxy/sxx   [value units per second]
+        intercept = (Σy - slope·Σx)/n          [value at the first event]
+        predicted = intercept + slope·(max(x) + horizon_s)
+
+    sxx/sxy are the exact-BIGINT normal-equation sums of ``trend_fit``;
+    the float tail (two divisions, one multiply-add chain) is the
+    identical sequence on identical inputs on any engine — emitted
+    unrounded. Degenerate series (n < 2 or zero time-variance, e.g. all
+    events inside one second) yield NULLs.
+
+    Overflow bound: n²·span_s² < 2⁶³ — holds to ~10⁴-row series spanning
+    ~3 years; beyond that, rebase x to coarser units first.
+
+    One hash exchange on ``key``: the min-ts window and the final
+    groupBy cluster together.
+    """
+    s1 = df.select(
+        F.col(key),
+        F.col(val_col).alias("v"),
+        F.expr(
+            f"(unix_micros(cast({ts_col} as timestamp))"
+            f" - min(unix_micros(cast({ts_col} as timestamp)))"
+            f" over (partition by {key})) div 1000000"
+        ).alias("x"),
+    )
+    aggd = s1.groupBy(key).agg(
+        F.count("v").alias("n_points"),
+        F.sum("x").alias("sx"),
+        F.sum("v").alias("sy"),
+        F.max("x").alias("x_last"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx_raw"),
+        F.sum(F.col("x") * F.col("v")).alias("sxy_raw"),
+    )
+    n = F.col("n_points")
+    sxx = n * F.col("sxx_raw") - F.col("sx") * F.col("sx")
+    sxy = n * F.col("sxy_raw") - F.col("sx") * F.col("sy")
+    slope = sxy.cast("double") / _null_safe_pos(sxx)
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / n.cast("double")
+    predicted = intercept + slope * (
+        F.col("x_last") + F.lit(int(horizon_s))
+    ).cast("double")
+    return aggd.select(
+        F.col(key),
+        n,
+        slope.alias("slope_per_s"),
+        predicted.alias("predicted"),
+    )
