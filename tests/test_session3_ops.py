@@ -249,3 +249,102 @@ class TestDftPower:
         ).collect()
         assert all(r["spec_power"] == 0.0 for r in rows)
         assert all(r["best_period"] == 4 for r in rows)
+
+
+def _pettitt_oracle(vals):
+    """Brute-force Pettitt: U_k = sum_{i<=k} sum_{j>k} sign(x_i - x_j)."""
+    n = len(vals)
+    best_k, best_u = None, -1
+    for k in range(1, n):
+        u = sum(
+            (vals[i] > vals[j]) - (vals[i] < vals[j])
+            for i in range(k)
+            for j in range(k, n)
+        )
+        if abs(u) > best_u:
+            best_k, best_u = k, abs(u)
+    return best_k, best_u
+
+
+class TestPettitt:
+    def test_planted_level_shift(self, spark):
+        rng = np.random.RandomState(13)
+        vals = [int(v) for v in rng.randint(0, 50, 40)] + [
+            int(v) for v in rng.randint(200, 250, 40)
+        ]
+        df = _events(spark, [("a", i, v, 0) for i, v in enumerate(vals)])
+        from timeseriestokenizer_spark.operators.anomaly import pettitt_changepoint
+
+        r = pettitt_changepoint(
+            df, key="k", ts_col="ts", val_col="x", id_col="event_id"
+        ).collect()[0]
+        assert r["k_star"] == 40
+        assert r["u_abs"] == 40 * 40  # clean split: every cross pair counts once
+
+    def test_matches_bruteforce_with_ties(self, spark):
+        rng = np.random.RandomState(17)
+        vals = [int(v) for v in rng.randint(0, 12, 60)]  # dense ties
+        df = _events(spark, [("a", i, v, 0) for i, v in enumerate(vals)])
+        from timeseriestokenizer_spark.operators.anomaly import pettitt_changepoint
+
+        r = pettitt_changepoint(
+            df, key="k", ts_col="ts", val_col="x", id_col="event_id"
+        ).collect()[0]
+        k_want, u_want = _pettitt_oracle(vals)
+        assert (r["k_star"], r["u_abs"]) == (k_want, u_want)
+        assert r["change_ts"] == T0 + dt.timedelta(minutes=k_want - 1)
+
+
+def _mw_oracle(a, b):
+    """Pair-counting Mann-Whitney U for sample a, plus tie-corrected z."""
+    u = sum((x > y) + 0.5 * (x == y) for x in a for y in b)
+    na, nb, n = len(a), len(b), len(a) + len(b)
+    from collections import Counter
+
+    ties = sum(t**3 - t for t in Counter(list(a) + list(b)).values())
+    var = na * nb * ((n**3 - n) - ties) / (12 * n * (n - 1))
+    z = None if var == 0 else (u - na * nb / 2) / math.sqrt(var)
+    return u, z
+
+
+class TestRankSumShift:
+    def test_matches_pair_counting_oracle(self, spark):
+        rng = np.random.RandomState(19)
+        a = [int(v) for v in rng.randint(0, 25, 70)]
+        b = [int(v) for v in rng.randint(10, 35, 45)]
+        rows = [("u", i, v, 0) for i, v in enumerate(a)] + [
+            ("u", 500 + i, v, 1) for i, v in enumerate(b)
+        ]
+        from timeseriestokenizer_spark.operators.drift import rank_sum_shift
+
+        r = rank_sum_shift(
+            _events(spark, rows), split_expr=F.col("y") == 0,
+            key="k", val_col="x",
+        ).collect()[0]
+        u_want, z_want = _mw_oracle(a, b)
+        assert r["u_stat"] == pytest.approx(u_want, abs=0)
+        assert r["z"] == pytest.approx(z_want, rel=1e-12)
+
+    def test_all_tied_gives_null_z(self, spark):
+        rows = [("u", i, 7, i % 2) for i in range(20)]
+        from timeseriestokenizer_spark.operators.drift import rank_sum_shift
+
+        r = rank_sum_shift(
+            _events(spark, rows), split_expr=F.col("y") == 0,
+            key="k", val_col="x",
+        ).collect()[0]
+        assert r["z"] is None
+        assert r["u_stat"] == pytest.approx(10 * 10 / 2)  # pure-tie midranks
+
+    def test_direction_of_shift(self, spark):
+        # B strictly above A: U_A = 0, z maximally negative.
+        rows = [("u", i, i, 0) for i in range(15)] + [
+            ("u", 100 + i, 1000 + i, 1) for i in range(15)
+        ]
+        from timeseriestokenizer_spark.operators.drift import rank_sum_shift
+
+        r = rank_sum_shift(
+            _events(spark, rows), split_expr=F.col("y") == 0,
+            key="k", val_col="x",
+        ).collect()[0]
+        assert r["u_stat"] == 0.0 and r["z"] < -4.0

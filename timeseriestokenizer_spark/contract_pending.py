@@ -17,7 +17,8 @@ alert_episodes, swinging_door_keep, cms_point_freq, cms_freq_cascade,
 lm_doc_score, kmv_distinct, kmv_overlap, kmv_union_cascade, hw_forecast,
 best_changepoint, bloom_membership, kmv_retention_days, count_bracket,
 pq_codes, pq_adc_topk, pq_rerank_topk, ivfpq_codes, ivfpq_topk,
-ccf_lead_lag, ks_drift, predict_linear, dft_dominant.
+ccf_lead_lag, ks_drift, predict_linear, dft_dominant,
+pettitt_changepoint, rank_sum_shift.
 
 Fixed-codebook convention (the ann_ivf_assign pattern): centroid values are
 `float(f"{x:.6f}")` — both engines parse the same 6-dp decimal string to the
@@ -1256,6 +1257,114 @@ FROM pw
 """
 
 
+def q_pettitt_changepoint(spark, sf_dir):
+    """Pettitt rank changepoint (operators/anomaly.pettitt_changepoint):
+    argmax_k |U_k| from doubled midranks — every intermediate an exact
+    BIGINT, no floats anywhere in the whole row (the strongest parity
+    class). Ties on |U_k| break to the smallest k on both engines."""
+    from .operators.anomaly import pettitt_changepoint
+
+    ev = contract.load(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return pettitt_changepoint(
+        ev, key="user_id", ts_col="ts", val_col="cents", id_col="event_id"
+    )
+
+
+_PETTITT_SQL = """
+WITH b AS (
+  SELECT user_id, ts, event_id, CAST(round(value*100) AS BIGINT) AS v
+  FROM events),
+st AS (
+  SELECT user_id, ts, event_id, v,
+         count(v) OVER (PARTITION BY user_id) AS n,
+         rank() OVER (PARTITION BY user_id ORDER BY v ASC) AS ra,
+         rank() OVER (PARTITION BY user_id ORDER BY v DESC) AS rd
+  FROM b),
+r AS (SELECT user_id, ts, event_id, n, ra + n + 1 - rd AS r2 FROM st),
+u AS (
+  SELECT user_id, ts, n,
+         row_number() OVER w AS k,
+         sum(r2) OVER w - row_number() OVER w * (n + 1) AS u_k
+  FROM r WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+f AS (SELECT * FROM u WHERE k < n),
+p AS (
+  SELECT user_id,
+         CAST(n AS BIGINT) AS n_points,
+         CAST(k AS BIGINT) AS k_star,
+         CAST(abs(u_k) AS BIGINT) AS u_abs,
+         ts AS change_ts,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY abs(u_k) DESC, k ASC) AS rn
+  FROM f)
+SELECT user_id, n_points, k_star, u_abs, change_ts FROM p WHERE rn = 1
+"""
+
+
+def q_rank_sum_shift(spark, sf_dir):
+    """Mann-Whitney U with tie-corrected z (operators/drift.rank_sum_shift)
+    on the same Jan-1..15-vs-rest split as ks_drift: doubled midranks keep
+    U2 and the variance numerator exact BIGINT; the float tail is one
+    divide + one sqrt + one divide, identical both engines, unrounded."""
+    from .operators.drift import rank_sum_shift
+
+    ev = contract.load(spark, sf_dir, "events").select(
+        "user_id", "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return rank_sum_shift(
+        ev,
+        split_expr=F.col("ts").cast("timestamp")
+        < F.to_timestamp(F.lit("2024-01-16 00:00:00")),
+        key="user_id",
+        val_col="cents",
+    )
+
+
+_RANK_SUM_SQL = """
+WITH b AS (
+  SELECT user_id,
+         CAST(round(value*100) AS BIGINT) AS v,
+         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS ia
+  FROM events),
+g AS (
+  SELECT user_id, v, sum(ia) AS a_cnt, sum(1 - ia) AS b_cnt
+  FROM b GROUP BY 1, 2),
+st AS (
+  SELECT user_id, a_cnt, a_cnt + b_cnt AS t,
+         2 * (sum(a_cnt + b_cnt) OVER (PARTITION BY user_id ORDER BY v)
+              - (a_cnt + b_cnt)) + (a_cnt + b_cnt) + 1 AS midrank2
+  FROM g),
+ag AS (
+  SELECT user_id,
+         CAST(sum(a_cnt) AS BIGINT) AS n_a,
+         CAST(sum(t - a_cnt) AS BIGINT) AS n_b,
+         CAST(sum(a_cnt * midrank2) AS BIGINT) AS r2_a,
+         CAST(sum(t*t*t - t) AS BIGINT) AS tie_term
+  FROM st GROUP BY 1),
+m AS (
+  SELECT user_id, n_a, n_b,
+         r2_a - n_a * (n_a + 1) AS u2,
+         n_a + n_b AS n,
+         n_a * n_b * (((n_a + n_b)*(n_a + n_b)*(n_a + n_b) - (n_a + n_b))
+                      - tie_term) AS var_num
+  FROM ag WHERE n_a > 0 AND n_b > 0),
+s AS (
+  SELECT user_id, n_a, n_b, u2,
+         sqrt(CAST(var_num AS DOUBLE)
+              / CAST(12 * n * (n - 1) AS DOUBLE)) AS sigma
+  FROM m)
+SELECT user_id, n_a, n_b,
+       CAST(u2 AS DOUBLE) / 2.0 AS u_stat,
+       CASE WHEN sigma > 0.0
+            THEN CAST(u2 - n_a * n_b AS DOUBLE) / (2.0 * sigma) END AS z
+FROM s
+"""
+
+
 PENDING_QUERIES = {
     "kalman_level": q_kalman_level,
     "alert_state": q_alert_state,
@@ -1281,6 +1390,8 @@ PENDING_QUERIES = {
     "ks_drift": q_ks_drift,
     "predict_linear": q_predict_linear,
     "dft_dominant": q_dft_dominant,
+    "pettitt_changepoint": q_pettitt_changepoint,
+    "rank_sum_shift": q_rank_sum_shift,
 }
 
 
@@ -1309,6 +1420,8 @@ _PENDING_SQL_BUILDERS = {
     "ks_drift": lambda: _KS_DRIFT_SQL,
     "predict_linear": lambda: _PREDICT_LINEAR_SQL,
     "dft_dominant": _dft_dominant_sql,
+    "pettitt_changepoint": lambda: _PETTITT_SQL,
+    "rank_sum_shift": lambda: _RANK_SUM_SQL,
 }
 
 

@@ -335,3 +335,75 @@ def best_changepoint(
             ).alias("right_mean"),
         )
     )
+
+
+def pettitt_changepoint(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Pettitt's nonparametric changepoint test per series — the
+    rank-based companion to ``best_changepoint`` (that one maximizes a
+    between-segment mean gap, so one fat outlier can drag it; Pettitt's
+    statistic only sees ranks, so it finds LEVEL shifts under heavy
+    tails).
+
+    Entirely INTEGER-exact, no floats anywhere: with doubled midranks
+    r2_i = rank_asc_i + (n + 1 - rank_desc_i)  (= 2·midrank, an exact
+    integer even under ties), the Mann-Whitney-style statistic at each
+    candidate split k is
+
+        U_k = Σ_{i<=k} r2_i  -  k·(n+1)          (exact BIGINT)
+
+    and the changepoint is argmax_k |U_k| over k = 1..n-1 (k = n is
+    excluded: U_n ≡ 0 by construction). Ties on |U_k| break to the
+    smallest k — both engines compare the same integers.
+
+    One hash exchange on ``key``: the two value-rank windows, the
+    running-sum window, and the final pick-the-max window all partition
+    by the series key (different orderings re-sort within partitions but
+    never reshuffle).
+
+    Returns one row per series: (key, n_points, k_star [1-based
+    position of the last pre-change point], u_abs, change_ts).
+    """
+    order = [F.col(ts_col), F.col(id_col)]
+    wall = W.partitionBy(key)
+    w_asc = W.partitionBy(key).orderBy(F.col(val_col).asc())
+    w_desc = W.partitionBy(key).orderBy(F.col(val_col).desc())
+    wrun = W.partitionBy(key).orderBy(*order)
+    n = F.count(val_col).over(wall)
+    s1 = df.select(
+        F.col(key),
+        *order,
+        n.alias("n"),
+        (
+            F.rank().over(w_asc) + n + F.lit(1) - F.rank().over(w_desc)
+        ).alias("r2"),
+    )
+    s2 = s1.select(
+        F.col(key),
+        F.col(ts_col),
+        F.col("n"),
+        F.row_number().over(wrun).alias("_pos"),
+        (
+            F.sum("r2").over(wrun) - F.row_number().over(wrun) * (F.col("n") + 1)
+        ).alias("u_k"),
+    ).where(F.col("_pos") < F.col("n"))
+    wpick = W.partitionBy(key).orderBy(
+        F.abs(F.col("u_k")).desc(), F.col("_pos").asc()
+    )
+    return (
+        s2.select(
+            F.col(key),
+            F.col("n").alias("n_points"),
+            F.col("_pos").alias("k_star"),
+            F.abs(F.col("u_k")).alias("u_abs"),
+            F.col(ts_col).alias("change_ts"),
+            F.row_number().over(wpick).alias("_rn"),
+        )
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

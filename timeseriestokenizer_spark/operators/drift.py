@@ -247,3 +247,73 @@ def ks_drift(
             ).alias("ks_d"),
         )
     )
+
+
+def rank_sum_shift(
+    df: DataFrame,
+    split_expr,
+    key: str = "conv_id",
+    val_col: str = "value",
+) -> DataFrame:
+    """Mann–Whitney U rank-sum test per series between the rows where
+    ``split_expr`` is true (sample A) and the rest — the
+    location-sensitive member of the drift family (TVD and KS measure
+    ANY distribution change; U asks the monitoring question "did the
+    level move, and which way?") with the tie-corrected normal
+    approximation z.
+
+    Exactness: doubled midranks over the per-key value histogram keep
+    everything BIGINT until the very end —
+
+        midrank2(v) = 2·(#rows < v) + (#rows = v) + 1
+        U2  = Σ_A a_cnt·midrank2  -  n_a·(n_a+1)        (= 2·U, exact)
+        var_num = n_a·n_b·((n³ - n) - Σ_ties (t³ - t))   (exact)
+        σ = sqrt( var_num / (12·n·(n-1)) )    z = (U2 - n_a·n_b)/(2σ)
+
+    — one IEEE divide, one sqrt, one subtract-divide tail, the identical
+    sequence on identical integers on any engine, emitted unrounded.
+    Keys with an empty side, or σ = 0 (all pooled values tied), yield
+    NULL z. Overflow bound: n_a·n_b·n³ < 2⁶³ — per-key period counts to
+    ~10⁴ rows; beyond that the DECIMAL(38,0) escape hatch above.
+
+    Scale shape identical to ``ks_drift``: map-side-combined
+    groupBy (key, value), then one key exchange shared by the cumulative
+    window and the final aggregate.
+    """
+    g = df.groupBy(F.col(key), F.col(val_col).alias("v")).agg(
+        F.sum(F.when(split_expr, 1).otherwise(0)).alias("a_cnt"),
+        F.sum(F.when(split_expr, 0).otherwise(1)).alias("b_cnt"),
+    )
+    wcum = W.partitionBy(key).orderBy("v")
+    t = F.col("a_cnt") + F.col("b_cnt")
+    staged = g.select(
+        F.col(key),
+        F.col("a_cnt"),
+        t.alias("t"),
+        (F.lit(2) * (F.sum(t).over(wcum) - t) + t + F.lit(1)).alias("midrank2"),
+    )
+    aggd = staged.groupBy(key).agg(
+        F.sum("a_cnt").alias("n_a"),
+        F.sum(F.col("t") - F.col("a_cnt")).alias("n_b"),
+        F.sum(F.col("a_cnt") * F.col("midrank2")).alias("r2_a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_term"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    u2 = F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1)
+    var_num = F.col("n_a") * F.col("n_b") * (
+        (n * n * n - n) - F.col("tie_term")
+    )
+    sigma = F.sqrt(
+        var_num.cast("double") / (F.lit(12) * n * (n - 1)).cast("double")
+    )
+    z = F.when(
+        sigma > 0.0,
+        (u2 - F.col("n_a") * F.col("n_b")).cast("double") / (F.lit(2.0) * sigma),
+    )
+    return aggd.where((F.col("n_a") > 0) & (F.col("n_b") > 0)).select(
+        F.col(key),
+        F.col("n_a"),
+        F.col("n_b"),
+        (u2.cast("double") / F.lit(2.0)).alias("u_stat"),
+        z.alias("z"),
+    )
