@@ -201,3 +201,27 @@ def test_weighted_sample_is_take_ordered(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_session3_rows_stay_join_free(spark):
+    """The session-3 pending rows' scale claims, pinned: every one is an
+    aggregation/window form — NO join anywhere — and the docstrings'
+    exchange budgets hold (ccf/pettitt/dft/predict_linear cluster
+    everything on the series key; the two drift rows spend one extra
+    exchange on the map-side-combined (key, value) histogram)."""
+    from timeseriestokenizer_spark import contract_pending as cp
+
+    budgets = {  # (max joins, max exchanges)
+        "ccf_lead_lag": (0, 1),
+        "pettitt_changepoint": (0, 1),
+        "dft_dominant": (0, 1),
+        "predict_linear": (0, 1),
+        "ks_drift": (0, 2),
+        "rank_sum_shift": (0, 2),
+    }
+    for name, (max_j, max_x) in budgets.items():
+        df = cp.PENDING_QUERIES[name](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_x = plan.count("Exchange") - plan.count("ReusedExchange")
+        assert plan.count("Join") <= max_j, (name, plan.count("Join"))
+        assert n_x <= max_x, (name, n_x, plan)
