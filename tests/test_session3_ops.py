@@ -348,3 +348,57 @@ class TestRankSumShift:
             key="k", val_col="x",
         ).collect()[0]
         assert r["u_stat"] == 0.0 and r["z"] < -4.0
+
+
+def _rdp_oracle(ys, eps):
+    """Textbook recursive RDP on integer series, integer arithmetic."""
+    n = len(ys)
+    kept = {0, n - 1}
+
+    def rec(lo, hi):
+        if hi - lo < 2:
+            return
+        dx, dy = hi - lo, ys[hi] - ys[lo]
+        best_c2, best_j = -1, -1
+        for j in range(lo + 1, hi):
+            cross = dx * (ys[j] - ys[lo]) - dy * (j - lo)
+            if cross * cross > best_c2:
+                best_c2, best_j = cross * cross, j
+        if best_c2 > eps * eps * (dx * dx + dy * dy):
+            kept.add(best_j)
+            rec(lo, best_j)
+            rec(best_j, hi)
+
+    rec(0, n - 1)
+    return kept
+
+
+class TestRdpKeep:
+    def _run(self, spark, vals, eps):
+        df = _events(spark, [("a", i, v, 0) for i, v in enumerate(vals)])
+        from timeseriestokenizer_spark.operators.downsample import rdp_keep
+
+        rows = rdp_keep(
+            df, key="k", ts_col="ts", val_col="x", id_col="event_id",
+            epsilon=eps,
+        ).collect()
+        return {r["event_id"]: r["kept"] for r in rows}
+
+    def test_straight_line_keeps_only_endpoints(self, spark):
+        got = self._run(spark, [100 + 7 * i for i in range(50)], eps=1)
+        assert sum(got.values()) == 2 and got[0] == 1 and got[49] == 1
+
+    def test_spike_survives(self, spark):
+        vals = [0] * 60
+        vals[33] = 10_000
+        got = self._run(spark, vals, eps=50)
+        assert got[33] == 1
+        assert sum(got.values()) == 3  # endpoints + the spike
+
+    def test_matches_recursive_oracle(self, spark):
+        rng = np.random.RandomState(23)
+        vals = [int(v) for v in rng.randint(0, 5000, 80)]
+        for eps in (0, 100, 1000):
+            got = self._run(spark, vals, eps=eps)
+            want = _rdp_oracle(vals, eps)
+            assert {i for i, k in got.items() if k == 1} == want, eps

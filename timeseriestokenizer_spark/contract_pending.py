@@ -18,7 +18,7 @@ lm_doc_score, kmv_distinct, kmv_overlap, kmv_union_cascade, hw_forecast,
 best_changepoint, bloom_membership, kmv_retention_days, count_bracket,
 pq_codes, pq_adc_topk, pq_rerank_topk, ivfpq_codes, ivfpq_topk,
 ccf_lead_lag, ks_drift, predict_linear, dft_dominant,
-pettitt_changepoint, rank_sum_shift.
+pettitt_changepoint, rank_sum_shift, rdp_keep.
 
 Fixed-codebook convention (the ann_ivf_assign pattern): centroid values are
 `float(f"{x:.6f}")` — both engines parse the same 6-dp decimal string to the
@@ -1365,6 +1365,72 @@ FROM s
 """
 
 
+def q_rdp_keep(spark, sf_dir):
+    """Ramer-Douglas-Peucker keep flags (operators/downsample.rdp_keep,
+    eps=2000 cents) over the position-indexed cents series per user: the
+    split test max cross^2 > eps^2 * len^2 and the argmax are pure BIGINT
+    comparisons, so the kept set is bit-exact vs the recursive
+    segment-frontier oracle — no floats anywhere in the row."""
+    from .operators.downsample import rdp_keep
+
+    ev = contract.load(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return rdp_keep(
+        ev, key="user_id", ts_col="ts", val_col="cents",
+        id_col="event_id", epsilon=2000,
+    )
+
+
+_RDP_SQL = """
+WITH RECURSIVE pts AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+         CAST(round(value*100) AS BIGINT) AS y,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+seg(user_id, lo, hi) AS (
+  SELECT user_id, CAST(1 AS BIGINT), CAST(n AS BIGINT)
+  FROM (SELECT DISTINCT user_id, n FROM pts) base
+  UNION ALL
+  SELECT q.user_id, x.lo2, x.hi2
+  FROM (
+    SELECT g.user_id, g.lo, g.hi,
+      (SELECT p.i FROM pts p
+        WHERE p.user_id = g.user_id AND p.i > g.lo AND p.i < g.hi
+        ORDER BY (g.dx*(p.y - g.ylo) - g.dy*(p.i - g.lo))
+                 * (g.dx*(p.y - g.ylo) - g.dy*(p.i - g.lo)) DESC,
+                 p.i ASC
+        LIMIT 1) AS j,
+      (SELECT max((g.dx*(p.y - g.ylo) - g.dy*(p.i - g.lo))
+                  * (g.dx*(p.y - g.ylo) - g.dy*(p.i - g.lo)))
+        FROM pts p
+        WHERE p.user_id = g.user_id AND p.i > g.lo AND p.i < g.hi) AS c2max,
+      g.dx, g.dy
+    FROM (
+      SELECT s.user_id, s.lo, s.hi,
+             s.hi - s.lo AS dx, plo.y AS ylo, phi.y - plo.y AS dy
+      FROM seg s
+      JOIN pts plo ON plo.user_id = s.user_id AND plo.i = s.lo
+      JOIN pts phi ON phi.user_id = s.user_id AND phi.i = s.hi
+      WHERE s.hi - s.lo >= 2) g
+  ) q, LATERAL (VALUES (q.lo, q.j), (q.j, q.hi)) x(lo2, hi2)
+  WHERE q.c2max > 2000*2000 * (q.dx*q.dx + q.dy*q.dy)
+),
+kept_i AS (
+  SELECT DISTINCT user_id, i FROM (
+    SELECT user_id, lo AS i FROM seg
+    UNION ALL
+    SELECT user_id, hi AS i FROM seg))
+SELECT p.event_id,
+       CAST(CASE WHEN k.i IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM pts p
+LEFT JOIN kept_i k ON k.user_id = p.user_id AND k.i = p.i
+"""
+
+
 PENDING_QUERIES = {
     "kalman_level": q_kalman_level,
     "alert_state": q_alert_state,
@@ -1392,6 +1458,7 @@ PENDING_QUERIES = {
     "dft_dominant": q_dft_dominant,
     "pettitt_changepoint": q_pettitt_changepoint,
     "rank_sum_shift": q_rank_sum_shift,
+    "rdp_keep": q_rdp_keep,
 }
 
 
@@ -1422,6 +1489,7 @@ _PENDING_SQL_BUILDERS = {
     "dft_dominant": _dft_dominant_sql,
     "pettitt_changepoint": lambda: _PETTITT_SQL,
     "rank_sum_shift": lambda: _RANK_SUM_SQL,
+    "rdp_keep": lambda: _RDP_SQL,
 }
 
 

@@ -347,3 +347,99 @@ def swinging_door(
             yield pd.DataFrame({"out_id": out_ids, "kept": out_kept})
 
     return seqs.mapInPandas(_sdt, out_schema).withColumnRenamed("out_id", id_col)
+
+
+def rdp_keep(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    epsilon: int = 2000,
+) -> DataFrame:
+    """Ramer–Douglas–Peucker polyline simplification over the
+    position-indexed INTEGER series — the shape-preserving member of the
+    downsample family (LTTB fixes the output COUNT; SDT bounds the
+    reconstruction error in value units per anchor line; RDP bounds the
+    PERPENDICULAR deviation of the whole curve, the classic cartography/
+    trajectory criterion).
+
+    Entirely integer-exact, zero floats: for the segment (lo, hi) with
+    dx = hi - lo, dy = y_hi - y_lo, an interior point's perpendicular
+    distance to the chord satisfies  d² = cross² / len²  with
+
+        cross = dx·(y_j - y_lo) - dy·(j - lo)        (exact BIGINT)
+        len²  = dx² + dy²                            (exact BIGINT)
+
+    so the split test  max_j cross²  >  ε²·len²  and the argmax itself
+    (ties → smallest j) are pure BIGINT comparisons — the DuckDB oracle
+    replays them with a recursive segment frontier and hash-matches the
+    kept set with no tolerance. First/last points always survive; a
+    series of ≤ 2 points is kept whole.
+
+    Emits (id_col, kept int) for EVERY input point, the swinging_door
+    contract shape. ``epsilon`` is in the same integer units as
+    ``val_col`` (pass cents with an integer-cents column).
+
+    Scale shape: the same one-exchange batched-arrays form as
+    swinging_door/ewma — series collapse to sorted arrays JVM-side,
+    Python sees Arrow batches of whole series (bounded-series doctrine:
+    pre-downsample series beyond ~5·10⁴ points via the rollup tiers;
+    RDP's argmax scan is O(n·depth) per series). Integer bound:
+    n·max|y| < 2³¹ keeps cross² under 2⁶³.
+    """
+    eps = int(epsilon)
+    if eps < 0:
+        raise ValueError(f"epsilon must be non-negative, got {epsilon}")
+    seqs = (
+        df.select(
+            F.col(key).alias("k"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+            F.col(id_col).alias("i"),
+            F.col(val_col).cast("long").alias("v"),
+        )
+        .groupBy("k")
+        .agg(F.expr("array_sort(collect_list(struct(t, i, v)))").alias("seq"))
+        .select(
+            F.expr("transform(seq, x -> x.i)").alias("ids"),
+            F.expr("transform(seq, x -> x.v)").alias("vals"),
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("out_id", df.schema[id_col].dataType),
+            T.StructField("kept", T.IntegerType()),
+        ]
+    )
+    eps2 = eps * eps
+
+    def _rdp(batches):
+        for pdf in batches:
+            out_ids, out_kept = [], []
+            for ids, vals in zip(pdf["ids"], pdf["vals"]):
+                n = len(ids)
+                ys = [int(v) for v in vals]  # Python ints: no int64 wrap
+                kept = [0] * n
+                kept[0] = 1
+                kept[n - 1] = 1
+                stack = [(0, n - 1)]
+                while stack:
+                    lo, hi = stack.pop()
+                    if hi - lo < 2:
+                        continue
+                    dx, dy = hi - lo, ys[hi] - ys[lo]
+                    best_c2, best_j = -1, -1
+                    for j in range(lo + 1, hi):
+                        cross = dx * (ys[j] - ys[lo]) - dy * (j - lo)
+                        c2 = cross * cross
+                        if c2 > best_c2:  # strict: first max wins
+                            best_c2, best_j = c2, j
+                    if best_c2 > eps2 * (dx * dx + dy * dy):
+                        kept[best_j] = 1
+                        stack.append((lo, best_j))
+                        stack.append((best_j, hi))
+                out_ids.extend(ids)
+                out_kept.extend(kept)
+            yield pd.DataFrame({"out_id": out_ids, "kept": out_kept})
+
+    return seqs.mapInPandas(_rdp, out_schema).withColumnRenamed("out_id", id_col)
