@@ -402,3 +402,47 @@ class TestRdpKeep:
             got = self._run(spark, vals, eps=eps)
             want = _rdp_oracle(vals, eps)
             assert {i for i, k in got.items() if k == 1} == want, eps
+
+
+def _sampen_oracle(ys, r):
+    nt = len(ys) - 2
+    b = a = 0
+    for i in range(nt):
+        for j in range(i + 1, nt):
+            if max(abs(ys[i] - ys[j]), abs(ys[i + 1] - ys[j + 1])) <= r:
+                b += 1
+                if abs(ys[i + 2] - ys[j + 2]) <= r:
+                    a += 1
+    e = None if a == 0 or b == 0 else round(-math.log(a / b), 6)
+    return b, a, e
+
+
+class TestSampleEntropy:
+    def _run(self, spark, vals, r):
+        df = _events(spark, [("a", i, v, 0) for i, v in enumerate(vals)])
+        from timeseriestokenizer_spark.operators.anomaly import sample_entropy
+
+        return sample_entropy(
+            df, key="k", ts_col="ts", val_col="x", id_col="event_id", r=r
+        ).collect()[0]
+
+    def test_matches_exhaustive_oracle(self, spark):
+        rng = np.random.RandomState(29)
+        vals = [int(v) for v in rng.randint(0, 300, 70)]
+        got = self._run(spark, vals, r=60)
+        b, a, e = _sampen_oracle(vals, 60)
+        assert (got["b_count"], got["a_count"]) == (b, a)
+        assert got["sampen"] == pytest.approx(e, abs=1e-6)
+
+    def test_periodic_is_more_regular_than_noise(self, spark):
+        periodic = [100 * (i % 4) for i in range(80)]
+        rng = np.random.RandomState(31)
+        noise = [int(v) for v in rng.randint(0, 400, 80)]
+        ep = self._run(spark, periodic, r=50)["sampen"]
+        en = self._run(spark, noise, r=50)["sampen"]
+        assert ep == pytest.approx(0.0, abs=1e-9)  # every B-match extends
+        assert en is None or en > 0.5
+
+    def test_short_series_null(self, spark):
+        got = self._run(spark, [1, 2, 3], r=10)
+        assert (got["b_count"], got["a_count"], got["sampen"]) == (0, 0, None)

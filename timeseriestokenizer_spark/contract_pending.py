@@ -18,7 +18,7 @@ lm_doc_score, kmv_distinct, kmv_overlap, kmv_union_cascade, hw_forecast,
 best_changepoint, bloom_membership, kmv_retention_days, count_bracket,
 pq_codes, pq_adc_topk, pq_rerank_topk, ivfpq_codes, ivfpq_topk,
 ccf_lead_lag, ks_drift, predict_linear, dft_dominant,
-pettitt_changepoint, rank_sum_shift, rdp_keep.
+pettitt_changepoint, rank_sum_shift, rdp_keep, sample_entropy.
 
 Fixed-codebook convention (the ann_ivf_assign pattern): centroid values are
 `float(f"{x:.6f}")` — both engines parse the same 6-dp decimal string to the
@@ -1431,6 +1431,63 @@ LEFT JOIN kept_i k ON k.user_id = p.user_id AND k.i = p.i
 """
 
 
+def q_sample_entropy(spark, sf_dir):
+    """Sample entropy (operators/anomaly.sample_entropy, m=2, r=10000
+    cents): A/B template-match counts are exact BIGINTs on both engines
+    (Chebyshev tolerance compares integers); the single float step
+    -ln(A/B) is rounded to 6 dp on both sides (the lm_doc_score
+    precedent for libm last-ulp drift)."""
+    from .operators.anomaly import sample_entropy
+
+    ev = contract.load(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return sample_entropy(
+        ev, key="user_id", ts_col="ts", val_col="cents",
+        id_col="event_id", m=2, r=10000,
+    )
+
+
+_SAMPEN_SQL = """
+WITH b AS (
+  SELECT user_id, ts, event_id, CAST(round(value*100) AS BIGINT) AS v
+  FROM events),
+tpl AS (
+  SELECT user_id,
+         row_number() OVER w AS i,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         v AS v0,
+         lead(v, 1) OVER w AS v1,
+         lead(v, 2) OVER w AS v2
+  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+t AS (SELECT * FROM tpl WHERE i <= n - 2),
+p AS (
+  SELECT a.user_id,
+         CASE WHEN greatest(abs(a.v0 - c.v0), abs(a.v1 - c.v1)) <= 10000
+              THEN 1 ELSE 0 END AS bm,
+         CASE WHEN greatest(abs(a.v0 - c.v0), abs(a.v1 - c.v1),
+                            abs(a.v2 - c.v2)) <= 10000
+              THEN 1 ELSE 0 END AS am
+  FROM t a JOIN t c ON c.user_id = a.user_id AND c.i > a.i),
+ag AS (
+  SELECT user_id,
+         CAST(sum(bm) AS BIGINT) AS b_count,
+         CAST(sum(am) AS BIGINT) AS a_count
+  FROM p GROUP BY 1),
+nn AS (
+  SELECT user_id, CAST(max(n) AS BIGINT) AS n_points FROM tpl GROUP BY 1)
+SELECT nn.user_id, nn.n_points,
+       COALESCE(ag.b_count, 0) AS b_count,
+       COALESCE(ag.a_count, 0) AS a_count,
+       CASE WHEN ag.a_count > 0 AND ag.b_count > 0
+            THEN round(-ln(CAST(ag.a_count AS DOUBLE)
+                           / CAST(ag.b_count AS DOUBLE)), 6) END AS sampen
+FROM nn LEFT JOIN ag ON ag.user_id = nn.user_id
+"""
+
+
 PENDING_QUERIES = {
     "kalman_level": q_kalman_level,
     "alert_state": q_alert_state,
@@ -1459,6 +1516,7 @@ PENDING_QUERIES = {
     "pettitt_changepoint": q_pettitt_changepoint,
     "rank_sum_shift": q_rank_sum_shift,
     "rdp_keep": q_rdp_keep,
+    "sample_entropy": q_sample_entropy,
 }
 
 
@@ -1490,6 +1548,7 @@ _PENDING_SQL_BUILDERS = {
     "pettitt_changepoint": lambda: _PETTITT_SQL,
     "rank_sum_shift": lambda: _RANK_SUM_SQL,
     "rdp_keep": lambda: _RDP_SQL,
+    "sample_entropy": lambda: _SAMPEN_SQL,
 }
 
 

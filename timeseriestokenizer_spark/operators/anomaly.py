@@ -39,6 +39,9 @@ bounded by the longest single series (see operators/rollup.py notes).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+import pyspark.sql.types as T
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -406,4 +409,102 @@ def pettitt_changepoint(
         )
         .where(F.col("_rn") == 1)
         .drop("_rn")
+    )
+
+
+def sample_entropy(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    m: int = 2,
+    r: int = 10000,
+) -> DataFrame:
+    """Sample entropy (Richman & Moorman 2000, "Physiological time-series
+    analysis using approximate entropy and sample entropy") per series —
+    the regularity screen: low SampEn = repetitive cadence (a bot, a
+    retry loop), high = irregular. SampEn = -ln(A/B) where B counts
+    template pairs of length ``m`` within Chebyshev distance ``r`` and A
+    the same pairs extended to length m+1 (both over i<j ≤ n-m, the
+    standard convention — the pair factor cancels in the ratio).
+
+    Exactness: with an INTEGER ``val_col`` and integer ``r`` every match
+    test is a BIGINT comparison, so A and B are exact counts on any
+    engine; the one float step -ln(A/B) is rounded to 6 dp on both sides
+    (the lm_doc_score precedent: ln is libm-dependent in the last ulp).
+    A=0 or B=0 yields NULL sampen (the counts still publish).
+
+    Scale shape: one-exchange batched-arrays (the swinging_door form);
+    the O(n²) pair scan runs as numpy broadcasting inside the Arrow
+    batch — bounded-series doctrine (≤ ~10⁴ points per series; rollup
+    tiers first for longer). The quadratic NEVER hits a join or a
+    shuffle.
+    """
+    if m != 2:
+        raise NotImplementedError("sample_entropy implements m=2 (standard)")
+    rr = int(r)
+    seqs = (
+        df.select(
+            F.col(key).alias("k"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+            F.col(id_col).alias("i"),
+            F.col(val_col).cast("long").alias("v"),
+        )
+        .groupBy("k")
+        .agg(F.expr("array_sort(collect_list(struct(t, i, v)))").alias("seq"))
+        .select(
+            F.col("k"),
+            F.expr("transform(seq, x -> x.v)").alias("vals"),
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("out_key", df.schema[key].dataType),
+            T.StructField("n_points", T.LongType()),
+            T.StructField("b_count", T.LongType()),
+            T.StructField("a_count", T.LongType()),
+            T.StructField("sampen", T.DoubleType()),
+        ]
+    )
+
+    def _sampen(batches):
+        for pdf in batches:
+            ks, ns, bs, as_, es = [], [], [], [], []
+            for k, vals in zip(pdf["k"], pdf["vals"]):
+                x = np.asarray(vals, dtype=np.int64)
+                n = len(x)
+                b_cnt = a_cnt = 0
+                if n >= 4:  # need at least two m+1 templates
+                    nt = n - 2  # templates i = 0..nt-1 (length 2 and 3)
+                    d0 = np.abs(x[:nt, None] - x[None, :nt])
+                    d1 = np.abs(x[1 : nt + 1, None] - x[None, 1 : nt + 1])
+                    d2 = np.abs(x[2 : nt + 2, None] - x[None, 2 : nt + 2])
+                    iu = np.triu_indices(nt, k=1)
+                    bm = (np.maximum(d0, d1) <= rr)[iu]
+                    b_cnt = int(bm.sum())
+                    a_cnt = int((bm & (d2 <= rr)[iu]).sum())
+                ks.append(k)
+                ns.append(n)
+                bs.append(b_cnt)
+                as_.append(a_cnt)
+                es.append(
+                    -float(np.log(a_cnt / b_cnt))
+                    if a_cnt > 0 and b_cnt > 0
+                    else None
+                )
+            yield pd.DataFrame(
+                {
+                    "out_key": ks,
+                    "n_points": ns,
+                    "b_count": bs,
+                    "a_count": as_,
+                    "sampen": es,
+                }
+            )
+
+    return (
+        seqs.mapInPandas(_sampen, out_schema)
+        .withColumnRenamed("out_key", key)
+        .withColumn("sampen", F.round(F.col("sampen"), 6))
     )
