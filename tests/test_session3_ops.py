@@ -446,3 +446,70 @@ class TestSampleEntropy:
     def test_short_series_null(self, spark):
         got = self._run(spark, [1, 2, 3], r=10)
         assert (got["b_count"], got["a_count"], got["sampen"]) == (0, 0, None)
+
+
+def _smk_oracle(vals, period):
+    n = len(vals)
+    S = 0
+    var = 0
+    from collections import Counter
+
+    for p in range(period):
+        idx = [i for i in range(n) if i % period == p]
+        np_ = len(idx)
+        for a in range(np_):
+            for b_ in range(a + 1, np_):
+                vi, vj = vals[idx[a]], vals[idx[b_]]
+                S += (vj > vi) - (vj < vi)
+        tvar = sum(
+            t * (t - 1) * (2 * t + 5)
+            for t in Counter(vals[i] for i in idx).values()
+        )
+        var += np_ * (np_ - 1) * (2 * np_ + 5) - tvar
+    if S == 0:
+        z = 0.0
+    elif var > 0:
+        z = (S - 1 if S > 0 else S + 1) / math.sqrt(var / 18.0)
+    else:
+        z = None
+    return S, z
+
+
+class TestSeasonalMannKendall:
+    def _run(self, spark, vals, period):
+        df = _events(spark, [("a", i, v, 0) for i, v in enumerate(vals)])
+        from timeseriestokenizer_spark.operators.trend import (
+            seasonal_mann_kendall,
+        )
+
+        return seasonal_mann_kendall(
+            df, key="k", ts_col="ts", val_col="x", id_col="event_id",
+            period=period,
+        ).collect()[0]
+
+    def test_pure_seasonal_has_zero_trend(self, spark):
+        # period-12 pattern repeated exactly: every phase is constant,
+        # so S = 0 and Z = 0 — the case plain MK would misread.
+        vals = [100 * (i % 12) for i in range(96)]
+        r = self._run(spark, vals, 12)
+        assert (r["s_stat"], r["z_stat"]) == (0, 0.0)
+
+    def test_trend_under_seasonality_detected(self, spark):
+        vals = [100 * (i % 12) + 3 * i for i in range(96)]
+        r = self._run(spark, vals, 12)
+        S, z = _smk_oracle(vals, 12)
+        assert r["s_stat"] == S and S > 0
+        assert r["z_stat"] == pytest.approx(z, rel=1e-12)
+        assert r["z_stat"] > 3.0
+
+    def test_matches_oracle_with_ties_and_short_phases(self, spark):
+        rng = np.random.RandomState(37)
+        vals = [int(v) for v in rng.randint(0, 8, 13)]  # one 2-pt phase
+        r = self._run(spark, vals, 12)
+        S, z = _smk_oracle(vals, 12)
+        assert r["s_stat"] == S
+        assert r["n_points"] == 13
+        if z is None:
+            assert r["z_stat"] is None or r["z_stat"] == 0.0
+        else:
+            assert r["z_stat"] == pytest.approx(z, rel=1e-12)

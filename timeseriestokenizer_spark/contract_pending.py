@@ -18,7 +18,8 @@ lm_doc_score, kmv_distinct, kmv_overlap, kmv_union_cascade, hw_forecast,
 best_changepoint, bloom_membership, kmv_retention_days, count_bracket,
 pq_codes, pq_adc_topk, pq_rerank_topk, ivfpq_codes, ivfpq_topk,
 ccf_lead_lag, ks_drift, predict_linear, dft_dominant,
-pettitt_changepoint, rank_sum_shift, rdp_keep, sample_entropy.
+pettitt_changepoint, rank_sum_shift, rdp_keep, sample_entropy,
+seasonal_mk.
 
 Fixed-codebook convention (the ann_ivf_assign pattern): centroid values are
 `float(f"{x:.6f}")` — both engines parse the same 6-dp decimal string to the
@@ -1488,6 +1489,74 @@ FROM nn LEFT JOIN ag ON ag.user_id = nn.user_id
 """
 
 
+def q_seasonal_mk(spark, sf_dir):
+    """Seasonal Mann-Kendall (operators/trend.seasonal_mann_kendall,
+    period=12, positional phases): S and the tie-corrected variance
+    numerator are exact BIGINT sums of per-phase statistics; Z is the
+    same continuity-corrected single-division-single-sqrt tail as
+    mann_kendall, unrounded."""
+    from .operators.trend import seasonal_mann_kendall
+
+    return seasonal_mann_kendall(
+        contract._event_cents(spark, sf_dir),
+        key="user_id", ts_col="ts", val_col="cents", id_col="event_id",
+        period=12,
+    )
+
+
+_SEASONAL_MK_SQL = """
+WITH b AS (
+  SELECT user_id, ts, event_id, CAST(round(value*100) AS BIGINT) AS v
+  FROM events),
+ph AS (
+  SELECT user_id, v, ts, event_id,
+         (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)
+           % 12 AS phase
+  FROM b),
+sp AS (
+  SELECT a.user_id, a.phase,
+         CAST(sum(CASE WHEN c.v > a.v THEN 1
+                       WHEN c.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_p
+  FROM ph a
+  JOIN ph c ON c.user_id = a.user_id AND c.phase = a.phase
+           AND (c.ts > a.ts OR (c.ts = a.ts AND c.event_id > a.event_id))
+  GROUP BY 1, 2),
+np AS (
+  SELECT user_id, phase, CAST(count(*) AS BIGINT) AS n_p
+  FROM ph GROUP BY 1, 2),
+tie AS (
+  SELECT user_id, phase,
+         CAST(sum(cnt * (cnt - 1) * (2 * cnt + 5)) AS BIGINT) AS tvar
+  FROM (
+    SELECT user_id, phase, CAST(count(*) AS BIGINT) AS cnt
+    FROM ph GROUP BY user_id, phase, v)
+  GROUP BY 1, 2),
+m AS (
+  SELECT np.user_id, np.n_p,
+         COALESCE(sp.s_p, 0) AS s_p,
+         np.n_p * (np.n_p - 1) * (2 * np.n_p + 5) - tie.tvar AS var_p
+  FROM np
+  JOIN tie ON tie.user_id = np.user_id AND tie.phase = np.phase
+  LEFT JOIN sp ON sp.user_id = np.user_id AND sp.phase = np.phase),
+ag AS (
+  SELECT user_id,
+         CAST(sum(n_p) AS BIGINT) AS n_points,
+         CAST(sum(s_p) AS BIGINT) AS s_stat,
+         CAST(sum(var_p) AS BIGINT) AS var_num
+  FROM m GROUP BY 1)
+SELECT user_id, n_points, s_stat,
+       CASE WHEN s_stat = 0 THEN 0.0
+            WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                 / sqrt(CASE WHEN var_num > 0
+                             THEN CAST(var_num AS DOUBLE) END / 18.0)
+            ELSE CAST(s_stat + 1 AS DOUBLE)
+                 / sqrt(CASE WHEN var_num > 0
+                             THEN CAST(var_num AS DOUBLE) END / 18.0)
+       END AS z_stat
+FROM ag
+"""
+
+
 PENDING_QUERIES = {
     "kalman_level": q_kalman_level,
     "alert_state": q_alert_state,
@@ -1517,6 +1586,7 @@ PENDING_QUERIES = {
     "rank_sum_shift": q_rank_sum_shift,
     "rdp_keep": q_rdp_keep,
     "sample_entropy": q_sample_entropy,
+    "seasonal_mk": q_seasonal_mk,
 }
 
 
@@ -1549,6 +1619,7 @@ _PENDING_SQL_BUILDERS = {
     "rank_sum_shift": lambda: _RANK_SUM_SQL,
     "rdp_keep": lambda: _RDP_SQL,
     "sample_entropy": lambda: _SAMPEN_SQL,
+    "seasonal_mk": lambda: _SEASONAL_MK_SQL,
 }
 
 

@@ -114,6 +114,35 @@ def _series_values(df, key, ts_col, val_col, id_col):
     )
 
 
+_MK_S_EXPR = """
+  aggregate(
+    sequence(0, CAST(size(vs) AS INT) - 2),
+    CAST(0 AS BIGINT),
+    (acc, i) -> acc + aggregate(
+        sequence(i + 1, CAST(size(vs) AS INT) - 1),
+        CAST(0 AS BIGINT),
+        (a2, j) -> a2 + CASE WHEN vs[j] > vs[i] THEN 1
+                             WHEN vs[j] < vs[i] THEN -1 ELSE 0 END))
+"""
+
+_MK_TIES_EXPR = """
+  aggregate(
+    array_sort(vs),
+    named_struct('prev', CAST(NULL AS BIGINT), 'run', CAST(0 AS BIGINT),
+                 'n1x2', CAST(0 AS BIGINT), 'tvar', CAST(0 AS BIGINT)),
+    (st, x) -> CASE WHEN st.prev IS NULL OR x != st.prev
+        THEN named_struct('prev', x, 'run', CAST(1 AS BIGINT),
+                          'n1x2', st.n1x2 + st.run * (st.run - 1),
+                          'tvar', st.tvar + st.run * (st.run - 1)
+                                                   * (2 * st.run + 5))
+        ELSE named_struct('prev', x, 'run', st.run + 1,
+                          'n1x2', st.n1x2, 'tvar', st.tvar) END,
+    st -> named_struct(
+        'n1', (st.n1x2 + st.run * (st.run - 1)) DIV 2,
+        'tvar', st.tvar + st.run * (st.run - 1) * (2 * st.run + 5)))
+"""
+
+
 def mann_kendall(
     df: DataFrame,
     key: str = "conv_id",
@@ -144,32 +173,8 @@ def mann_kendall(
     constant series get tau_b/Z NULL — except S=0 defines Z=0 (the
     scipy kendalltau / MK-test convention)."""
     arr = _series_values(df, key, ts_col, val_col, id_col)
-    s_expr = """
-      aggregate(
-        sequence(0, CAST(size(vs) AS INT) - 2),
-        CAST(0 AS BIGINT),
-        (acc, i) -> acc + aggregate(
-            sequence(i + 1, CAST(size(vs) AS INT) - 1),
-            CAST(0 AS BIGINT),
-            (a2, j) -> a2 + CASE WHEN vs[j] > vs[i] THEN 1
-                                 WHEN vs[j] < vs[i] THEN -1 ELSE 0 END))
-    """
-    ties_expr = """
-      aggregate(
-        array_sort(vs),
-        named_struct('prev', CAST(NULL AS BIGINT), 'run', CAST(0 AS BIGINT),
-                     'n1x2', CAST(0 AS BIGINT), 'tvar', CAST(0 AS BIGINT)),
-        (st, x) -> CASE WHEN st.prev IS NULL OR x != st.prev
-            THEN named_struct('prev', x, 'run', CAST(1 AS BIGINT),
-                              'n1x2', st.n1x2 + st.run * (st.run - 1),
-                              'tvar', st.tvar + st.run * (st.run - 1)
-                                                       * (2 * st.run + 5))
-            ELSE named_struct('prev', x, 'run', st.run + 1,
-                              'n1x2', st.n1x2, 'tvar', st.tvar) END,
-        st -> named_struct(
-            'n1', (st.n1x2 + st.run * (st.run - 1)) DIV 2,
-            'tvar', st.tvar + st.run * (st.run - 1) * (2 * st.run + 5)))
-    """
+    s_expr = _MK_S_EXPR
+    ties_expr = _MK_TIES_EXPR
     base = arr.select(
         F.col(key),
         F.size("vs").cast("long").alias("n_points"),
@@ -354,4 +359,95 @@ def predict_linear(
         n,
         slope.alias("slope_per_s"),
         predicted.alias("predicted"),
+    )
+
+
+def seasonal_mann_kendall(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    period: int = 12,
+) -> DataFrame:
+    """Seasonal Mann-Kendall (Hirsch & Slack 1984): the MK trend test a
+    seasonal series actually needs — plain MK reads the seasonal swing
+    itself as "trend"; the seasonal variant compares only like-with-like
+    (phase p vs phase p across cycles) and sums the per-phase statistics:
+
+        S = Σ_p S_p      Var = Σ_p (n_p(n_p−1)(2n_p+5) − Σt(t−1)(2t+5))/18
+
+    with the same continuity-corrected Z as ``mann_kendall``. Phases are
+    positional ((rn−1) mod period — the holt_winters convention; the
+    tier cascade already regularizes time).
+
+    Float contract identical to mann_kendall: S and the variance
+    numerator exact BIGINT, one division + one sqrt at the end,
+    unrounded; S=0 defines Z=0; zero variance (every phase constant)
+    yields NULL Z.
+
+    Shape: NO joins, ONE exchange — the phase window partitions by
+    ``key``, and both groupBys ((key, phase), then (key)) are satisfied
+    by HashPartitioning(key) (the rollup-cascade subset rule pinned in
+    tests/test_plan_shapes.py). The per-phase S folds row-locally with
+    the same nested ``aggregate`` HOF as mann_kendall.
+    """
+    order = [F.col(ts_col), F.col(id_col)]
+    wrun = W.partitionBy(key).orderBy(*order)
+    s1 = df.select(
+        F.col(key),
+        *order,
+        F.col(val_col).alias("v"),
+        ((F.row_number().over(wrun) - 1) % int(period)).alias("phase"),
+    )
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(id_col).alias("id"),
+                F.col("v").alias("v"),
+            )
+        )
+    )
+    arr = (
+        s1.groupBy(key, "phase")
+        .agg(ordered.alias("arr"))
+        .select(
+            F.col(key),
+            F.expr("transform(arr, x -> x.v)").alias("vs"),
+        )
+    )
+    # a 1-point phase has no pairs: S_p = 0 and a zero variance term —
+    # and the unguarded S fold would index out of range (sequence(0, -1)
+    # runs DESCENDING in Spark), so the guard is correctness, not style
+    s_guarded = (
+        "CASE WHEN size(vs) >= 2 THEN (" + _MK_S_EXPR + ") "
+        "ELSE CAST(0 AS BIGINT) END"
+    )
+    per_phase = arr.select(
+        F.col(key),
+        F.size("vs").cast("long").alias("n_p"),
+        F.expr(s_guarded).alias("s_p"),
+        F.expr(_MK_TIES_EXPR).alias("tie"),
+    )
+    np_ = F.col("n_p")
+    aggd = per_phase.groupBy(key).agg(
+        F.sum("n_p").alias("n_points"),
+        F.sum("s_p").alias("s_stat"),
+        F.sum(np_ * (np_ - 1) * (2 * np_ + 5) - F.col("tie.tvar")).alias(
+            "var_num"
+        ),
+    )
+    s = F.col("s_stat")
+    sd = F.sqrt(_null_safe_pos(F.col("var_num")) / F.lit(18.0))
+    z = (
+        F.when(s == 0, F.lit(0.0))
+        .when(s > 0, (s - 1).cast("double") / sd)
+        .otherwise((s + 1).cast("double") / sd)
+    )
+    return aggd.select(
+        F.col(key),
+        F.col("n_points"),
+        s,
+        z.alias("z_stat"),
     )
