@@ -513,3 +513,50 @@ class TestSeasonalMannKendall:
             assert r["z_stat"] is None or r["z_stat"] == 0.0
         else:
             assert r["z_stat"] == pytest.approx(z, rel=1e-12)
+
+
+class TestAsofLerp:
+    def _run(self, spark, samples, probes):
+        sdf = spark.createDataFrame(
+            [("a", T0 + dt.timedelta(seconds=s), int(v)) for s, v in samples],
+            "k string, ts timestamp, v long",
+        )
+        pdf = spark.createDataFrame(
+            [("a", i, T0 + dt.timedelta(seconds=s)) for i, s in enumerate(probes)],
+            "k string, pid long, ts timestamp",
+        )
+        from timeseriestokenizer_spark.operators.asof import asof_lerp
+
+        rows = asof_lerp(
+            pdf, sdf, "k", left_ts="ts", right_ts="ts", val_col="v"
+        ).collect()
+        return {r["pid"]: r["lerp_v"] for r in rows}
+
+    def test_interior_midpoints_and_exact_hits(self, spark):
+        got = self._run(
+            spark,
+            samples=[(0, 100), (10, 200), (30, 100)],
+            probes=[0, 5, 10, 15, 25, 30],
+        )
+        assert got[0] == 100.0  # exact hit on first sample
+        assert got[1] == 150.0  # halfway up
+        assert got[2] == 200.0  # exact hit
+        assert got[3] == pytest.approx(175.0)  # quarter down the 20s leg
+        assert got[4] == pytest.approx(125.0)
+        assert got[5] == 100.0
+
+    def test_no_extrapolation(self, spark):
+        got = self._run(
+            spark, samples=[(10, 100), (20, 200)], probes=[5, 25, 10, 20]
+        )
+        assert got[0] is None and got[1] is None  # outside the bracket
+        assert got[2] == 100.0 and got[3] == 200.0
+
+    def test_linear_series_recovered_exactly(self, spark):
+        # samples on v = 40 + 3s at s ∈ {0, 60, 120, ...}: any probe inside
+        # recovers the line exactly (the lerp chain is exact on this data)
+        samples = [(60 * i, 40 + 3 * 60 * i) for i in range(10)]
+        probes = list(range(0, 541, 7))
+        got = self._run(spark, samples, probes)
+        for i, s in enumerate(probes):
+            assert got[i] == pytest.approx(40 + 3 * s, abs=1e-9), s

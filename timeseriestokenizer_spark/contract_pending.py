@@ -19,7 +19,7 @@ best_changepoint, bloom_membership, kmv_retention_days, count_bracket,
 pq_codes, pq_adc_topk, pq_rerank_topk, ivfpq_codes, ivfpq_topk,
 ccf_lead_lag, ks_drift, predict_linear, dft_dominant,
 pettitt_changepoint, rank_sum_shift, rdp_keep, sample_entropy,
-seasonal_mk.
+seasonal_mk, asof_lerp.
 
 Fixed-codebook convention (the ann_ivf_assign pattern): centroid values are
 `float(f"{x:.6f}")` — both engines parse the same 6-dp decimal string to the
@@ -1557,6 +1557,61 @@ FROM ag
 """
 
 
+def q_asof_lerp(spark, sf_dir):
+    """Interpolated point-in-time join (operators/asof.asof_lerp): every
+    event probes a sparse per-user sample series (every third event) and
+    gets the linearly-interpolated cents at its instant; exact hits
+    return the sample, unbracketed probes NULL. The zero-join linear
+    window form vs DuckDB's two native ASOF joins; one identical
+    float chain, unrounded."""
+    from pyspark.sql import Window as W
+    from .operators.asof import asof_lerp
+
+    ev = contract.load(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    samples = (
+        ev.withColumn("rn", rn)
+        .where(F.col("rn") % 3 == 1)
+        .select("user_id", "ts", "cents")
+    )
+    probes = ev.select("event_id", "user_id", "ts")
+    out = asof_lerp(
+        probes, samples, "user_id",
+        left_ts="ts", right_ts="ts", val_col="cents",
+    )
+    return out.select("event_id", "lerp_cents")
+
+
+_ASOF_LERP_SQL = """
+WITH b AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value*100) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+s AS (
+  SELECT user_id, ts, v, epoch_us(ts) AS tu FROM b WHERE rn % 3 = 1),
+e AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS tu FROM events)
+SELECT e.event_id,
+       CASE WHEN sb.v IS NULL OR sf.v IS NULL THEN NULL
+            WHEN sf.tu = sb.tu THEN CAST(sb.v AS DOUBLE)
+            ELSE CAST(sb.v AS DOUBLE)
+                 + (CAST(sf.v AS DOUBLE) - CAST(sb.v AS DOUBLE))
+                   * (CAST(e.tu - sb.tu AS DOUBLE)
+                      / CAST(sf.tu - sb.tu AS DOUBLE))
+       END AS lerp_cents
+FROM e
+ASOF LEFT JOIN s sb ON e.user_id = sb.user_id AND e.ts >= sb.ts
+ASOF LEFT JOIN s sf ON e.user_id = sf.user_id AND e.ts <= sf.ts
+"""
+
+
 PENDING_QUERIES = {
     "kalman_level": q_kalman_level,
     "alert_state": q_alert_state,
@@ -1587,6 +1642,7 @@ PENDING_QUERIES = {
     "rdp_keep": q_rdp_keep,
     "sample_entropy": q_sample_entropy,
     "seasonal_mk": q_seasonal_mk,
+    "asof_lerp": q_asof_lerp,
 }
 
 
@@ -1620,6 +1676,7 @@ _PENDING_SQL_BUILDERS = {
     "rdp_keep": lambda: _RDP_SQL,
     "sample_entropy": lambda: _SAMPEN_SQL,
     "seasonal_mk": lambda: _SEASONAL_MK_SQL,
+    "asof_lerp": lambda: _ASOF_LERP_SQL,
 }
 
 

@@ -196,3 +196,86 @@ def range_anti_join(
         end_col, keys, granularity_s,
     ).select(*id_cols).distinct()
     return left.join(covered, id_cols, "left_anti")
+
+
+def asof_lerp(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Interpolated point-in-time join — the third as-of direction
+    (backward = prevailing value, forward = next value, LERP = the value
+    the series "was passing through" at the probe instant, the PromQL /
+    InfluxDB interpolate convention): every left row gets
+
+        v(t) = v_b + (v_f - v_b) · (t - t_b) / (t_f - t_b)
+
+    from the latest sample at-or-before and the earliest sample
+    at-or-after its timestamp (exact hit ⇒ that sample's value; missing
+    bracket on either side ⇒ NULL — no extrapolation).
+
+    Same zero-join linear form as ``asof_join``: ONE hash exchange on
+    ``key``, the union sorted twice inside the partition (ascending for
+    the backward carry, descending for the forward carry — samples sort
+    before probes at equal timestamps in both, so an exact hit is its
+    own bracket). Value and timestamp ride ONE struct per direction, so
+    both always come from the same sample row.
+
+    Float contract: with an integer ``val_col`` every input to the lerp
+    is an exact BIGINT cast to double, and the expression tree (one
+    subtract, one divide, one multiply, one add) is identical on both
+    engines — emitted UNROUNDED. t_f = t_b (exact hit / duplicate
+    sample timestamp) short-circuits to v_b before the 0/0.
+    """
+    l_cols = left.columns
+    pair_t = "struct<`v`:bigint,`t`:bigint>"
+    l = (
+        left.withColumn("_ts", F.col(left_ts))
+        .withColumn("_side", F.lit(1))
+        .withColumn("_p", F.lit(None).cast(pair_t))
+    )
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.struct(
+            F.col(val_col).cast("long").alias("v"),
+            F.unix_micros(F.col(right_ts).cast("timestamp")).alias("t"),
+        ).alias("_p"),
+    )
+    for c in l_cols:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = l.select(*l_cols, "_ts", "_side", "_p").unionByName(
+        r.select(*l_cols, "_ts", "_side", "_p")
+    )
+    frame = (W.unboundedPreceding, 0)
+    wb = (
+        W.partitionBy(key)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_p").asc())
+        .rowsBetween(*frame)
+    )
+    wf = (
+        W.partitionBy(key)
+        .orderBy(F.col("_ts").desc(), F.col("_side").asc(), F.col("_p").desc())
+        .rowsBetween(*frame)
+    )
+    pb = F.last("_p", ignorenulls=True).over(wb)
+    pf = F.last("_p", ignorenulls=True).over(wf)
+    t = F.unix_micros(F.col("_ts").cast("timestamp"))
+    vb, tb = pb["v"].cast("double"), pb["t"]
+    vf, tf = pf["v"].cast("double"), pf["t"]
+    lerp = (
+        F.when(pb.isNull() | pf.isNull(), F.lit(None).cast("double"))
+        .when(tf == tb, vb)
+        .otherwise(
+            vb
+            + (vf - vb)
+            * ((t - tb).cast("double") / (tf - tb).cast("double"))
+        )
+    )
+    out = u.select(*l_cols, "_side", lerp.alias(f"lerp_{val_col}"))
+    return out.filter(F.col("_side") == 1).drop("_side")
