@@ -560,3 +560,60 @@ class TestAsofLerp:
         got = self._run(spark, samples, probes)
         for i, s in enumerate(probes):
             assert got[i] == pytest.approx(40 + 3 * s, abs=1e-9), s
+
+
+def _hurst_oracle(vals, ws=(8, 16, 32)):
+    from timeseriestokenizer_spark.operators.trend import hurst_xvals
+
+    xs = hurst_xvals(ws)
+    n = len(vals)
+    var_m = {}
+    for w in ws:
+        k = n // w
+        if k < 2:
+            return None
+        sb = [sum(vals[b * w : (b + 1) * w]) for b in range(k)]
+        s1, s2 = sum(sb), sum(b * b for b in sb)
+        var_m[w] = float(k * s2 - s1 * s1) / float(k * k * w * w)
+    if any(v <= 0 for v in var_m.values()):
+        return None
+    ysv = [math.log(var_m[w]) for w in ws]
+    xbar = sum(xs) / len(xs)
+    ybar = ((ysv[0] + ysv[1]) + ysv[2]) / 3.0
+    sxy = sum((y - ybar) * (x - xbar) for x, y in zip(xs, ysv))
+    sxx = sum((x - xbar) * (x - xbar) for x in xs)
+    return round(1.0 + (sxy / sxx) / 2.0, 6)
+
+
+class TestHurstVar:
+    def _run(self, spark, vals):
+        df = _events(spark, [("a", i, v, 0) for i, v in enumerate(vals)])
+        from timeseriestokenizer_spark.operators.trend import hurst_var
+
+        return hurst_var(
+            df, key="k", ts_col="ts", val_col="x", id_col="event_id"
+        ).collect()[0]
+
+    def test_matches_python_oracle(self, spark):
+        rng = np.random.RandomState(41)
+        vals = [int(v) for v in rng.randint(0, 10000, 256)]
+        r = self._run(spark, vals)
+        assert r["hurst"] == pytest.approx(_hurst_oracle(vals), abs=1e-6)
+
+    def test_white_noise_near_half_random_walk_near_one(self, spark):
+        rng = np.random.RandomState(43)
+        noise = [int(v) for v in rng.randint(0, 10000, 1024)]
+        steps = rng.randint(-50, 51, 1024)
+        walk = [int(v) for v in np.cumsum(steps) + 100000]
+        h_noise = self._run(spark, noise)["hurst"]
+        h_walk = self._run(spark, walk)["hurst"]
+        assert 0.3 < h_noise < 0.7
+        assert h_walk > 0.85
+        assert h_walk > h_noise + 0.2
+
+    def test_short_or_constant_series_null(self, spark):
+        # < 64 points can't give 2 full blocks at w=32 → NULL by contract
+        assert self._run(spark, [1, 2, 3] * 10)["hurst"] is None
+        assert self._run(spark, ([1, 2, 3] * 43))["hurst"] is not None
+        r = self._run(spark, [7] * 100)  # constant: zero variance
+        assert r["hurst"] is None

@@ -19,7 +19,7 @@ best_changepoint, bloom_membership, kmv_retention_days, count_bracket,
 pq_codes, pq_adc_topk, pq_rerank_topk, ivfpq_codes, ivfpq_topk,
 ccf_lead_lag, ks_drift, predict_linear, dft_dominant,
 pettitt_changepoint, rank_sum_shift, rdp_keep, sample_entropy,
-seasonal_mk, asof_lerp.
+seasonal_mk, asof_lerp, hurst_var.
 
 Fixed-codebook convention (the ann_ivf_assign pattern): centroid values are
 `float(f"{x:.6f}")` — both engines parse the same 6-dp decimal string to the
@@ -1612,6 +1612,77 @@ ASOF LEFT JOIN s sf ON e.user_id = sf.user_id AND e.ts <= sf.ts
 """
 
 
+def q_hurst_var(spark, sf_dir):
+    """Hurst exponent, aggregated-variance method (operators/trend.
+    hurst_var, windows 8/16/32): Var_m columns are exact rationals of
+    BIGINT block sums (one division each, unrounded); the log-log slope
+    uses 6-dp-quantized abscissas generated by the same hurst_xvals()
+    call as this oracle, and the final hurst rounds to 6 dp (ln is the
+    one libm step — the lm_doc_score precedent)."""
+    from .operators.trend import hurst_var
+
+    return hurst_var(
+        contract._event_cents(spark, sf_dir),
+        key="user_id", ts_col="ts", val_col="cents", id_col="event_id",
+        windows=(8, 16, 32),
+    )
+
+
+def _hurst_sql() -> str:
+    from .operators.trend import hurst_xvals
+
+    ws = [8, 16, 32]
+    xs = hurst_xvals(ws)
+    n = float(len(ws))
+    xbar = sum(xs) / n
+    sxx = sum((x - xbar) * (x - xbar) for x in xs)
+    cols = ", ".join(
+        f"max(CASE WHEN w = {w} THEN var_m END) AS var_{w}" for w in ws
+    )
+    ybar = "((ln(var_8) + ln(var_16)) + ln(var_32)) / 3.0"
+    sxy_terms = " + ".join(
+        f"(ln(var_{w}) - yb) * {x - xbar!r}" for w, x in zip(ws, xs)
+    )
+    ok = " AND ".join(f"var_{w} IS NOT NULL AND var_{w} > 0.0" for w in ws)
+    return f"""
+WITH b AS (
+  SELECT user_id, ts, event_id, CAST(round(value*100) AS BIGINT) AS v
+  FROM events),
+pos AS (
+  SELECT user_id, v,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS m
+  FROM b),
+ex AS (
+  SELECT p.user_id, p.v, p.m, w.w, p.m // w.w AS blk
+  FROM pos p CROSS JOIN (VALUES (8), (16), (32)) w(w)),
+per_blk AS (
+  SELECT user_id, w, blk,
+         CAST(sum(v) AS BIGINT) AS s_b, count(v) AS c_b
+  FROM ex GROUP BY 1, 2, 3
+  HAVING count(v) = w),
+per_w AS (
+  SELECT user_id, w,
+         CAST(count(s_b) AS BIGINT) AS k,
+         CAST(sum(s_b) AS BIGINT) AS s1,
+         CAST(sum(s_b * s_b) AS BIGINT) AS s2
+  FROM per_blk GROUP BY 1, 2),
+vm AS (
+  SELECT user_id, w,
+         CAST(k * s2 - s1 * s1 AS DOUBLE)
+           / CAST(k * k * w * w AS DOUBLE) AS var_m
+  FROM per_w WHERE k >= 2),
+wide AS (
+  SELECT user_id, {cols} FROM vm GROUP BY 1),
+yb_t AS (
+  SELECT user_id, var_8, var_16, var_32, {ybar} AS yb FROM wide)
+SELECT user_id, var_8, var_16, var_32,
+       CASE WHEN {ok}
+            THEN round(1.0 + (({sxy_terms}) / {sxx!r}) / 2.0, 6) END AS hurst
+FROM yb_t
+"""
+
+
 PENDING_QUERIES = {
     "kalman_level": q_kalman_level,
     "alert_state": q_alert_state,
@@ -1643,6 +1714,7 @@ PENDING_QUERIES = {
     "sample_entropy": q_sample_entropy,
     "seasonal_mk": q_seasonal_mk,
     "asof_lerp": q_asof_lerp,
+    "hurst_var": q_hurst_var,
 }
 
 
@@ -1677,6 +1749,7 @@ _PENDING_SQL_BUILDERS = {
     "sample_entropy": lambda: _SAMPEN_SQL,
     "seasonal_mk": lambda: _SEASONAL_MK_SQL,
     "asof_lerp": lambda: _ASOF_LERP_SQL,
+    "hurst_var": _hurst_sql,
 }
 
 

@@ -451,3 +451,115 @@ def seasonal_mann_kendall(
         s,
         z.alias("z_stat"),
     )
+
+
+def hurst_xvals(windows=(8, 16, 32)):
+    """6-dp-quantized ln(w) abscissas for ``hurst_var``'s log-log
+    regression, shared by the Spark plan and the generated oracle SQL so
+    the regression x-values are bit-identical across engines (libm ln of
+    even an exact small integer can differ in the last ulp — the
+    dft_tables doctrine: quantizing the basis is part of the spec)."""
+    import math
+
+    return [float(f"{math.log(w):.6f}") for w in windows]
+
+
+def hurst_var(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    windows=(8, 16, 32),
+) -> DataFrame:
+    """Hurst exponent per series by the AGGREGATED-VARIANCE method
+    (Beran 1994; Taqqu, Teverovsky & Willinger 1995 — public
+    literature): for block sizes m the variance of the block means of a
+    long-memory series scales as Var(X^(m)) ~ m^(2H-2), so H = 1 + β/2
+    with β the slope of ln Var vs ln m. H ≈ 0.5 = no memory, > 0.5 =
+    persistent (trends continue), < 0.5 = anti-persistent (mean
+    reverting) — the load-burst detector for conversation traffic.
+
+    Exactness: each Var_m is an exact rational of BIGINT block sums —
+
+        Var_m = (k·Σ S_b² - (Σ S_b)²) / (k²·m²),   S_b = block sum
+
+    (one IEEE division; order-insensitive because the sums are
+    integers). The regression abscissas come 6-dp-quantized from
+    ``hurst_xvals`` (bit-identical literals in both plans); the
+    ordinates ln(Var_m) are the one libm step, so the final ``hurst``
+    rounds to 6 dp on both sides (the lm_doc_score precedent). Var
+    columns publish UNROUNDED. Trailing partial blocks are dropped;
+    series need k ≥ 2 full blocks at the largest window (else NULL
+    hurst); a zero Var_m (constant blocks) also yields NULL.
+
+    Shape: NO joins, ONE hash exchange — the position window partitions
+    by ``key`` and every later groupBy ((key,w,block), (key,w), (key))
+    is satisfied by HashPartitioning(key) (the rollup-cascade subset
+    rule)."""
+    ws = [int(w) for w in windows]
+    xs = hurst_xvals(ws)
+    order = [F.col(ts_col), F.col(id_col)]
+    wrun = W.partitionBy(key).orderBy(*order)
+    s1 = df.select(
+        F.col(key),
+        F.col(val_col).alias("v"),
+        (F.row_number().over(wrun) - 1).alias("m"),
+    )
+    exploded = s1.select(
+        F.col(key),
+        F.col("v"),
+        F.col("m"),
+        F.explode(F.array(*[F.lit(w) for w in ws])).alias("w"),
+    ).select(
+        F.col(key),
+        F.col("w"),
+        F.expr("m div w").alias("blk"),
+        F.col("v"),
+        F.col("m"),
+    )
+    per_blk = (
+        exploded.groupBy(key, "w", "blk")
+        .agg(F.sum("v").alias("s_b"), F.count("v").alias("c_b"))
+        .where(F.col("c_b") == F.col("w"))  # full blocks only
+    )
+    per_w = per_blk.groupBy(key, "w").agg(
+        F.count("s_b").alias("_kb"),
+        F.sum("s_b").alias("s1"),
+        F.sum(F.col("s_b") * F.col("s_b")).alias("s2"),
+    )
+    var_num = F.col("_kb") * F.col("s2") - F.col("s1") * F.col("s1")
+    var_m = var_num.cast("double") / (
+        F.col("_kb") * F.col("_kb") * F.col("w") * F.col("w")
+    ).cast("double")
+    staged = per_w.where(F.col("_kb") >= 2).select(
+        F.col(key), F.col("w"), var_m.alias("var_m")
+    )
+    aggs = []
+    for w in ws:
+        aggs.append(
+            F.max(F.when(F.col("w") == w, F.col("var_m"))).alias(f"var_{w}")
+        )
+    wide = staged.groupBy(key).agg(*aggs)
+    # OLS slope over the (quantized ln w, ln Var_w) points, closed form
+    n_pts = float(len(ws))
+    xbar = sum(xs) / n_pts
+    ys = [F.log(F.col(f"var_{w}")) for w in ws]
+    ybar = sum(ys[1:], ys[0]) / F.lit(n_pts)
+    sxy = None
+    for x, y in zip(xs, ys):
+        term = (y - ybar) * F.lit(x - xbar)
+        sxy = term if sxy is None else sxy + term
+    sxx = sum((x - xbar) * (x - xbar) for x in xs)
+    ok = None
+    for w in ws:
+        cond = F.col(f"var_{w}").isNotNull() & (F.col(f"var_{w}") > 0.0)
+        ok = cond if ok is None else (ok & cond)
+    hurst = F.round(
+        F.when(ok, F.lit(1.0) + (sxy / F.lit(sxx)) / F.lit(2.0)), 6
+    )
+    return wide.select(
+        F.col(key),
+        *[F.col(f"var_{w}") for w in ws],
+        hurst.alias("hurst"),
+    )
