@@ -617,3 +617,60 @@ class TestHurstVar:
         assert self._run(spark, ([1, 2, 3] * 43))["hurst"] is not None
         r = self._run(spark, [7] * 100)  # constant: zero variance
         assert r["hurst"] is None
+
+
+def _pacf_oracle(vals, kmax=5):
+    n = len(vals)
+    c0 = [v * n - sum(vals) for v in vals]
+    denom = sum(c * c for c in c0)
+    if denom <= 0:
+        return {k: None for k in range(1, kmax + 1)}
+    r = {
+        k: float(sum(c0[t] * c0[t + k] for t in range(n - k))) / float(denom)
+        for k in range(1, kmax + 1)
+    }
+    phi = {(1, 1): r[1]}
+    for k in range(2, kmax + 1):
+        num, den = r[k], 1.0
+        for j in range(1, k):
+            num -= phi[(k - 1, j)] * r[k - j]
+            den -= phi[(k - 1, j)] * r[j]
+        phi[(k, k)] = num / den
+        for j in range(1, k):
+            phi[(k, j)] = phi[(k - 1, j)] - phi[(k, k)] * phi[(k - 1, k - j)]
+    return {k: phi[(k, k)] for k in range(1, kmax + 1)}
+
+
+class TestPacf:
+    def _run(self, spark, vals):
+        df = _events(spark, [("a", i, v, 0) for i, v in enumerate(vals)])
+        from timeseriestokenizer_spark.operators.decompose import pacf
+
+        rows = pacf(
+            df, key="k", ts_col="ts", val_col="x", id_col="event_id"
+        ).collect()
+        return {r["lag"]: r["pacf"] for r in rows}
+
+    def test_matches_durbin_levinson_oracle(self, spark):
+        rng = np.random.RandomState(59)
+        vals = [int(v) for v in rng.randint(0, 5000, 120)]
+        got = self._run(spark, vals)
+        want = _pacf_oracle(vals)
+        for k in range(1, 6):
+            assert got[k] == pytest.approx(want[k], rel=1e-12), k
+
+    def test_ar1_cuts_off_after_lag_one(self, spark):
+        # x_t = 0.7 x_{t-1} + noise (integerized): PACF(1) large, 2..5 small
+        rng = np.random.RandomState(61)
+        x, vals = 0.0, []
+        for _ in range(400):
+            x = 0.7 * x + rng.normal(0, 100)
+            vals.append(int(round(x)) + 10000)
+        got = self._run(spark, vals)
+        assert got[1] > 0.5
+        for k in range(2, 6):
+            assert abs(got[k]) < 0.2, (k, got[k])
+
+    def test_constant_series_all_null(self, spark):
+        got = self._run(spark, [42] * 50)
+        assert all(got[k] is None for k in range(1, 6))

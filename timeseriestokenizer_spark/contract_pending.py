@@ -19,7 +19,7 @@ best_changepoint, bloom_membership, kmv_retention_days, count_bracket,
 pq_codes, pq_adc_topk, pq_rerank_topk, ivfpq_codes, ivfpq_topk,
 ccf_lead_lag, ks_drift, predict_linear, dft_dominant,
 pettitt_changepoint, rank_sum_shift, rdp_keep, sample_entropy,
-seasonal_mk, asof_lerp, hurst_var.
+seasonal_mk, asof_lerp, hurst_var, pacf.
 
 Fixed-codebook convention (the ann_ivf_assign pattern): centroid values are
 `float(f"{x:.6f}")` — both engines parse the same 6-dp decimal string to the
@@ -1683,6 +1683,79 @@ FROM yb_t
 """
 
 
+def q_pacf(spark, sf_dir):
+    """Partial autocorrelation, Durbin-Levinson on the exact ACF
+    (operators/decompose.pacf, lags 1..5): both engines start from
+    identical r_k doubles (single divisions of exact BIGINT sums) and
+    step the identical fixed arithmetic sequence — emitted unrounded.
+    The oracle SQL is GENERATED by the same level-by-level loop as the
+    Spark plan (chained CTEs == chained projections)."""
+    from .operators.decompose import pacf
+
+    return pacf(
+        contract._event_cents(spark, sf_dir),
+        key="user_id", ts_col="ts", val_col="cents", id_col="event_id",
+        max_lag=5,
+    )
+
+
+def _pacf_sql(kmax: int = 5) -> str:
+    head = """
+WITH b AS (
+  SELECT event_id, user_id, ts, CAST(round(value*100) AS BIGINT) AS c
+  FROM events),
+st AS (
+  SELECT event_id, user_id, ts, c,
+         count(c) OVER (PARTITION BY user_id) AS n,
+         sum(c)   OVER (PARTITION BY user_id) AS s
+  FROM b),
+cc AS (SELECT user_id, ts, event_id, n, c*n - s AS c0 FROM st),
+ld AS (
+  SELECT user_id, n, c0,
+"""
+    head += ",\n".join(
+        f"         lead(c0, {k}) OVER w AS c{k}" for k in range(1, kmax + 1)
+    )
+    head += """
+  FROM cc WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+ag AS (
+  SELECT user_id, CAST(max(n) AS BIGINT) AS n_points,
+         sum(c0*c0) AS denom,
+"""
+    head += ",\n".join(
+        f"         sum(c0*c{k}) AS num{k}" for k in range(1, kmax + 1)
+    )
+    head += "\n  FROM ld GROUP BY 1),\nr AS (\n  SELECT user_id, n_points,\n"
+    head += ",\n".join(
+        f"         CASE WHEN denom > 0 THEN CAST(num{k} AS DOUBLE)"
+        f" / CAST(denom AS DOUBLE) END AS r{k}"
+        for k in range(1, kmax + 1)
+    )
+    head += "\n  FROM ag),\n"
+    ctes = ["l1 AS (SELECT *, r1 AS p_1_1 FROM r)"]
+    prev = "l1"
+    for k in range(2, kmax + 1):
+        num = f"r{k}"
+        den = "1.0"
+        for j in range(1, k):
+            num += f" - p_{k-1}_{j} * r{k-j}"
+            den += f" - p_{k-1}_{j} * r{j}"
+        ctes.append(
+            f"l{k}a AS (SELECT *, ({num}) / ({den}) AS p_{k}_{k} FROM {prev})"
+        )
+        cols = ", ".join(
+            f"p_{k-1}_{j} - p_{k}_{k} * p_{k-1}_{k-j} AS p_{k}_{j}"
+            for j in range(1, k)
+        )
+        ctes.append(f"l{k}b AS (SELECT *, {cols} FROM l{k}a)")
+        prev = f"l{k}b"
+    unions = " UNION ALL ".join(
+        f"SELECT user_id, {k} AS lag, n_points, p_{k}_{k} AS pacf FROM {prev}"
+        for k in range(1, kmax + 1)
+    )
+    return head + ",\n".join(ctes) + "\n" + unions
+
+
 PENDING_QUERIES = {
     "kalman_level": q_kalman_level,
     "alert_state": q_alert_state,
@@ -1715,6 +1788,7 @@ PENDING_QUERIES = {
     "seasonal_mk": q_seasonal_mk,
     "asof_lerp": q_asof_lerp,
     "hurst_var": q_hurst_var,
+    "pacf": q_pacf,
 }
 
 
@@ -1750,6 +1824,7 @@ _PENDING_SQL_BUILDERS = {
     "seasonal_mk": lambda: _SEASONAL_MK_SQL,
     "asof_lerp": lambda: _ASOF_LERP_SQL,
     "hurst_var": _hurst_sql,
+    "pacf": _pacf_sql,
 }
 
 

@@ -116,6 +116,36 @@ def seasonal_decompose(
     )
 
 
+def _acf_sums(df, key, ts_col, val_col, id_col, max_lag):
+    """(key, n_points, denom, num1..num_k): the exact-BIGINT autocovariance
+    product-sums shared by ``acf`` (which stacks them into per-lag rows)
+    and ``pacf`` (which feeds them wide into the Durbin-Levinson
+    recursion). One exchange on ``key``."""
+    order = [F.col(ts_col), F.col(id_col)]
+    wall = W.partitionBy(key)
+    wrun = W.partitionBy(key).orderBy(*order)
+    n = F.count(val_col).over(wall)
+    s = F.sum(val_col).over(wall)
+    lags = list(range(1, int(max_lag) + 1))
+    s1 = df.select(
+        F.col(key), *order, n.alias("n"), (F.col(val_col) * n - s).alias("c0")
+    )
+    stage = s1.select(
+        F.col(key),
+        F.col("n"),
+        F.col("c0"),
+        *[F.lead("c0", k).over(wrun).alias(f"c{k}") for k in lags],
+    )
+    return stage.groupBy(key).agg(
+        F.first("n").alias("n_points"),
+        F.sum(F.col("c0") * F.col("c0")).alias("denom"),
+        *[
+            F.sum(F.col("c0") * F.col(f"c{k}")).alias(f"num{k}")
+            for k in lags
+        ],
+    )
+
+
 def acf(
     df: DataFrame,
     key: str = "conv_id",
@@ -135,31 +165,8 @@ def acf(
     integer input — and the single final division is identical on every
     engine. One exchange: window(key) then groupBy(key).
     """
-    order = [F.col(ts_col), F.col(id_col)]
-    wall = W.partitionBy(key)
-    wrun = W.partitionBy(key).orderBy(*order)
-    n = F.count(val_col).over(wall)
-    s = F.sum(val_col).over(wall)
     lags = list(range(1, int(max_lag) + 1))
-    # two stages: c0 first, then its leads (windows cannot nest; both
-    # stages cluster on `key` → one exchange, chained Window nodes)
-    s1 = df.select(
-        F.col(key), *order, n.alias("n"), (F.col(val_col) * n - s).alias("c0")
-    )
-    stage = s1.select(
-        F.col(key),
-        F.col("n"),
-        F.col("c0"),
-        *[F.lead("c0", k).over(wrun).alias(f"c{k}") for k in lags],
-    )
-    aggd = stage.groupBy(key).agg(
-        F.first("n").alias("n_points"),
-        F.sum(F.col("c0") * F.col("c0")).alias("denom"),
-        *[
-            F.sum(F.col("c0") * F.col(f"c{k}")).alias(f"num{k}")
-            for k in lags
-        ],
-    )
+    aggd = _acf_sums(df, key, ts_col, val_col, id_col, max_lag)
     pairs = ", ".join(f"{k}, num{k}" for k in lags)
     return (
         aggd.select(
@@ -431,3 +438,74 @@ def dft_power(
         F.col("spec_power"),
         F.first("period").over(wbest).alias("best_period"),
     )
+
+
+def pacf(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    max_lag: int = 5,
+) -> DataFrame:
+    """Partial autocorrelation per series at lags 1..max_lag via the
+    Durbin–Levinson recursion on the exact ACF — the Box–Jenkins model-
+    identification companion to ``acf`` (PACF cutting off after lag p
+    identifies an AR(p); statsmodels ``pacf(method='ld')`` semantics):
+
+        φ_{k,k} = (r_k - Σ_j φ_{k-1,j}·r_{k-j}) / (1 - Σ_j φ_{k-1,j}·r_j)
+        φ_{k,j} = φ_{k-1,j} - φ_{k,k}·φ_{k-1,k-j}
+
+    Exactness: the r_k are single divisions of the exact-BIGINT
+    product-sums from ``_acf_sums``, so both engines start from
+    identical doubles; the recursion is then a FIXED arithmetic sequence
+    (sums accumulated j = 1..k-1 left-to-right) — identical IEEE ops on
+    identical inputs, emitted UNROUNDED. Constant series (zero denom)
+    yield NULL at every lag; a unit-root denominator → ±Inf/NaN
+    propagates identically (IEEE on both engines).
+
+    Plan-size note: each recursion level materializes as NAMED COLUMNS
+    in a chained projection (one select per level), so the expression
+    tree stays LINEAR in max_lag — inlining the recursion would
+    duplicate every φ subtree at each reference and explode exponentially
+    (the ivf_assign WHEN-chain lesson).
+
+    Shape: NO joins, ONE exchange (all from ``_acf_sums``); the
+    recursion levels are scalar projections.
+    """
+    kmax = int(max_lag)
+    aggd = _acf_sums(df, key, ts_col, val_col, id_col, kmax)
+    dn = F.when(F.col("denom") > 0, F.col("denom").cast("double"))
+    cur = aggd.select(
+        F.col(key),
+        F.col("n_points"),
+        *[
+            (F.col(f"num{k}").cast("double") / dn).alias(f"r{k}")
+            for k in range(1, kmax + 1)
+        ],
+    )
+    # level 1
+    cur = cur.select("*", F.col("r1").alias("p_1_1"))
+    for k in range(2, kmax + 1):
+        num = F.col(f"r{k}")
+        den = F.lit(1.0)
+        for j in range(1, k):
+            num = num - F.col(f"p_{k-1}_{j}") * F.col(f"r{k-j}")
+            den = den - F.col(f"p_{k-1}_{j}") * F.col(f"r{j}")
+        cur = cur.select("*", (num / den).alias(f"p_{k}_{k}"))
+        cur = cur.select(
+            "*",
+            *[
+                (
+                    F.col(f"p_{k-1}_{j}")
+                    - F.col(f"p_{k}_{k}") * F.col(f"p_{k-1}_{k-j}")
+                ).alias(f"p_{k}_{j}")
+                for j in range(1, k)
+            ],
+        )
+    pairs = ", ".join(f"{k}, p_{k}_{k}" for k in range(1, kmax + 1))
+    return cur.select(
+        F.col(key),
+        F.col("n_points"),
+        F.expr(f"stack({kmax}, {pairs}) AS (lag, pacf)"),
+    ).select(F.col(key), F.col("lag"), F.col("n_points"), F.col("pacf"))
