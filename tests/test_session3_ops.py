@@ -674,3 +674,39 @@ class TestPacf:
     def test_constant_series_all_null(self, spark):
         got = self._run(spark, [42] * 50)
         assert all(got[k] is None for k in range(1, 6))
+
+
+class TestLjungBox:
+    def _run(self, spark, vals):
+        df = _events(spark, [("a", i, v, 0) for i, v in enumerate(vals)])
+        from timeseriestokenizer_spark.operators.decompose import ljung_box
+
+        return ljung_box(
+            df, key="k", ts_col="ts", val_col="x", id_col="event_id"
+        ).collect()[0]
+
+    def test_matches_python_oracle(self, spark):
+        rng = np.random.RandomState(67)
+        vals = [int(v) for v in rng.randint(0, 5000, 150)]
+        n = len(vals)
+        c0 = [v * n - sum(vals) for v in vals]
+        denom = sum(c * c for c in c0)
+        acc = 0.0
+        for k in range(1, 6):
+            rk = float(sum(c0[t] * c0[t + k] for t in range(n - k))) / float(denom)
+            acc += (rk * rk) / float(n - k)
+        want = float(n * (n + 2)) * acc
+        assert self._run(spark, vals)["q_stat"] == pytest.approx(want, rel=1e-12)
+
+    def test_autocorrelated_far_exceeds_noise(self, spark):
+        rng = np.random.RandomState(71)
+        noise = [int(v) for v in rng.randint(0, 5000, 300)]
+        walk = [int(v) for v in np.cumsum(rng.randint(-50, 51, 300)) + 10000]
+        q_noise = self._run(spark, noise)["q_stat"]
+        q_walk = self._run(spark, walk)["q_stat"]
+        assert q_noise < 20  # ~chi2(5) scale for white noise
+        assert q_walk > 500 and q_walk > 50 * q_noise
+
+    def test_short_and_constant_null(self, spark):
+        assert self._run(spark, [1, 2, 3, 4, 5])["q_stat"] is None  # n == h
+        assert self._run(spark, [9] * 40)["q_stat"] is None

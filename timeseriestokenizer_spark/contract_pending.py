@@ -19,7 +19,7 @@ best_changepoint, bloom_membership, kmv_retention_days, count_bracket,
 pq_codes, pq_adc_topk, pq_rerank_topk, ivfpq_codes, ivfpq_topk,
 ccf_lead_lag, ks_drift, predict_linear, dft_dominant,
 pettitt_changepoint, rank_sum_shift, rdp_keep, sample_entropy,
-seasonal_mk, asof_lerp, hurst_var, pacf.
+seasonal_mk, asof_lerp, hurst_var, pacf, ljung_box.
 
 Fixed-codebook convention (the ann_ivf_assign pattern): centroid values are
 `float(f"{x:.6f}")` — both engines parse the same 6-dp decimal string to the
@@ -1756,6 +1756,66 @@ ag AS (
     return head + ",\n".join(ctes) + "\n" + unions
 
 
+def q_ljung_box(spark, sf_dir):
+    """Ljung-Box Q at h=5 (operators/decompose.ljung_box): identical
+    r_k doubles from the shared exact sums, left-to-right term
+    accumulation, one exact n(n+2) multiplier — unrounded."""
+    from .operators.decompose import ljung_box
+
+    return ljung_box(
+        contract._event_cents(spark, sf_dir),
+        key="user_id", ts_col="ts", val_col="cents", id_col="event_id",
+        max_lag=5,
+    )
+
+
+def _ljung_box_sql(h: int = 5) -> str:
+    terms = " + ".join(
+        f"(r{k} * r{k}) / CAST(n_points - {k} AS DOUBLE)"
+        for k in range(1, h + 1)
+    )
+    rcols = ",\n".join(
+        f"         CASE WHEN denom > 0 THEN CAST(num{k} AS DOUBLE)"
+        f" / CAST(denom AS DOUBLE) END AS r{k}"
+        for k in range(1, h + 1)
+    )
+    leads = ",\n".join(
+        f"         lead(c0, {k}) OVER w AS c{k}" for k in range(1, h + 1)
+    )
+    nums = ",\n".join(
+        f"         sum(c0*c{k}) AS num{k}" for k in range(1, h + 1)
+    )
+    return f"""
+WITH b AS (
+  SELECT event_id, user_id, ts, CAST(round(value*100) AS BIGINT) AS c
+  FROM events),
+st AS (
+  SELECT event_id, user_id, ts, c,
+         count(c) OVER (PARTITION BY user_id) AS n,
+         sum(c)   OVER (PARTITION BY user_id) AS s
+  FROM b),
+cc AS (SELECT user_id, ts, event_id, n, c*n - s AS c0 FROM st),
+ld AS (
+  SELECT user_id, n, c0,
+{leads}
+  FROM cc WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+ag AS (
+  SELECT user_id, CAST(max(n) AS BIGINT) AS n_points,
+         sum(c0*c0) AS denom,
+{nums}
+  FROM ld GROUP BY 1),
+r AS (
+  SELECT user_id, n_points,
+{rcols}
+  FROM ag)
+SELECT user_id, n_points,
+       CASE WHEN n_points > {h}
+            THEN CAST(n_points * (n_points + 2) AS DOUBLE) * ({terms})
+       END AS q_stat
+FROM r
+"""
+
+
 PENDING_QUERIES = {
     "kalman_level": q_kalman_level,
     "alert_state": q_alert_state,
@@ -1789,6 +1849,7 @@ PENDING_QUERIES = {
     "asof_lerp": q_asof_lerp,
     "hurst_var": q_hurst_var,
     "pacf": q_pacf,
+    "ljung_box": q_ljung_box,
 }
 
 
@@ -1825,6 +1886,7 @@ _PENDING_SQL_BUILDERS = {
     "asof_lerp": lambda: _ASOF_LERP_SQL,
     "hurst_var": _hurst_sql,
     "pacf": _pacf_sql,
+    "ljung_box": _ljung_box_sql,
 }
 
 

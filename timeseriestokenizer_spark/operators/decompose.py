@@ -509,3 +509,40 @@ def pacf(
         F.col("n_points"),
         F.expr(f"stack({kmax}, {pairs}) AS (lag, pacf)"),
     ).select(F.col(key), F.col("lag"), F.col("n_points"), F.col("pacf"))
+
+
+def ljung_box(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    max_lag: int = 5,
+) -> DataFrame:
+    """Ljung–Box portmanteau statistic per series — the third Box–Jenkins
+    tool next to ``acf``/``pacf`` ("is anything left in this series but
+    white noise?"; large Q ⇒ autocorrelated, compare to χ²(h)):
+
+        Q = n·(n+2) · Σ_{k=1..h} r_k² / (n−k)
+
+    Float contract: the r_k are the identical-on-both-engines single
+    divisions of ``_acf_sums``' exact BIGINTs; the sum accumulates
+    k = 1..h left-to-right, each term one square and one divide by the
+    exact (n−k); n(n+2) multiplies in as one exact-BIGINT cast — the
+    identical IEEE sequence, emitted UNROUNDED. Series with n ≤ h or
+    zero variance yield NULL.
+
+    Shape: NO joins, ONE exchange (all from ``_acf_sums``), then one
+    scalar projection.
+    """
+    h = int(max_lag)
+    aggd = _acf_sums(df, key, ts_col, val_col, id_col, h)
+    dn = F.when(F.col("denom") > 0, F.col("denom").cast("double"))
+    n = F.col("n_points")
+    acc = None
+    for k in range(1, h + 1):
+        r_k = F.col(f"num{k}").cast("double") / dn
+        term = (r_k * r_k) / (n - F.lit(k)).cast("double")
+        acc = term if acc is None else acc + term
+    q = F.when(n > h, (n * (n + 2)).cast("double") * acc)
+    return aggd.select(F.col(key), n, q.alias("q_stat"))
