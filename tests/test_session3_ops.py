@@ -710,3 +710,34 @@ class TestLjungBox:
     def test_short_and_constant_null(self, spark):
         assert self._run(spark, [1, 2, 3, 4, 5])["q_stat"] is None  # n == h
         assert self._run(spark, [9] * 40)["q_stat"] is None
+
+
+class TestOuHalflife:
+    def _run(self, spark, vals):
+        df = _events(spark, [("a", i, v, 0) for i, v in enumerate(vals)])
+        from timeseriestokenizer_spark.operators.decompose import ou_halflife
+
+        return ou_halflife(
+            df, key="k", ts_col="ts", val_col="x", id_col="event_id"
+        ).collect()[0]
+
+    def test_ar1_halflife_recovered(self, spark):
+        # φ = 0.8 ⇒ theoretical half-life ln2/ln(1/0.8) ≈ 3.106 steps;
+        # the sample estimate on 3000 points lands near it.
+        rng = np.random.RandomState(73)
+        x, vals = 0.0, []
+        for _ in range(3000):
+            x = 0.8 * x + rng.normal(0, 50)
+            vals.append(int(round(x)) + 5000)
+        r = self._run(spark, vals)
+        assert 0.7 < r["phi"] < 0.9
+        want = -math.log(2.0) / math.log(r["phi"])
+        assert r["halflife_steps"] == pytest.approx(want, abs=1e-6)
+        assert 2.0 < r["halflife_steps"] < 5.5
+
+    def test_oscillating_and_constant_null(self, spark):
+        osc = [100 if i % 2 else -100 for i in range(200)]  # φ < 0
+        r = self._run(spark, osc)
+        assert r["phi"] < 0 and r["halflife_steps"] is None
+        r2 = self._run(spark, [7] * 50)
+        assert r2["phi"] is None and r2["halflife_steps"] is None

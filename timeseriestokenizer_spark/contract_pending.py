@@ -19,7 +19,7 @@ best_changepoint, bloom_membership, kmv_retention_days, count_bracket,
 pq_codes, pq_adc_topk, pq_rerank_topk, ivfpq_codes, ivfpq_topk,
 ccf_lead_lag, ks_drift, predict_linear, dft_dominant,
 pettitt_changepoint, rank_sum_shift, rdp_keep, sample_entropy,
-seasonal_mk, asof_lerp, hurst_var, pacf, ljung_box.
+seasonal_mk, asof_lerp, hurst_var, pacf, ljung_box, ou_halflife.
 
 Fixed-codebook convention (the ann_ivf_assign pattern): centroid values are
 `float(f"{x:.6f}")` — both engines parse the same 6-dp decimal string to the
@@ -1816,6 +1816,47 @@ FROM r
 """
 
 
+def q_ou_halflife(spark, sf_dir):
+    """AR(1) mean-reversion half-life (operators/decompose.ou_halflife):
+    phi = lag-1 ACF ratio of exact BIGINT sums (unrounded); halflife =
+    -ln2/ln(phi) r6 (two libm lns), NULL outside 0 < phi < 1."""
+    from .operators.decompose import ou_halflife
+
+    return ou_halflife(
+        contract._event_cents(spark, sf_dir),
+        key="user_id", ts_col="ts", val_col="cents", id_col="event_id",
+    )
+
+
+_OU_HALFLIFE_SQL = """
+WITH b AS (
+  SELECT event_id, user_id, ts, CAST(round(value*100) AS BIGINT) AS c
+  FROM events),
+st AS (
+  SELECT event_id, user_id, ts, c,
+         count(c) OVER (PARTITION BY user_id) AS n,
+         sum(c)   OVER (PARTITION BY user_id) AS s
+  FROM b),
+cc AS (SELECT user_id, ts, event_id, n, c*n - s AS c0 FROM st),
+ld AS (
+  SELECT user_id, n, c0, lead(c0, 1) OVER w AS c1
+  FROM cc WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+ag AS (
+  SELECT user_id, CAST(max(n) AS BIGINT) AS n_points,
+         sum(c0*c0) AS denom, sum(c0*c1) AS num1
+  FROM ld GROUP BY 1),
+r AS (
+  SELECT user_id, n_points,
+         CASE WHEN denom > 0 THEN CAST(num1 AS DOUBLE)
+              / CAST(denom AS DOUBLE) END AS phi
+  FROM ag)
+SELECT user_id, n_points, phi,
+       CASE WHEN phi > 0.0 AND phi < 1.0
+            THEN round(-ln(2.0) / ln(phi), 6) END AS halflife_steps
+FROM r
+"""
+
+
 PENDING_QUERIES = {
     "kalman_level": q_kalman_level,
     "alert_state": q_alert_state,
@@ -1850,6 +1891,7 @@ PENDING_QUERIES = {
     "hurst_var": q_hurst_var,
     "pacf": q_pacf,
     "ljung_box": q_ljung_box,
+    "ou_halflife": q_ou_halflife,
 }
 
 
@@ -1887,6 +1929,7 @@ _PENDING_SQL_BUILDERS = {
     "hurst_var": _hurst_sql,
     "pacf": _pacf_sql,
     "ljung_box": _ljung_box_sql,
+    "ou_halflife": lambda: _OU_HALFLIFE_SQL,
 }
 
 

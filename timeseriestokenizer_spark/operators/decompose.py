@@ -546,3 +546,44 @@ def ljung_box(
         acc = term if acc is None else acc + term
     q = F.when(n > h, (n * (n + 2)).cast("double") * acc)
     return aggd.select(F.col(key), n, q.alias("q_stat"))
+
+
+def ou_halflife(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Mean-reversion half-life per series from the AR(1) fit — the ops
+    question behind alert tuning ("how long until a spike decays halfway
+    back?"): with φ = r₁ (Yule–Walker at order 1, the exact-ACF lag-1
+    ratio), a shock decays as φ^h, so
+
+        halflife = -ln(2) / ln(φ)        [steps],  defined for 0 < φ < 1
+
+    φ ≥ 1 (non-reverting / unit root) and φ ≤ 0 (oscillating) yield NULL
+    halflife; φ itself always publishes (unrounded — a single division
+    of exact BIGINTs). The halflife passes through libm ln twice, so it
+    rounds to 6 dp on both sides (the lm_doc_score precedent; ln(2.0) is
+    evaluated by each engine on the identical literal).
+
+    Shape: NO joins, ONE exchange (``_acf_sums`` at lag 1) + one scalar
+    projection.
+    """
+    aggd = _acf_sums(df, key, ts_col, val_col, id_col, 1)
+    dn = F.when(F.col("denom") > 0, F.col("denom").cast("double"))
+    phi = F.col("num1").cast("double") / dn
+    hl = F.round(
+        F.when(
+            (phi > 0.0) & (phi < 1.0),
+            -F.log(F.lit(2.0)) / F.log(phi),
+        ),
+        6,
+    )
+    return aggd.select(
+        F.col(key),
+        F.col("n_points"),
+        phi.alias("phi"),
+        hl.alias("halflife_steps"),
+    )
