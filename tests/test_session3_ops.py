@@ -741,3 +741,66 @@ class TestOuHalflife:
         assert r["phi"] < 0 and r["halflife_steps"] is None
         r2 = self._run(spark, [7] * 50)
         assert r2["phi"] is None and r2["halflife_steps"] is None
+
+
+class TestRunsAndTurningPoints:
+    def _runs(self, spark, vals):
+        df = _events(spark, [("a", i, v, 0) for i, v in enumerate(vals)])
+        from timeseriestokenizer_spark.operators.decompose import runs_test
+
+        out = runs_test(
+            df, key="k", ts_col="ts", val_col="x", id_col="event_id"
+        ).collect()
+        return out[0] if out else None
+
+    def _tp(self, spark, vals):
+        df = _events(spark, [("a", i, v, 0) for i, v in enumerate(vals)])
+        from timeseriestokenizer_spark.operators.decompose import turning_points
+
+        return turning_points(
+            df, key="k", ts_col="ts", val_col="x", id_col="event_id"
+        ).collect()[0]
+
+    def test_runs_extremes(self, spark):
+        # a two-valued series collapses under median tie-dropping (the
+        # median IS one of the sides), so plant one middle sentinel that
+        # becomes the median and drops out, leaving a clean dichotomy
+        alt = [10 if i % 2 else 90 for i in range(60)] + [50]
+        r = self._runs(spark, alt)
+        assert r["r_runs"] == 60 and r["z_runs"] > 5
+        blocks = [10] * 20 + [50] + [90] * 20
+        r2 = self._runs(spark, blocks)
+        assert r2["r_runs"] == 2 and r2["z_runs"] < -5
+        # all equal: every row ties the median → no output row
+        assert self._runs(spark, [7] * 20) is None
+
+    def test_runs_counts_match_bruteforce(self, spark):
+        rng = np.random.RandomState(79)
+        vals = [int(v) for v in rng.randint(0, 100, 75)]
+        med = sorted(vals)[(len(vals) + 1) // 2 - 1]  # lower median
+        sides = [v > med for v in vals if v != med]
+        runs = 1 + sum(a != b for a, b in zip(sides, sides[1:]))
+        r = self._runs(spark, vals)
+        assert r["r_runs"] == runs
+        assert r["n1"] == sum(sides) and r["n0"] == len(sides) - sum(sides)
+
+    def test_turning_points_extremes(self, spark):
+        saw = [0 if i % 2 else 100 for i in range(50)]  # every interior turns
+        r = self._tp(spark, saw)
+        assert r["t_points"] == 48 and r["z_turning"] > 5
+        mono = list(range(50))  # no turning points
+        r2 = self._tp(spark, mono)
+        assert r2["t_points"] == 0 and r2["z_turning"] < -5
+        # plateaus: strict comparisons see no extremum
+        r3 = self._tp(spark, [1, 5, 5, 1] * 10)
+        rng = np.random.RandomState(83)
+        vals = [int(v) for v in rng.randint(0, 1000, 100)]
+        r4 = self._tp(spark, vals)
+        t_want = sum(
+            1
+            for i in range(1, 99)
+            if (vals[i - 1] < vals[i] > vals[i + 1])
+            or (vals[i - 1] > vals[i] < vals[i + 1])
+        )
+        assert r4["t_points"] == t_want
+        assert abs(r4["z_turning"]) < 3  # random data: no signal

@@ -19,7 +19,8 @@ best_changepoint, bloom_membership, kmv_retention_days, count_bracket,
 pq_codes, pq_adc_topk, pq_rerank_topk, ivfpq_codes, ivfpq_topk,
 ccf_lead_lag, ks_drift, predict_linear, dft_dominant,
 pettitt_changepoint, rank_sum_shift, rdp_keep, sample_entropy,
-seasonal_mk, asof_lerp, hurst_var, pacf, ljung_box, ou_halflife.
+seasonal_mk, asof_lerp, hurst_var, pacf, ljung_box, ou_halflife,
+runs_test, turning_points.
 
 Fixed-codebook convention (the ann_ivf_assign pattern): centroid values are
 `float(f"{x:.6f}")` — both engines parse the same 6-dp decimal string to the
@@ -1857,6 +1858,98 @@ FROM r
 """
 
 
+def q_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test (operators/decompose.runs_test): exact
+    integer run/side counts against the lower-median order statistic;
+    z is one fixed float chain of exact-BIGINT casts, unrounded."""
+    from .operators.decompose import runs_test
+
+    return runs_test(
+        contract._event_cents(spark, sf_dir),
+        key="user_id", ts_col="ts", val_col="cents", id_col="event_id",
+    )
+
+
+_RUNS_TEST_SQL = """
+WITH b AS (
+  SELECT user_id, ts, event_id, CAST(round(value*100) AS BIGINT) AS v
+  FROM events),
+rk AS (
+  SELECT user_id, ts, event_id, v,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY v ASC, ts, event_id) AS pos,
+         count(v) OVER (PARTITION BY user_id) AS n
+  FROM b),
+md AS (
+  SELECT user_id, ts, event_id, v,
+         max(CASE WHEN pos = (n + 1) // 2 THEN v END)
+           OVER (PARTITION BY user_id) AS med
+  FROM rk),
+f AS (
+  SELECT user_id, ts, event_id, CAST(v > med AS INT) AS side
+  FROM md WHERE v != med),
+rn AS (
+  SELECT user_id, side,
+         CASE WHEN lag(side) OVER w IS NULL OR lag(side) OVER w != side
+              THEN 1 ELSE 0 END AS new_run
+  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+ag AS (
+  SELECT user_id,
+         CAST(sum(side) AS BIGINT) AS n1,
+         CAST(sum(1 - side) AS BIGINT) AS n0,
+         CAST(sum(new_run) AS BIGINT) AS r_runs
+  FROM rn GROUP BY 1)
+SELECT user_id, n1, n0, r_runs,
+       CASE WHEN n1 > 0 AND n0 > 0
+                 AND CAST(2*n1*n0 * (2*n1*n0 - (n1 + n0)) AS DOUBLE)
+                     / CAST((n1+n0)*(n1+n0)*(n1+n0-1) AS DOUBLE) > 0.0
+            THEN (CAST(r_runs AS DOUBLE)
+                  - (1.0 + CAST(2*n1*n0 AS DOUBLE)
+                           / CAST(n1 + n0 AS DOUBLE)))
+                 / sqrt(CAST(2*n1*n0 * (2*n1*n0 - (n1 + n0)) AS DOUBLE)
+                        / CAST((n1+n0)*(n1+n0)*(n1+n0-1) AS DOUBLE))
+       END AS z_runs
+FROM ag
+"""
+
+
+def q_turning_points(spark, sf_dir):
+    """Turning-points randomness test (operators/decompose.
+    turning_points): T = exact strict-extrema count; z vs the Kendall
+    closed form (2(n-2)/3, (16n-29)/90), unrounded."""
+    from .operators.decompose import turning_points
+
+    return turning_points(
+        contract._event_cents(spark, sf_dir),
+        key="user_id", ts_col="ts", val_col="cents", id_col="event_id",
+    )
+
+
+_TURNING_SQL = """
+WITH b AS (
+  SELECT user_id, ts, event_id, CAST(round(value*100) AS BIGINT) AS v
+  FROM events),
+tp AS (
+  SELECT user_id, v,
+         CAST(((lag(v) OVER w < v AND v > lead(v) OVER w)
+               OR (lag(v) OVER w > v AND v < lead(v) OVER w)) AS INT)
+           AS is_tp
+  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+ag AS (
+  SELECT user_id,
+         CAST(count(v) AS BIGINT) AS n_points,
+         CAST(sum(is_tp) AS BIGINT) AS t_points
+  FROM tp GROUP BY 1)
+SELECT user_id, n_points, t_points,
+       CASE WHEN n_points >= 4
+            THEN (CAST(t_points AS DOUBLE)
+                  - CAST(2 * (n_points - 2) AS DOUBLE) / 3.0)
+                 / sqrt(CAST(16 * n_points - 29 AS DOUBLE) / 90.0)
+       END AS z_turning
+FROM ag
+"""
+
+
 PENDING_QUERIES = {
     "kalman_level": q_kalman_level,
     "alert_state": q_alert_state,
@@ -1892,6 +1985,8 @@ PENDING_QUERIES = {
     "pacf": q_pacf,
     "ljung_box": q_ljung_box,
     "ou_halflife": q_ou_halflife,
+    "runs_test": q_runs_test,
+    "turning_points": q_turning_points,
 }
 
 
@@ -1930,6 +2025,8 @@ _PENDING_SQL_BUILDERS = {
     "pacf": _pacf_sql,
     "ljung_box": _ljung_box_sql,
     "ou_halflife": lambda: _OU_HALFLIFE_SQL,
+    "runs_test": lambda: _RUNS_TEST_SQL,
+    "turning_points": lambda: _TURNING_SQL,
 }
 
 

@@ -587,3 +587,111 @@ def ou_halflife(
         phi.alias("phi"),
         hl.alias("halflife_steps"),
     )
+
+
+def runs_test(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Wald–Wolfowitz runs test per series — the order-only randomness
+    diagnostic next to Ljung–Box's magnitude-weighted one: dichotomize
+    by the LOWER MEDIAN (an exact order statistic, the theil_sen
+    doctrine — never an interpolated midpoint), drop ties with it, count
+    runs R of consecutive same-side values, and standardize
+
+        μ = 1 + a/n,  σ² = a(a−n)/(n²(n−1)),  a = 2·n₁·n₀,
+        z = (R − μ)/σ
+
+    Too FEW runs ⇒ clumping/trend; too MANY ⇒ oscillation. R, n₁, n₀
+    are exact integers on any engine (strict comparisons against an
+    integer order statistic); μ/σ²/z is one fixed float sequence of
+    exact-BIGINT casts — emitted UNROUNDED. n₁ = 0, n₀ = 0, or σ² ≤ 0
+    yield NULL z (counts still publish).
+
+    Shape: NO joins, ONE exchange — value-rank window, median
+    broadcast-within-partition window, time-order lag window, and the
+    final groupBy all partition by ``key``."""
+    order = [F.col(ts_col), F.col(id_col)]
+    wall = W.partitionBy(key)
+    wv = W.partitionBy(key).orderBy(F.col(val_col).asc(), *order)
+    wrun = W.partitionBy(key).orderBy(*order)
+    n = F.count(val_col).over(wall)
+    pos = F.row_number().over(wv)
+    med_here = F.when(pos == ((n + 1) / 2).cast("long"), F.col(val_col))
+    s1 = df.select(
+        F.col(key), *order, F.col(val_col).alias("v"),
+        F.max(med_here).over(wall).alias("med"),
+    )
+    s2 = s1.where(F.col("v") != F.col("med")).select(
+        F.col(key),
+        *order,
+        (F.col("v") > F.col("med")).cast("int").alias("side"),
+    )
+    s3 = s2.select(
+        F.col(key),
+        F.col("side"),
+        F.when(
+            F.lag("side").over(wrun).isNull()
+            | (F.lag("side").over(wrun) != F.col("side")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    aggd = s3.groupBy(key).agg(
+        F.sum("side").alias("n1"),
+        F.sum(F.lit(1) - F.col("side")).alias("n0"),
+        F.sum("new_run").alias("r_runs"),
+    )
+    n1, n0, r = F.col("n1"), F.col("n0"), F.col("r_runs")
+    nn = n1 + n0
+    a = F.lit(2) * n1 * n0
+    mu = F.lit(1.0) + a.cast("double") / nn.cast("double")
+    var = (a * (a - nn)).cast("double") / (nn * nn * (nn - 1)).cast("double")
+    z = F.when(
+        (n1 > 0) & (n0 > 0) & (var > 0.0),
+        (r.cast("double") - mu) / F.sqrt(var),
+    )
+    return aggd.select(F.col(key), n1, n0, r, z.alias("z_runs"))
+
+
+def turning_points(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Turning-points randomness test per series (Kendall's classic): T
+    counts STRICT local extrema (plateaus break the pattern, so ties
+    make a series read as less oscillatory — documented convention,
+    identical on both engines); under randomness E[T] = 2(n−2)/3 and
+    Var[T] = (16n − 29)/90, so
+
+        z = (T − 2(n−2)/3) / sqrt((16n − 29)/90)
+
+    z ≪ 0 ⇒ smooth/trending, z ≫ 0 ⇒ saw-toothing. T is an exact
+    integer; the z chain is two divisions and one sqrt of exact-BIGINT
+    casts, UNROUNDED. Series with n < 4 yield NULL z.
+
+    Shape: NO joins, ONE exchange (lag/lead + groupBy on ``key``)."""
+    order = [F.col(ts_col), F.col(id_col)]
+    wrun = W.partitionBy(key).orderBy(*order)
+    v = F.col(val_col)
+    prev, nxt = F.lag(val_col).over(wrun), F.lead(val_col).over(wrun)
+    is_tp = (
+        ((prev < v) & (v > nxt)) | ((prev > v) & (v < nxt))
+    ).cast("int")
+    s1 = df.select(F.col(key), F.col(val_col), is_tp.alias("tp"))
+    aggd = s1.groupBy(key).agg(
+        F.count(val_col).alias("n_points"),
+        F.sum("tp").alias("t_points"),
+    )
+    n, t = F.col("n_points"), F.col("t_points")
+    mu = (F.lit(2) * (n - 2)).cast("double") / F.lit(3.0)
+    var = (F.lit(16) * n - 29).cast("double") / F.lit(90.0)
+    z = F.when(n >= 4, (t.cast("double") - mu) / F.sqrt(var))
+    return aggd.select(F.col(key), n, t, z.alias("z_turning"))
