@@ -804,3 +804,52 @@ class TestRunsAndTurningPoints:
         )
         assert r4["t_points"] == t_want
         assert abs(r4["z_turning"]) < 3  # random data: no signal
+
+
+class TestVarianceRatio:
+    def _run(self, spark, vals):
+        df = _events(spark, [("a", i, v, 0) for i, v in enumerate(vals)])
+        from timeseriestokenizer_spark.operators.trend import variance_ratio
+
+        return variance_ratio(
+            df, key="k", ts_col="ts", val_col="x", id_col="event_id"
+        ).collect()[0]
+
+    def test_matches_python_oracle(self, spark):
+        rng = np.random.RandomState(89)
+        vals = [int(v) for v in rng.randint(0, 5000, 200)]
+        r = self._run(spark, vals)
+        d = [b - a for a, b in zip(vals, vals[1:])]
+        m = len(d)
+        D = sum(d)
+        ssd = sum((m * di - D) ** 2 for di in d)
+        var1 = float(ssd) / (float(m * m) * float(m))
+        for q in (2, 4, 8):
+            ys = [vals[t + q] - vals[t] for t in range(len(vals) - q)]
+            ssy = sum((m * y - q * D) ** 2 for y in ys)
+            varq = float(ssy) / (float(m * m) * float(m - q + 1))
+            assert r[f"vr_{q}"] == pytest.approx(varq / (q * var1), rel=1e-12)
+
+    def test_regimes(self, spark):
+        rng = np.random.RandomState(97)
+        walk = [int(v) for v in np.cumsum(rng.randint(-50, 51, 600)) + 100000]
+        r_walk = self._run(spark, walk)
+        for q in (2, 4, 8):
+            assert 0.6 < r_walk[f"vr_{q}"] < 1.5, (q, r_walk[f"vr_{q}"])
+        # strong mean reversion: white noise LEVELS (differences anti-correlate)
+        noise = [int(v) for v in rng.randint(0, 10000, 600)]
+        r_rev = self._run(spark, noise)
+        assert r_rev["vr_8"] < 0.4
+        # momentum needs POSITIVELY AUTOCORRELATED increments (a pure
+        # drift is absorbed by the mean): AR(1) steps with phi = 0.8
+        d, steps = 0.0, []
+        for _ in range(600):
+            d = 0.8 * d + rng.normal(0, 30)
+            steps.append(int(round(d)))
+        mom = [int(v) for v in np.cumsum(steps) + 500000]
+        r_tr = self._run(spark, mom)
+        assert r_tr["vr_8"] > 2.0
+
+    def test_constant_series_null(self, spark):
+        r = self._run(spark, [5] * 100)
+        assert all(r[f"vr_{q}"] is None for q in (2, 4, 8))

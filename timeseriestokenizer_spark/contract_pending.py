@@ -20,7 +20,7 @@ pq_codes, pq_adc_topk, pq_rerank_topk, ivfpq_codes, ivfpq_topk,
 ccf_lead_lag, ks_drift, predict_linear, dft_dominant,
 pettitt_changepoint, rank_sum_shift, rdp_keep, sample_entropy,
 seasonal_mk, asof_lerp, hurst_var, pacf, ljung_box, ou_halflife,
-runs_test, turning_points.
+runs_test, turning_points, variance_ratio.
 
 Fixed-codebook convention (the ann_ivf_assign pattern): centroid values are
 `float(f"{x:.6f}")` — both engines parse the same 6-dp decimal string to the
@@ -1950,6 +1950,73 @@ FROM ag
 """
 
 
+def q_variance_ratio(spark, sf_dir):
+    """Lo-MacKinlay variance ratio at q in {2,4,8} (operators/trend.
+    variance_ratio): m-scaled centered increments keep both
+    sums-of-squares exact BIGINT; each VR is two single-division
+    variances and one divide on identical inputs — unrounded."""
+    from .operators.trend import variance_ratio
+
+    return variance_ratio(
+        contract._event_cents(spark, sf_dir),
+        key="user_id", ts_col="ts", val_col="cents", id_col="event_id",
+        qs=(2, 4, 8),
+    )
+
+
+_VR_SQL = """
+WITH b AS (
+  SELECT user_id, ts, event_id, CAST(round(value*100) AS BIGINT) AS x
+  FROM events),
+s1 AS (
+  SELECT user_id,
+         x - lag(x) OVER w AS d,
+         lead(x, 2) OVER w - x AS y2,
+         lead(x, 4) OVER w - x AS y4,
+         lead(x, 8) OVER w - x AS y8
+  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s2 AS (
+  SELECT user_id,
+         count(d) OVER (PARTITION BY user_id) AS m,
+         d   * count(d) OVER (PARTITION BY user_id)
+             - sum(d) OVER (PARTITION BY user_id) AS cd,
+         y2 * count(d) OVER (PARTITION BY user_id)
+             - 2 * sum(d) OVER (PARTITION BY user_id) AS cy2,
+         y4 * count(d) OVER (PARTITION BY user_id)
+             - 4 * sum(d) OVER (PARTITION BY user_id) AS cy4,
+         y8 * count(d) OVER (PARTITION BY user_id)
+             - 8 * sum(d) OVER (PARTITION BY user_id) AS cy8
+  FROM s1),
+ag AS (
+  SELECT user_id, CAST(max(m) AS BIGINT) AS m,
+         CAST(sum(cd*cd) AS BIGINT) AS ssd,
+         CAST(sum(cy2*cy2) AS BIGINT) AS ssy2,
+         CAST(sum(cy4*cy4) AS BIGINT) AS ssy4,
+         CAST(sum(cy8*cy8) AS BIGINT) AS ssy8
+  FROM s2 GROUP BY 1)
+SELECT user_id, m AS m_diffs,
+       CASE WHEN m >= 2 AND ssd > 0
+            THEN (CAST(ssy2 AS DOUBLE)
+                  / (CAST(m*m AS DOUBLE) * CAST(m - 2 + 1 AS DOUBLE)))
+                 / (2.0 * (CAST(ssd AS DOUBLE)
+                           / (CAST(m*m AS DOUBLE) * CAST(m AS DOUBLE))))
+       END AS vr_2,
+       CASE WHEN m >= 4 AND ssd > 0
+            THEN (CAST(ssy4 AS DOUBLE)
+                  / (CAST(m*m AS DOUBLE) * CAST(m - 4 + 1 AS DOUBLE)))
+                 / (4.0 * (CAST(ssd AS DOUBLE)
+                           / (CAST(m*m AS DOUBLE) * CAST(m AS DOUBLE))))
+       END AS vr_4,
+       CASE WHEN m >= 8 AND ssd > 0
+            THEN (CAST(ssy8 AS DOUBLE)
+                  / (CAST(m*m AS DOUBLE) * CAST(m - 8 + 1 AS DOUBLE)))
+                 / (8.0 * (CAST(ssd AS DOUBLE)
+                           / (CAST(m*m AS DOUBLE) * CAST(m AS DOUBLE))))
+       END AS vr_8
+FROM ag
+"""
+
+
 PENDING_QUERIES = {
     "kalman_level": q_kalman_level,
     "alert_state": q_alert_state,
@@ -1987,6 +2054,7 @@ PENDING_QUERIES = {
     "ou_halflife": q_ou_halflife,
     "runs_test": q_runs_test,
     "turning_points": q_turning_points,
+    "variance_ratio": q_variance_ratio,
 }
 
 
@@ -2027,6 +2095,7 @@ _PENDING_SQL_BUILDERS = {
     "ou_halflife": lambda: _OU_HALFLIFE_SQL,
     "runs_test": lambda: _RUNS_TEST_SQL,
     "turning_points": lambda: _TURNING_SQL,
+    "variance_ratio": lambda: _VR_SQL,
 }
 
 
