@@ -229,6 +229,8 @@ def test_session3_rows_stay_join_free(spark):
         "runs_test": (0, 1),
         "turning_points": (0, 1),
         "variance_ratio": (0, 1),
+        "transition_concentration": (0, 1),
+        "benford_deviation": (0, 1),
     }
     for name, (max_j, max_x) in budgets.items():
         df = cp.PENDING_QUERIES[name](spark, "/root/testdata/sf0.001")

@@ -853,3 +853,71 @@ class TestVarianceRatio:
     def test_constant_series_null(self, spark):
         r = self._run(spark, [5] * 100)
         assert all(r[f"vr_{q}"] is None for q in (2, 4, 8))
+
+
+class TestTransitionConcentration:
+    def test_deterministic_vs_uniform(self, spark):
+        rows = []
+        # user "det": a -> b always; b -> a always (concentration 1)
+        for i in range(40):
+            rows.append(("det", T0 + dt.timedelta(minutes=i), i, "a" if i % 2 == 0 else "b"))
+        # user "uni": x -> y/z alternating evenly (concentration 1/2)
+        seq = ["x", "y", "x", "z"] * 10
+        for i, t in enumerate(seq):
+            rows.append(("uni", T0 + dt.timedelta(minutes=i), 1000 + i, t))
+        df = spark.createDataFrame(
+            rows, "k string, ts timestamp, event_id long, event_type string"
+        )
+        from timeseriestokenizer_spark.operators.behavior import (
+            transition_concentration,
+        )
+
+        out = {
+            (r["k"], r["prev_type"]): r
+            for r in transition_concentration(
+                df, key="k", ts_col="ts", type_col="event_type",
+                id_col="event_id",
+            ).collect()
+        }
+        assert out[("det", "a")]["concentration"] == 1.0
+        assert out[("det", "a")]["top_next"] == "b"
+        r = out[("uni", "x")]
+        assert r["concentration"] == pytest.approx(0.5)
+        assert r["n_targets"] == 2 and r["top_next"] == "y"  # tie → lexical
+
+
+class TestBenfordDeviation:
+    def _run(self, spark, vals):
+        df = spark.createDataFrame(
+            [("a", int(v)) for v in vals], "k string, v long"
+        )
+        from timeseriestokenizer_spark.operators.drift import benford_deviation
+
+        out = benford_deviation(df, key="k", val_col="v").collect()
+        return out[0] if out else None
+
+    def test_benford_like_vs_concentrated(self, spark):
+        # geometric spread across decades is near-Benford
+        rng = np.random.RandomState(101)
+        benfordish = [int(10 ** (u * 5)) + 1 for u in rng.uniform(0, 1, 4000)]
+        r1 = self._run(spark, benfordish)
+        assert r1["benford_tvd"] < 0.08  # sampling + the +1 offset at small decades
+        # every value leads with 9: maximal deviation ≈ 1 - log10(10/9)
+        r2 = self._run(spark, [9000 + i for i in range(900)])
+        assert r2["benford_tvd"] > 0.85
+
+    def test_matches_python_oracle_and_drops_nonpositive(self, spark):
+        from timeseriestokenizer_spark.operators.drift import benford_expected
+
+        rng = np.random.RandomState(103)
+        vals = [int(v) for v in rng.randint(1, 10**6, 500)] + [0, -5, -17]
+        r = self._run(spark, vals)
+        pos = [v for v in vals if v > 0]
+        n = len(pos)
+        assert r["n_points"] == n
+        e = benford_expected()
+        c = [0] * 10
+        for v in pos:
+            c[int(str(v)[0])] += 1
+        num = sum(abs(10**6 * c[d] - e[d - 1] * n) for d in range(1, 10))
+        assert r["benford_tvd"] == pytest.approx(num / (2 * 10**6 * n), abs=0)

@@ -20,7 +20,8 @@ pq_codes, pq_adc_topk, pq_rerank_topk, ivfpq_codes, ivfpq_topk,
 ccf_lead_lag, ks_drift, predict_linear, dft_dominant,
 pettitt_changepoint, rank_sum_shift, rdp_keep, sample_entropy,
 seasonal_mk, asof_lerp, hurst_var, pacf, ljung_box, ou_halflife,
-runs_test, turning_points, variance_ratio.
+runs_test, turning_points, variance_ratio, transition_concentration,
+benford_deviation.
 
 Fixed-codebook convention (the ann_ivf_assign pattern): centroid values are
 `float(f"{x:.6f}")` — both engines parse the same 6-dp decimal string to the
@@ -2017,6 +2018,90 @@ FROM ag
 """
 
 
+def q_transition_concentration(spark, sf_dir):
+    """Markov next-step predictability (operators/behavior.
+    transition_concentration): Simpson concentration of each (user,
+    prev_type) transition row — exact BIGINT bigram counts, one
+    division, unrounded; modal target ties break lexicographically."""
+    from .operators.behavior import transition_concentration
+
+    return transition_concentration(
+        contract.load(spark, sf_dir, "events"),
+        key="user_id", ts_col="ts", type_col="event_type",
+        id_col="event_id",
+    )
+
+
+_TRANSITION_SQL = """
+WITH pr AS (
+  SELECT user_id,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events),
+c AS (
+  SELECT user_id, prev_type, next_type, count(*) AS c
+  FROM pr WHERE prev_type IS NOT NULL GROUP BY 1, 2, 3),
+st AS (
+  SELECT user_id, prev_type, next_type,
+         CAST(sum(c) OVER w AS BIGINT) AS n_trans,
+         CAST(sum(c*c) OVER w AS BIGINT) AS ss,
+         CAST(count(*) OVER w AS BIGINT) AS n_targets,
+         row_number() OVER (
+           PARTITION BY user_id, prev_type
+           ORDER BY c DESC, next_type ASC) AS rn
+  FROM c WINDOW w AS (PARTITION BY user_id, prev_type))
+SELECT user_id, prev_type, n_trans, n_targets,
+       CAST(ss AS DOUBLE) / CAST(n_trans * n_trans AS DOUBLE)
+         AS concentration,
+       next_type AS top_next
+FROM st WHERE rn = 1
+"""
+
+
+def q_benford_deviation(spark, sf_dir):
+    """Benford first-digit TVD (operators/drift.benford_deviation) on
+    positive cents: digits from the decimal string (no runtime logs),
+    law pre-quantized by benford_expected() (shared with this oracle),
+    exact BIGINT numerator, one division, unrounded."""
+    from .operators.drift import benford_deviation
+
+    ev = contract.load(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return benford_deviation(ev, key="user_id", val_col="cents")
+
+
+def _benford_sql() -> str:
+    from .operators.drift import benford_expected
+
+    e = benford_expected(1_000_000)
+    csums = ",\n".join(
+        f"         CAST(sum(CASE WHEN d = {d} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS c{d}"
+        for d in range(1, 10)
+    )
+    terms = " + ".join(
+        f"abs(1000000 * c{d} - {e[d-1]} * n_points)" for d in range(1, 10)
+    )
+    return f"""
+WITH b AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS v FROM events),
+dg AS (
+  SELECT user_id, CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS d
+  FROM b WHERE v > 0),
+ag AS (
+  SELECT user_id, CAST(count(d) AS BIGINT) AS n_points,
+{csums}
+  FROM dg GROUP BY 1)
+SELECT user_id, n_points,
+       CAST({terms} AS DOUBLE)
+         / CAST(2000000 * n_points AS DOUBLE) AS benford_tvd
+FROM ag
+"""
+
+
 PENDING_QUERIES = {
     "kalman_level": q_kalman_level,
     "alert_state": q_alert_state,
@@ -2055,6 +2140,8 @@ PENDING_QUERIES = {
     "runs_test": q_runs_test,
     "turning_points": q_turning_points,
     "variance_ratio": q_variance_ratio,
+    "transition_concentration": q_transition_concentration,
+    "benford_deviation": q_benford_deviation,
 }
 
 
@@ -2096,6 +2183,8 @@ _PENDING_SQL_BUILDERS = {
     "runs_test": lambda: _RUNS_TEST_SQL,
     "turning_points": lambda: _TURNING_SQL,
     "variance_ratio": lambda: _VR_SQL,
+    "transition_concentration": lambda: _TRANSITION_SQL,
+    "benford_deviation": _benford_sql,
 }
 
 

@@ -306,3 +306,67 @@ def rfm_segments(
         if getattr(c, "_graft_packing_cache", None) is not None
     ]
     return out
+
+
+def transition_concentration(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Markov next-step predictability per (series, source state) — the
+    behavioral question behind bot/loop screening ("given a tool call,
+    how deterministic is what happens next?"): over the series' bigram
+    transition counts c_ab,
+
+        concentration_a = Σ_b c_ab² / n_a²          (n_a = Σ_b c_ab)
+
+    is the probability two independently drawn next-steps from state a
+    agree — 1 = fully deterministic, 1/k = uniform over k targets. The
+    Simpson-concentration form instead of conditional entropy is
+    deliberate (the doc_diversity doctrine: Σ p·ln p is order-dependent
+    transcendental accumulation; Σc² is an exact BIGINT and the single
+    division is engine-identical, emitted UNROUNDED). ``top_next`` is
+    the modal target (ties → lexicographically smallest).
+
+    Shape: NO joins, ONE exchange — the bigram lag window partitions by
+    ``key`` and both later clusterings ((key, prev) groupBy-free window
+    form) are satisfied by HashPartitioning(key).
+    """
+    order = [F.col(ts_col), F.col(id_col)]
+    wrun = W.partitionBy(key).orderBy(*order)
+    pairs = (
+        df.select(
+            F.col(key),
+            F.lag(type_col).over(wrun).alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy(key, "prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wp = W.partitionBy(key, "prev_type")
+    wtop = W.partitionBy(key, "prev_type").orderBy(
+        F.col("c").desc(), F.col("next_type").asc()
+    )
+    staged = pairs.select(
+        F.col(key),
+        F.col("prev_type"),
+        F.col("next_type"),
+        F.sum("c").over(wp).alias("n_trans"),
+        F.sum(F.col("c") * F.col("c")).over(wp).alias("ss"),
+        F.count(F.lit(1)).over(wp).alias("n_targets"),
+        F.row_number().over(wtop).alias("_rn"),
+    ).where(F.col("_rn") == 1)
+    return staged.select(
+        F.col(key),
+        F.col("prev_type"),
+        F.col("n_trans"),
+        F.col("n_targets"),
+        (
+            F.col("ss").cast("double")
+            / (F.col("n_trans") * F.col("n_trans")).cast("double")
+        ).alias("concentration"),
+        F.col("next_type").alias("top_next"),
+    )

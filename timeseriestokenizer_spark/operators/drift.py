@@ -317,3 +317,61 @@ def rank_sum_shift(
         (u2.cast("double") / F.lit(2.0)).alias("u_stat"),
         z.alias("z"),
     )
+
+
+def benford_expected(scale: int = 1_000_000):
+    """Integer-quantized Benford first-digit law: e_d = round(log10(1+1/d)
+    · scale) for d = 1..9 — the dft_tables doctrine again (quantizing the
+    reference distribution is part of the spec, so the TVD numerator is
+    an exact BIGINT and both engines' plans are generated from THIS
+    list)."""
+    import math
+
+    return [round(math.log10(1.0 + 1.0 / d) * scale) for d in range(1, 10)]
+
+
+def benford_deviation(
+    df: DataFrame,
+    key: str = "conv_id",
+    val_col: str = "value",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """First-digit (Benford) deviation per series — the classic
+    fabricated/degenerate-feed screen: natural multi-scale positive
+    measurements lead with 1 ~30% of the time; constant-ish or
+    synthetic feeds don't. Reports the total-variation distance between
+    the series' first-digit histogram and the quantized Benford law:
+
+        TVD = Σ_d |scale·c_d − e_d·n|  /  (2·scale·n)
+
+    (0 = Benford-perfect, → 1 = totally concentrated). The numerator is
+    an exact BIGINT — digits come from the decimal STRING of the
+    positive integer value (no logarithms at evaluation time; the law
+    itself is pre-quantized by ``benford_expected``) and missing digits
+    contribute their full e_d·n term — with ONE final division,
+    unrounded. Rows with value ≤ 0 are excluded (no leading digit);
+    series with none left are absent.
+
+    Shape: NO joins, ONE map-side-combined groupBy on ``key`` (nine
+    conditional sums), then a scalar projection.
+    """
+    e = benford_expected(scale)
+    v = F.col(val_col)
+    s1 = df.where(v > 0).select(
+        F.col(key),
+        F.substring(v.cast("string"), 1, 1).cast("int").alias("d"),
+    )
+    aggd = s1.groupBy(key).agg(
+        F.count("d").alias("n_points"),
+        *[
+            F.sum(F.when(F.col("d") == d, 1).otherwise(0)).alias(f"c{d}")
+            for d in range(1, 10)
+        ],
+    )
+    n = F.col("n_points")
+    num = None
+    for d in range(1, 10):
+        term = F.abs(F.lit(int(scale)) * F.col(f"c{d}") - F.lit(e[d - 1]) * n)
+        num = term if num is None else num + term
+    tvd = num.cast("double") / (F.lit(2 * int(scale)) * n).cast("double")
+    return aggd.select(F.col(key), n, tvd.alias("benford_tvd"))
