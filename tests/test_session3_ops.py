@@ -921,3 +921,23 @@ class TestBenfordDeviation:
             c[int(str(v)[0])] += 1
         num = sum(abs(10**6 * c[d] - e[d - 1] * n) for d in range(1, 10))
         assert r["benford_tvd"] == pytest.approx(num / (2 * 10**6 * n), abs=0)
+
+
+def test_sample_entropy_chunked_path_identical(spark):
+    """Force the multi-chunk pair scan (tiny cell budget) and pin it to
+    the single-chunk result — the counts must not depend on chunking."""
+    rng = np.random.RandomState(107)
+    vals = [int(v) for v in rng.randint(0, 300, 120)]
+    df = _events(spark, [("a", i, v, 0) for i, v in enumerate(vals)])
+    from timeseriestokenizer_spark.operators.anomaly import sample_entropy
+
+    one = sample_entropy(
+        df, key="k", ts_col="ts", val_col="x", id_col="event_id", r=60
+    ).collect()[0]
+    many = sample_entropy(
+        df, key="k", ts_col="ts", val_col="x", id_col="event_id", r=60,
+        cell_budget=500,  # step ≈ 4 rows per chunk at nt = 118
+    ).collect()[0]
+    assert (one["b_count"], one["a_count"], one["sampen"]) == (
+        many["b_count"], many["a_count"], many["sampen"],
+    )

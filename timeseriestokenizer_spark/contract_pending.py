@@ -1580,7 +1580,8 @@ def q_asof_lerp(spark, sf_dir):
     samples = (
         ev.withColumn("rn", rn)
         .where(F.col("rn") % 3 == 1)
-        .select("user_id", "ts", "cents")
+        .groupBy("user_id", "ts")  # duplicate-(user, ts) samples would tie
+        .agg(F.max("cents").alias("cents"))  # nondeterministically in DuckDB
     )
     probes = ev.select("event_id", "user_id", "ts")
     out = asof_lerp(
@@ -1597,7 +1598,8 @@ WITH b AS (
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM events),
 s AS (
-  SELECT user_id, ts, v, epoch_us(ts) AS tu FROM b WHERE rn % 3 = 1),
+  SELECT user_id, ts, max(v) AS v, epoch_us(ts) AS tu
+  FROM b WHERE rn % 3 = 1 GROUP BY user_id, ts),
 e AS (
   SELECT user_id, event_id, ts, epoch_us(ts) AS tu FROM events)
 SELECT e.event_id,
@@ -1677,7 +1679,8 @@ vm AS (
 wide AS (
   SELECT user_id, {cols} FROM vm GROUP BY 1),
 yb_t AS (
-  SELECT user_id, var_8, var_16, var_32, {ybar} AS yb FROM wide)
+  SELECT user_id, var_8, var_16, var_32,
+         CASE WHEN {ok} THEN {ybar} END AS yb FROM wide)
 SELECT user_id, var_8, var_16, var_32,
        CASE WHEN {ok}
             THEN round(1.0 + (({sxy_terms}) / {sxx!r}) / 2.0, 6) END AS hurst

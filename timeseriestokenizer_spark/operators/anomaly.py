@@ -420,6 +420,7 @@ def sample_entropy(
     id_col: str = "event_id",
     m: int = 2,
     r: int = 10000,
+    cell_budget: int = 8_000_000,
 ) -> DataFrame:
     """Sample entropy (Richman & Moorman 2000, "Physiological time-series
     analysis using approximate entropy and sample entropy") per series —
@@ -468,7 +469,13 @@ def sample_entropy(
         ]
     )
 
+    budget = int(cell_budget)
+
     def _sampen(batches):
+        # chunk the pair scan so one long series can't materialize an
+        # (n-2)x(n-2) matrix (the CLAUDE.md padded-matrix gotcha: three
+        # full 10^4-square int64 matrices = GBs); the cell budget keeps
+        # every transient under ~64 MB regardless of series length
         for pdf in batches:
             ks, ns, bs, as_, es = [], [], [], [], []
             for k, vals in zip(pdf["k"], pdf["vals"]):
@@ -477,13 +484,18 @@ def sample_entropy(
                 b_cnt = a_cnt = 0
                 if n >= 4:  # need at least two m+1 templates
                     nt = n - 2  # templates i = 0..nt-1 (length 2 and 3)
-                    d0 = np.abs(x[:nt, None] - x[None, :nt])
-                    d1 = np.abs(x[1 : nt + 1, None] - x[None, 1 : nt + 1])
-                    d2 = np.abs(x[2 : nt + 2, None] - x[None, 2 : nt + 2])
-                    iu = np.triu_indices(nt, k=1)
-                    bm = (np.maximum(d0, d1) <= rr)[iu]
-                    b_cnt = int(bm.sum())
-                    a_cnt = int((bm & (d2 <= rr)[iu]).sum())
+                    step = max(1, budget // nt)
+                    for i0 in range(0, nt - 1, step):
+                        i1 = min(i0 + step, nt - 1)
+                        rows = np.arange(i0, i1)
+                        d0 = np.abs(x[rows, None] - x[None, :nt])
+                        d1 = np.abs(x[rows + 1, None] - x[None, 1 : nt + 1])
+                        bm = np.maximum(d0, d1) <= rr
+                        # strict upper triangle: j > i only
+                        bm &= np.arange(nt)[None, :] > rows[:, None]
+                        b_cnt += int(bm.sum())
+                        d2 = np.abs(x[rows + 2, None] - x[None, 2 : nt + 2])
+                        a_cnt += int((bm & (d2 <= rr)).sum())
                 ks.append(k)
                 ns.append(n)
                 bs.append(b_cnt)

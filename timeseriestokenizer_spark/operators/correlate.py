@@ -150,9 +150,10 @@ def ccf(
     series' rows.
 
     Integer-exactness bound (documented, the mann_kendall pattern):
-    n³·max|x|·max|y| must stay under 2⁶³ — at 10⁴-row series with 10⁵
-    magnitudes that holds; longer series pre-downsample via the rollup
-    tiers first.
+    n³·max|x|·max|y| must stay under 2⁶³ — at 10³-row series with
+    ~10⁴·10⁵ magnitude products that holds with ~100× slack, but 10⁴
+    rows at 10⁵·10⁵ does NOT (10²² ≫ 2⁶³): longer/larger series
+    pre-downsample via the rollup tiers or rescale one signal first.
 
     One hash exchange on ``key``: the centering window, the shift
     window, the final groupBy, and the best-lag window all cluster on

@@ -609,7 +609,8 @@ def runs_test(
     are exact integers on any engine (strict comparisons against an
     integer order statistic); μ/σ²/z is one fixed float sequence of
     exact-BIGINT casts — emitted UNROUNDED. n₁ = 0, n₀ = 0, or σ² ≤ 0
-    yield NULL z (counts still publish).
+    yield NULL z; a series where EVERY value ties the median (e.g.
+    constant) publishes no row at all — nothing survives the tie drop.
 
     Shape: NO joins, ONE exchange — value-rank window, median
     broadcast-within-partition window, time-order lag window, and the

@@ -385,8 +385,10 @@ def rdp_keep(
     swinging_door/ewma — series collapse to sorted arrays JVM-side,
     Python sees Arrow batches of whole series (bounded-series doctrine:
     pre-downsample series beyond ~5·10⁴ points via the rollup tiers;
-    RDP's argmax scan is O(n·depth) per series). Integer bound:
-    n·max|y| < 2³¹ keeps cross² under 2⁶³.
+    RDP's argmax scan is O(n·depth) per series). Integer bound for the
+    SQL-oracle side (the Python side is arbitrary-precision): |cross| ≤
+    2·n·max|y| for signed values, so n·max|y| < ~2²⁹·⁵ ≈ 7.6·10⁸ keeps
+    cross² under 2⁶³.
     """
     eps = int(epsilon)
     if eps < 0:

@@ -272,8 +272,8 @@ def rank_sum_shift(
 
     — one IEEE divide, one sqrt, one subtract-divide tail, the identical
     sequence on identical integers on any engine, emitted unrounded.
-    Keys with an empty side, or σ = 0 (all pooled values tied), yield
-    NULL z. Overflow bound: n_a·n_b·n³ < 2⁶³ — per-key period counts to
+    Keys with an empty side are DROPPED (the ks_drift convention); σ = 0
+    (all pooled values tied) yields NULL z. Overflow bound: n_a·n_b·n³ < 2⁶³ — per-key period counts to
     ~10⁴ rows; beyond that the DECIMAL(38,0) escape hatch above.
 
     Scale shape identical to ``ks_drift``: map-side-combined

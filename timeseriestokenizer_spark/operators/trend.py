@@ -321,8 +321,11 @@ def predict_linear(
     unrounded. Degenerate series (n < 2 or zero time-variance, e.g. all
     events inside one second) yield NULLs.
 
-    Overflow bound: n²·span_s² < 2⁶³ — holds to ~10⁴-row series spanning
-    ~3 years; beyond that, rebase x to coarser units first.
+    Overflow bound: sxx ≈ n²·span_s² must stay under 2⁶³, i.e.
+    n·span_s < ~3·10⁹ — a 10³-row series may span ~1 month, a 10⁴-row
+    series only ~3.5 days. Beyond that rebase x to coarser units
+    (minutes/hours) first; Spark would otherwise wrap silently where
+    the ANSI oracle errors.
 
     One hash exchange on ``key``: the min-ts window and the final
     groupBy cluster together.
