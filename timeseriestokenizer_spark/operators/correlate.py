@@ -75,6 +75,63 @@ def _corr_from_pairs(joined: DataFrame, min_overlap: int) -> DataFrame:
     )
 
 
+_TIER_SECONDS = {"1m": 60, "5m": 300, "1h": 3600, "1d": 86400}
+
+_PAIR_SUMS_SCHEMA = (
+    "key_a string, key_b string, n_overlap long, "
+    "sa double, sb double, sab double, sa2 double, sb2 double"
+)
+
+
+def _pair_power_sums(it):
+    """Per-pair masked power sums over aligned dense bucket vectors,
+    vectorized with numpy per Arrow batch (rows: key_a, va, key_b, vb).
+    Missing buckets are NaN/None; a bucket counts only when BOTH series
+    occupy it — identical semantics to the former inner join on
+    bucket_ts."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in it:
+        if pdf.empty:
+            continue
+        A = np.array([np.asarray(v, dtype=np.float64) for v in pdf["va"]])
+        B = np.array([np.asarray(v, dtype=np.float64) for v in pdf["vb"]])
+        m = ~np.isnan(A) & ~np.isnan(B)
+        A0 = np.where(m, A, 0.0)
+        B0 = np.where(m, B, 0.0)
+        yield pd.DataFrame(
+            {
+                "key_a": pdf["key_a"],
+                "key_b": pdf["key_b"],
+                "n_overlap": m.sum(1),
+                "sa": A0.sum(1),
+                "sb": B0.sum(1),
+                "sab": (A0 * B0).sum(1),
+                "sa2": (A0 * A0).sum(1),
+                "sb2": (B0 * B0).sum(1),
+            }
+        )
+
+
+def _corr_from_sums(sums: DataFrame, min_overlap: int) -> DataFrame:
+    """Pearson r from precomputed power sums — the identical closed form
+    (and rounding) as _corr_from_pairs, minus the aggregation."""
+    n = F.col("n_overlap").cast("double")
+    cov = n * F.col("sab") - F.col("sa") * F.col("sb")
+    var_a = n * F.col("sa2") - F.col("sa") * F.col("sa")
+    var_b = n * F.col("sb2") - F.col("sb") * F.col("sb")
+    denom = F.sqrt(var_a) * F.sqrt(var_b)
+    return sums.filter(F.col("n_overlap") >= int(min_overlap)).select(
+        "key_a",
+        "key_b",
+        "n_overlap",
+        F.round(
+            F.when(denom > 0.0, cov / denom).otherwise(F.lit(None)), 6
+        ).alias("corr"),
+    )
+
+
 def correlate_pairs(
     df: DataFrame,
     key: str = "conv_id",
@@ -90,10 +147,49 @@ def correlate_pairs(
     b = _bucketed(df, key, ts_col, val_col, tier)
     if keys is not None:
         b = b.filter(F.col("k").isin([str(x) for x in keys]))
-    left = b.select(F.col("k").alias("key_a"), "bucket_ts", F.col("v").alias("va"))
-    right = b.select(F.col("k").alias("key_b"), "bucket_ts", F.col("v").alias("vb"))
-    joined = left.join(right, "bucket_ts").filter(F.col("key_a") < F.col("key_b"))
-    return _corr_from_pairs(joined, min_overlap)
+    # Pair the SERIES, not the bucket rows. The former per-bucket self-join
+    # expanded to n_series² rows PER BUCKET and then hash-aggregated them —
+    # and because every pair occurs in every bucket partition, the partial
+    # aggregate emitted ~(pairs × partitions) rows, so the agg dominated
+    # wall time (26.7M joined rows → 4.2 s at sf0.1). Instead collapse each
+    # series to ONE dense bucket-indexed vector (same spine idea as
+    # gap_fill's calendar sequence; the global extent rides a broadcast
+    # 1-row anchor, no driver collect), broadcast-join the n_series-row
+    # vector table against itself (key_a < key_b), and compute each pair's
+    # power sums in one vectorized numpy pass per Arrow batch (guide §4.2).
+    # Every pair is computed exactly once — no n²-row shuffle, no hash agg.
+    # The dense spine is n_series × n_buckets, the same bound the bucketed
+    # table already has for the bounded subsets this operator contracts for
+    # (see module docstring: pass ``keys`` when the corpus is large).
+    step = _TIER_SECONDS[tier]
+    ext = b.agg(F.min("bucket_ts").alias("t0"), F.max("bucket_ts").alias("t1")).select(
+        "t0",
+        ((F.unix_timestamp("t1") - F.unix_timestamp("t0")) / step + 1)
+        .cast("int")
+        .alias("nb"),
+    )
+    withi = b.crossJoin(F.broadcast(ext)).select(
+        "k",
+        "v",
+        ((F.unix_timestamp("bucket_ts") - F.unix_timestamp("t0")) / step)
+        .cast("int")
+        .alias("i"),
+        "nb",
+    )
+    vecs = withi.groupBy("k").agg(
+        F.first("nb").alias("nb"),
+        F.map_from_entries(F.collect_list(F.struct("i", "v"))).alias("m"),
+    ).select("k", F.expr("transform(sequence(0, nb-1), j -> m[j])").alias("vec"))
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    left = vecs.select(F.col("k").alias("key_a"), F.col("vec").alias("va")).repartition(
+        n_parts
+    )
+    right = vecs.select(F.col("k").alias("key_b"), F.col("vec").alias("vb"))
+    pairs = left.join(F.broadcast(right), F.col("key_a") < F.col("key_b"))
+    sums = pairs.select("key_a", "va", "key_b", "vb").mapInPandas(
+        _pair_power_sums, _PAIR_SUMS_SCHEMA
+    )
+    return _corr_from_sums(sums, min_overlap)
 
 
 def correlate_to(
