@@ -96,8 +96,10 @@ def fit_edges_df(
         ext = df.groupBy(F.col(key).alias("series_id")).agg(
             F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
         )
-        return ext.select(
+        out = ext.select(
             "series_id",
+            "lo",
+            "hi",
             F.expr(
                 f"""
                 transform(sequence(0, {n1}),
@@ -107,6 +109,15 @@ def fit_edges_df(
                 """
             ).alias("edges"),
         )
+        # plan-time bin count for the closed-form quantize/dequantize fast
+        # path (see quantize_with_edges): equal-width edges are a pure
+        # function of (lo, hi, n_bins), so consumers can evaluate single
+        # edges inline — same IEEE ops, no array through the join — when
+        # they know n_bins statically. The tag survives the direct
+        # fit_edges_df -> quantize_with_edges hand-off every caller uses;
+        # consumers fall back to the generic array fold without it.
+        out._graft_equal_width_bins = n_bins
+        return out
     if kind == "quantile":
         probs = "array(" + ",".join(str(p) for p in np.linspace(0.0, 1.0, n_bins + 1)) + ")"
         return df.groupBy(F.col(key).alias("series_id")).agg(
@@ -130,6 +141,37 @@ def fit_edges_df(
 
         return df.select(key, value_col).groupBy(key).applyInPandas(_fit, out_schema)
     raise ValueError(kind)
+
+
+def _ew_edge(k, n1):
+    """Edge k (0-based, Python int) of the equal-width linspace as an inline
+    expression over the joined _qlo/_qhi columns — bit-identical to the
+    array element: endpoints pinned, the interior the same
+    ``lo + k * ((hi - lo) / n1)`` IEEE sequence. (Columns built lazily —
+    never at import time, the CLAUDE.md no-active-SparkContext gotcha.)"""
+    lo, hi = F.col("_qlo"), F.col("_qhi")
+    if k == 0:
+        return lo
+    if k == n1:
+        return hi
+    return lo + F.lit(k).cast("double") * ((hi - lo) / F.lit(n1).cast("double"))
+
+
+def _count_pred_true(pred, k_lo: int, k_hi: int):
+    """#{k in [k_lo, k_hi] : pred(k)} for a predicate that is true on a
+    prefix of k (nondecreasing edges vs a fixed value), as a BALANCED
+    codegen'd WHEN tree: log2(n) comparisons per row instead of the n-step
+    interpreted ``aggregate`` fold (HOFs never enter whole-stage codegen).
+    Each subtree is referenced once, so the expression stays linear-sized
+    (no accumulator doubling — the CLAUDE.md WHEN-chain gotcha does not
+    apply). A null/NaN value fails every comparison and counts 0, exactly
+    like the fold's CASE."""
+    if k_lo > k_hi:
+        return F.lit(0)
+    mid = (k_lo + k_hi) // 2
+    return F.when(
+        pred(mid), F.lit(mid - k_lo + 1) + _count_pred_true(pred, mid + 1, k_hi)
+    ).otherwise(_count_pred_true(pred, k_lo, mid - 1))
 
 
 def quantize_with_edges(
@@ -156,6 +198,37 @@ def quantize_with_edges(
     No broadcast hint: AQE broadcasts when the edges table is dimension-sized
     and falls back to a co-partitioned shuffle join when it is not (the
     per-conversation case the driver-dict path cannot survive)."""
+    n_bins = getattr(edges_df, "_graft_equal_width_bins", None)
+    if n_bins is not None:
+        # closed-form fast path: join only (lo, hi) — Catalyst prunes the
+        # edges array out of the join entirely — and count the edges below
+        # the value with a binary-search WHEN tree (codegen'd, log n) over
+        # inline edge expressions. Bit-identical to the array fold: same
+        # pinned-endpoint linspace arithmetic, and the count of a monotone
+        # edge sequence below x IS its crossover index.
+        n1 = n_bins - 1
+        sel = edges_df.select(
+            F.col("series_id").alias(key),
+            F.col("lo").alias("_qlo"),
+            F.col("hi").alias("_qhi"),
+        )
+        j = df.join(sel, key)
+        if mode == "reference":
+            # edges[1:] (k = 1..n1), strictly below x, then +1
+            tok = F.lit(1) + _count_pred_true(
+                lambda k: _ew_edge(k, n1) < F.col(value_col), 1, n1
+            )
+        elif mode == "chronos":
+            # interior edges (k = 1..n1-1), <= x, clipped to n1
+            tok = F.least(
+                _count_pred_true(
+                    lambda k: _ew_edge(k, n1) <= F.col(value_col), 1, n1 - 1
+                ),
+                F.lit(n1),
+            )
+        else:
+            raise ValueError(f"unknown quantize mode {mode!r}")
+        return j.withColumn(out_col, tok.cast("int")).drop("_qlo", "_qhi")
     j = df.join(edges_df.withColumnRenamed("series_id", key), key)
     if mode == "reference":
         tok = F.expr(
@@ -184,6 +257,38 @@ def dequantize_with_edges(
     """Scale-path dequantize: bin centers with the reference's extrapolation
     rules (utils/discretisize.py:246-279) as Catalyst expressions over the
     joined edges array (1-indexed element_at)."""
+    n_bins = getattr(edges_df, "_graft_equal_width_bins", None)
+    if n_bins is not None:
+        # closed-form twin of the array path: evaluate the two needed edges
+        # inline from (lo, hi) — identical IEEE ops as the array elements
+        # (endpoints pinned), no 50-double array through the join. The edge
+        # index here is a runtime value (the token), so the pinning is a
+        # runtime CASE rather than the quantize path's plan-time constant.
+        n1 = n_bins - 1
+        sel = edges_df.select(
+            F.col("series_id").alias(key),
+            F.col("lo").alias("_qlo"),
+            F.col("hi").alias("_qhi"),
+        )
+        j = df.join(sel, key)
+        lo, hi = F.col("_qlo"), F.col("_qhi")
+        step = (hi - lo) / F.lit(n1).cast("double")
+
+        def edge_at(j_expr):
+            return (
+                F.when(j_expr == 0, lo)
+                .when(j_expr == n1, hi)
+                .otherwise(lo + j_expr.cast("double") * step)
+            )
+
+        t = F.col(token_col)
+        recon = (
+            F.when(t == 0, lo - (edge_at(F.lit(1)) - lo) / 2)
+            .when(t >= n_bins, hi + (hi - edge_at(F.lit(n1 - 1))) / 2)
+            .when(t >= 1, (edge_at(t - 1) + edge_at(t)) * 0.5)
+            .otherwise(F.lit(None).cast("double"))
+        )
+        return j.withColumn(out_col, recon).drop("_qlo", "_qhi")
     j = df.join(edges_df.withColumnRenamed("series_id", key), key)
     recon = F.expr(
         f"""
