@@ -190,12 +190,14 @@ def test_global_ntile_matches_sql_semantics(spark):
         got = [r["ntile"] for r in scored.orderBy("x").collect()]
         release_running_total_cache(scored)
         assert got == ref_ntile(n, k), (n, k)
-    # the scalable shape: range partitioning, never a global ntile window
+    # the scalable shape: parallel deterministic-bucket windows, never a
+    # global ntile window's single-partition funnel
     df = spark.createDataFrame(pd.DataFrame({"x": range(20), "id": range(20)}))
     scored = global_ntile(df, ["x", "id"], 4, num_partitions=3)
     plan = _plan(scored)
     release_running_total_cache(scored)
-    assert "rangepartitioning" in plan.lower()
+    assert "singlepartition" not in plan.lower()
+    assert "_pid" in plan  # windows cluster on the literal-derived bucket
     assert "ntile(" not in plan.lower()  # no NTILE window function anywhere
 
 

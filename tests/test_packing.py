@@ -140,3 +140,32 @@ def test_grouped_running_total_empty(spark):
 
     df = spark.createDataFrame([], "g string, o long, w long")
     assert with_grouped_running_total(df, "g", "o", "w").count() == 0
+
+
+def test_running_total_survives_cache_eviction(spark):
+    """Recompute-stability (round-5 VERDICT "What's wrong" #2): evicting the
+    pass-1 cache AFTER the offsets were collected must not change the
+    result — bucket boundaries are driver literals, not a fresh reservoir
+    sample, so pass-3 recomputation reproduces the exact pids the offsets
+    were computed for."""
+    df, weights = _docs(spark, n=4000, seed=9)
+    out = with_running_total(df, "doc_id", "n_chars", num_partitions=7)
+    # evict the intermediate BEFORE the consuming action: pass 3 must
+    # recompute pass 1 from scratch with the already-collected offsets
+    out._graft_packing_cache.unpersist(blocking=True)
+    got = out.orderBy("doc_id").toPandas()["running_total"].to_numpy()
+    np.testing.assert_array_equal(got, np.cumsum(np.asarray(weights, dtype=np.int64)))
+
+
+def test_global_ntile_survives_cache_eviction(spark):
+    from timeseriestokenizer_spark.operators.packing import global_ntile
+
+    df, _ = _docs(spark, n=1003, seed=5)
+    out = global_ntile(df, ["n_chars", "doc_id"], 5, num_partitions=6)
+    out._graft_packing_cache.unpersist(blocking=True)
+    got = out.orderBy("n_chars", "doc_id").toPandas()["ntile"].to_numpy()
+    # SQL NTILE semantics: first n mod k buckets get ceil(n/k) rows
+    n, k = 1003, 5
+    q, r = divmod(n, k)
+    expect = np.repeat(np.arange(1, k + 1), [q + 1] * r + [q] * (k - r))
+    np.testing.assert_array_equal(got, expect)

@@ -39,6 +39,18 @@ def _hash_u(key_cols: list[str], seed: int):
     return F.conv(F.substring(F.md5(F.concat(*parts)), 1, 15), 16, 10).cast("long")
 
 
+
+def _uniform_hash_splits(df, num_partitions: int | None) -> list[int]:
+    """Bucket boundaries for a ``_hash_u`` order column, as literals: the
+    hash is uniform on [0, 16^15), so equal-width splits balance buckets in
+    expectation with ZERO extra jobs (vs. the quantile sketch pass the
+    generic _range_pid pays for unknown distributions)."""
+    n_parts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    return [i * _HASH_SPACE // n_parts for i in range(1, n_parts)]
+
+
 def deterministic_sample(
     df: DataFrame, key_cols: list[str], fraction: float, seed: int = 42
 ) -> DataFrame:
@@ -238,6 +250,7 @@ def stratified_take(
     ranked = with_grouped_running_total(
         annotated, group_col, "_u", "_one", out_col="take_rank",
         num_partitions=num_partitions, tie_cols=keys,
+        splits=_uniform_hash_splits(df, num_partitions),
     )
     out = ranked.filter(F.col("take_rank") <= F.lit(int(k))).drop("_u", "_one")
     out._graft_packing_cache = getattr(ranked, "_graft_packing_cache", None)
@@ -296,6 +309,7 @@ def mixture_take(
     totaled = with_grouped_running_total(
         annotated, source_col, "_u", "n_tok", out_col="cum_tok",
         num_partitions=num_partitions, tie_cols=keys,
+        splits=_uniform_hash_splits(docs, num_partitions),
     )
     out = (
         totaled.filter((F.col("cum_tok") - F.col("n_tok")) < target)

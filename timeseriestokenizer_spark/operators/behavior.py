@@ -266,13 +266,13 @@ def rfm_segments(
     Shape: one groupBy(key) exchange to the per-key table (events
     collapse 3–5 orders of magnitude), the anchor day as a broadcast
     1-row join (never a single-partition global window), then three
-    ``global_ntile`` passes — each the two-pass range-partition rank,
-    never ``NTILE() OVER (ORDER BY ...)``'s one-task funnel. Each
-    pass's cache is materialized at build time (the offsets collect),
-    so the pinned-boundary invariant holds; the caller releases all
-    three via ``release_running_total_cache`` after the consuming
-    action."""
-    from .packing import global_ntile, release_running_total_cache
+    ``global_ntile`` passes — each the two-pass deterministic-bucket
+    rank, never ``NTILE() OVER (ORDER BY ...)``'s one-task funnel. Pass
+    boundaries are driver literals (packing._range_pid), so the result
+    is identical even if a pass's cache is evicted mid-query; the
+    caller releases all three via ``release_running_total_cache`` after
+    the consuming action."""
+    from .packing import global_ntile_multi
 
     ts = F.col(ts_col).cast("timestamp")
     per_key = df.groupBy(key).agg(
@@ -287,24 +287,18 @@ def rfm_segments(
         F.col("n_events"),
         F.col("total"),
     )
-    caches = []
-
-    def _score(frame, metric, neg, out):
-        ordered = frame.withColumn(
-            "_m", -F.col(metric) if neg else F.col(metric)
-        )
-        scored = global_ntile(ordered, ["_m", key], k, out_col=out)
-        caches.append(scored)
-        return scored.drop("_m")
-
-    out = _score(base, "recency_days", True, "r_score")
-    out = _score(out, "n_events", False, "f_score")
-    out = _score(out, "total", False, "m_score")
-    out._graft_packing_caches = [
-        c._graft_packing_cache
-        for c in caches
-        if getattr(c, "_graft_packing_cache", None) is not None
-    ]
+    # one fused pass for all three scores: shared quantile + histogram jobs
+    # (global_ntile_multi) instead of three sequential two-pass ntiles
+    staged = base.withColumn("_mr", -F.col("recency_days"))
+    out = global_ntile_multi(
+        staged,
+        [
+            (["_mr", key], "r_score"),
+            (["n_events", key], "f_score"),
+            (["total", key], "m_score"),
+        ],
+        k,
+    ).drop("_mr")
     return out
 
 
