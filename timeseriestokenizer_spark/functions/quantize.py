@@ -143,35 +143,37 @@ def fit_edges_df(
     raise ValueError(kind)
 
 
-def _ew_edge(k, n1):
-    """Edge k (0-based, Python int) of the equal-width linspace as an inline
-    expression over the joined _qlo/_qhi columns — bit-identical to the
-    array element: endpoints pinned, the interior the same
-    ``lo + k * ((hi - lo) / n1)`` IEEE sequence. (Columns built lazily —
-    never at import time, the CLAUDE.md no-active-SparkContext gotcha.)"""
-    lo, hi = F.col("_qlo"), F.col("_qhi")
+def _ew_edge_sql(k: int, n1: int) -> str:
+    """Edge k (0-based, Python int) of the equal-width linspace as SQL text
+    over the joined _qlo/_qhi/_qs columns — bit-identical to the array
+    element: endpoints pinned, the interior the same
+    ``lo + k * ((hi - lo) / n1)`` IEEE sequence (``_qs`` carries the
+    once-rounded quotient; hoisting it changes nothing, k*(q) == k*q)."""
     if k == 0:
-        return lo
+        return "_qlo"
     if k == n1:
-        return hi
-    return lo + F.lit(k).cast("double") * ((hi - lo) / F.lit(n1).cast("double"))
+        return "_qhi"
+    return f"(_qlo + {float(k)!r}D * _qs)"
 
 
-def _count_pred_true(pred, k_lo: int, k_hi: int):
-    """#{k in [k_lo, k_hi] : pred(k)} for a predicate that is true on a
-    prefix of k (nondecreasing edges vs a fixed value), as a BALANCED
-    codegen'd WHEN tree: log2(n) comparisons per row instead of the n-step
-    interpreted ``aggregate`` fold (HOFs never enter whole-stage codegen).
-    Each subtree is referenced once, so the expression stays linear-sized
-    (no accumulator doubling — the CLAUDE.md WHEN-chain gotcha does not
-    apply). A null/NaN value fails every comparison and counts 0, exactly
-    like the fold's CASE."""
+def _count_edges_sql(n1: int, k_lo: int, k_hi: int, cmp: str, value_sql: str) -> str:
+    """#{k in [k_lo, k_hi] : edge_k <cmp> value} for the nondecreasing
+    equal-width edges, as a BALANCED CASE tree: log2(n) comparisons per row
+    instead of the n-step interpreted ``aggregate`` fold (HOFs never enter
+    whole-stage codegen). Built as ONE parsed SQL string — the nested
+    py4j-Column form spent ~0.65 s per query on driver-side construction
+    and analysis. Each subtree is referenced once, so the expression stays
+    linear-sized (no accumulator doubling — the CLAUDE.md WHEN-chain gotcha
+    does not apply). A null/NaN value fails every comparison and counts 0,
+    exactly like the fold's CASE."""
     if k_lo > k_hi:
-        return F.lit(0)
+        return "0"
     mid = (k_lo + k_hi) // 2
-    return F.when(
-        pred(mid), F.lit(mid - k_lo + 1) + _count_pred_true(pred, mid + 1, k_hi)
-    ).otherwise(_count_pred_true(pred, k_lo, mid - 1))
+    return (
+        f"(CASE WHEN {_ew_edge_sql(mid, n1)} {cmp} {value_sql} "
+        f"THEN {mid - k_lo + 1} + {_count_edges_sql(n1, mid + 1, k_hi, cmp, value_sql)} "
+        f"ELSE {_count_edges_sql(n1, k_lo, mid - 1, cmp, value_sql)} END)"
+    )
 
 
 def quantize_with_edges(
@@ -212,23 +214,21 @@ def quantize_with_edges(
             F.col("lo").alias("_qlo"),
             F.col("hi").alias("_qhi"),
         )
-        j = df.join(sel, key)
+        j = df.join(sel, key).withColumn(
+            "_qs", (F.col("_qhi") - F.col("_qlo")) / F.lit(n1).cast("double")
+        )
+        v = f"`{value_col}`"
         if mode == "reference":
             # edges[1:] (k = 1..n1), strictly below x, then +1
-            tok = F.lit(1) + _count_pred_true(
-                lambda k: _ew_edge(k, n1) < F.col(value_col), 1, n1
-            )
+            tok = F.expr(f"CAST(1 + {_count_edges_sql(n1, 1, n1, '<', v)} AS INT)")
         elif mode == "chronos":
             # interior edges (k = 1..n1-1), <= x, clipped to n1
-            tok = F.least(
-                _count_pred_true(
-                    lambda k: _ew_edge(k, n1) <= F.col(value_col), 1, n1 - 1
-                ),
-                F.lit(n1),
+            tok = F.expr(
+                f"CAST(LEAST({_count_edges_sql(n1, 1, n1 - 1, '<=', v)}, {n1}) AS INT)"
             )
         else:
             raise ValueError(f"unknown quantize mode {mode!r}")
-        return j.withColumn(out_col, tok.cast("int")).drop("_qlo", "_qhi")
+        return j.withColumn(out_col, tok).drop("_qlo", "_qhi", "_qs")
     j = df.join(edges_df.withColumnRenamed("series_id", key), key)
     if mode == "reference":
         tok = F.expr(
