@@ -1980,11 +1980,11 @@ def q_doc_fingerprint(spark, sf_dir):
 
 def q_doc_simhash(spark, sf_dir):
     """SimHash (32-bit, md5-derived token hashes, majority bits)."""
-    from .operators.dedup import simhash32
+    from .operators.dedup import simhash_table
 
-    return load(spark, sf_dir, "documents").select(
-        "doc_id", simhash32("text").alias("simhash")
-    )
+    return simhash_table(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    ).select(F.col("id").alias("doc_id"), F.col("sh").alias("simhash"))
 
 
 def q_simhash_near_pairs(spark, sf_dir):

@@ -4,8 +4,11 @@ SimHash, and n-gram Jaccard verification.
 Scale notes (the 100TB story):
 * exact dedup groups on a 64-bit content hash, not the raw text — the shuffle
   carries 8-byte keys; only within-hash-group ties touch full text.
-* MinHash signatures are pure Catalyst expressions (md5 over word shingles,
-  array_min per permutation) — JVM-side, whole-stage-codegen'd, no Python.
+* all string semantics (tokenization, md5 shingle/word hashing) stay Catalyst
+  in the cached shingle tables; the permutation/vote ARITHMETIC over those
+  int64 hashes runs as vectorized numpy per Arrow batch (guide §4.2 — the
+  interpreted HOF forms cost seconds where the math is milliseconds), so
+  only integer arrays ever cross the Python boundary.
 * LSH banding turns O(n²) similarity into a self-equi-join on
   (band_id, band_signature) — shuffle-partitioned by band key, so candidate
   generation is linear in docs + quadratic only within a bucket.
@@ -406,6 +409,47 @@ def simhash32(text_col="text"):
     )
 
 
+def simhash_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_bits: int = 32,
+    out_col: str = "sh",
+) -> DataFrame:
+    """(id, simhash) with the bit votes vectorized in numpy (guide §4.2).
+
+    The expression form's per-word vote is an interpreted
+    aggregate×zip_with allocating a fresh n_bits-slot array per WORD
+    (~32M lambda evals + 1M allocs on the 5k-doc fixture, >1 s where the
+    arithmetic is milliseconds). Tokenization and the md5 word hashes stay
+    Catalyst — Java regex \\s+ and UTF8String lowercasing never cross into
+    Python, only int64 hash arrays do — and the vote/majority/assemble
+    math is exact integer arithmetic, identical in numpy."""
+    words = F.split(F.lower(F.trim(text_col)), r"\s+")
+    n_hex = {32: 8, 60: 15}[n_bits]
+    hashes = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, n_hex), 16, 10).cast("long")
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    base = df.select(F.col(id_col).alias("id"), hashes.alias("hs"))
+
+    def _vote(it):
+        import numpy as np
+        import pandas as pd
+
+        bits = np.arange(n_bits, dtype=np.int64)
+        for pdf in it:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for i, hs in enumerate(pdf["hs"]):
+                h = np.asarray(hs, dtype=np.int64)
+                if len(h):
+                    votes = (((h[:, None] >> bits) & 1) * 2 - 1).sum(0)
+                    out[i] = int(((votes > 0).astype(np.int64) << bits).sum())
+            yield pd.DataFrame({"id": pdf["id"], out_col: out})
+
+    return base.mapInPandas(_vote, f"id {id_type}, {out_col} long")
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str,
@@ -435,7 +479,7 @@ def simhash_near_pairs(
         )
     bits_per = 32 // n_bands
     mask = (1 << bits_per) - 1
-    s = df.select(F.col(id_col).alias("id"), simhash32(text_col).alias("sh")).cache()
+    s = simhash_table(df, id_col, text_col, n_bits=32).cache()
     bands = s.select(
         "id",
         "sh",
@@ -618,7 +662,7 @@ def simhash_near_pairs_deep(
     mask = (1 << bits_per) - 1
     keep = n_blocks - max_hamming
     combos = list(combinations(range(n_blocks), keep))
-    s = df.select(F.col(id_col).alias("id"), simhash60(text_col).alias("sh")).cache()
+    s = simhash_table(df, id_col, text_col, n_bits=60).cache()
 
     def _block(b):
         return F.shiftright("sh", b * bits_per).bitwiseAND(F.lit(mask))
