@@ -83,35 +83,60 @@ _PAIR_SUMS_SCHEMA = (
 )
 
 
-def _pair_power_sums(it):
-    """Per-pair masked power sums over aligned dense bucket vectors,
-    vectorized with numpy per Arrow batch (rows: key_a, va, key_b, vb).
-    Missing buckets are NaN/None; a bucket counts only when BOTH series
-    occupy it — identical semantics to the former inner join on
-    bucket_ts."""
+def _pair_sums_vs_all(bc, min_overlap: int):
+    """mapInPandas factory: each task computes its slice of series against
+    the WHOLE broadcast vector matrix — one copy of the matrix per
+    executor, never one per pair row. (A plain broadcast self-join ships
+    both 27-double vectors on EVERY pair row: at 15k series that is ~48 GB
+    of Arrow traffic for a 3 MB matrix; this shape finishes the same 10x
+    corpus in a fraction of the time, while the round-start per-bucket
+    self-join fills the disk and dies.)
+
+    Per (a, b) pair the arithmetic is element-for-element what the pairwise
+    form computed: mask where BOTH present, zero-fill, axis-1 sums — numpy
+    applies the same pairwise reduction over the same contiguous axis, so
+    the power sums are bit-identical. Pair ordering key_a < key_b uses
+    UTF-8 byte order (bytes comparison), exactly Spark's UTF8String
+    ordering; the min_overlap filter is applied here so sub-threshold
+    pairs never cross the Arrow boundary."""
     import numpy as np
     import pandas as pd
 
-    for pdf in it:
-        if pdf.empty:
-            continue
-        A = np.array([np.asarray(v, dtype=np.float64) for v in pdf["va"]])
-        B = np.array([np.asarray(v, dtype=np.float64) for v in pdf["vb"]])
-        m = ~np.isnan(A) & ~np.isnan(B)
-        A0 = np.where(m, A, 0.0)
-        B0 = np.where(m, B, 0.0)
-        yield pd.DataFrame(
-            {
-                "key_a": pdf["key_a"],
-                "key_b": pdf["key_b"],
-                "n_overlap": m.sum(1),
-                "sa": A0.sum(1),
-                "sb": B0.sum(1),
-                "sab": (A0 * B0).sum(1),
-                "sa2": (A0 * A0).sum(1),
-                "sb2": (B0 * B0).sum(1),
-            }
-        )
+    from bisect import bisect_right
+
+    def _fn(it):
+        # keys/matrix sorted by UTF-8 encoded key: the key_b > key_a
+        # selection is a bisect suffix, not a per-row scan
+        keys, enc, M = bc.value
+        Mm = ~np.isnan(M)
+        for pdf in it:
+            for a_key, a_vec in zip(pdf["k"], pdf["vec"]):
+                a = np.asarray(a_vec, dtype=np.float64)
+                i = bisect_right(enc, a_key.encode("utf-8"))
+                if i >= len(keys):
+                    continue
+                B = M[i:]
+                m = ~np.isnan(a)[None, :] & Mm[i:]
+                A0 = np.where(m, a[None, :], 0.0)
+                B0 = np.where(m, B, 0.0)
+                n = m.sum(1)
+                keep = n >= min_overlap
+                if not keep.any():
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "key_a": a_key,
+                        "key_b": [k for k, g in zip(keys[i:], keep) if g],
+                        "n_overlap": n[keep],
+                        "sa": A0.sum(1)[keep],
+                        "sb": B0.sum(1)[keep],
+                        "sab": (A0 * B0).sum(1)[keep],
+                        "sa2": (A0 * A0).sum(1)[keep],
+                        "sb2": (B0 * B0).sum(1)[keep],
+                    }
+                )
+
+    return _fn
 
 
 def _corr_from_sums(sums: DataFrame, min_overlap: int) -> DataFrame:
@@ -151,13 +176,15 @@ def correlate_pairs(
     # expanded to n_series² rows PER BUCKET and then hash-aggregated them —
     # and because every pair occurs in every bucket partition, the partial
     # aggregate emitted ~(pairs × partitions) rows, so the agg dominated
-    # wall time (26.7M joined rows → 4.2 s at sf0.1). Instead collapse each
-    # series to ONE dense bucket-indexed vector (same spine idea as
-    # gap_fill's calendar sequence; the global extent rides a broadcast
-    # 1-row anchor, no driver collect), broadcast-join the n_series-row
-    # vector table against itself (key_a < key_b), and compute each pair's
-    # power sums in one vectorized numpy pass per Arrow batch (guide §4.2).
-    # Every pair is computed exactly once — no n²-row shuffle, no hash agg.
+    # wall time (26.7M joined rows → 4.2 s at sf0.1; at 10x the shape
+    # fills local disk and dies). Instead collapse each series to ONE
+    # dense bucket-indexed vector (same spine idea as gap_fill's calendar
+    # sequence; the global extent rides a broadcast 1-row anchor), ship
+    # the sorted vector matrix once per executor, and compute each task's
+    # slice of pairs against it in vectorized numpy (guide §4.2/§8: move
+    # the lightweight proxy once, never per pair). Every pair is computed
+    # exactly once — no n²-row shuffle, no hash agg, no per-pair vector
+    # copies.
     # The dense spine is n_series × n_buckets, the same bound the bucketed
     # table already has for the bounded subsets this operator contracts for
     # (see module docstring: pass ``keys`` when the corpus is large).
@@ -180,14 +207,26 @@ def correlate_pairs(
         F.first("nb").alias("nb"),
         F.map_from_entries(F.collect_list(F.struct("i", "v"))).alias("m"),
     ).select("k", F.expr("transform(sequence(0, nb-1), j -> m[j])").alias("vec"))
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    left = vecs.select(F.col("k").alias("key_a"), F.col("vec").alias("va")).repartition(
-        n_parts
+    # One copy of the vector matrix per executor via an explicit broadcast —
+    # the SAME rows a broadcast self-join would pull to the driver anyway,
+    # but without re-shipping both vectors on every pair row (n² × 2
+    # vector copies of Arrow traffic; the subset-bounded contract above is
+    # what keeps this matrix dimension-sized).
+    import numpy as np
+
+    rows = vecs.collect()
+    order = sorted(range(len(rows)), key=lambda j: rows[j]["k"].encode("utf-8"))
+    keys = [rows[j]["k"] for j in order]
+    enc = [k.encode("utf-8") for k in keys]
+    mat = (
+        np.array([np.asarray(rows[j]["vec"], dtype=np.float64) for j in order])
+        if rows
+        else np.zeros((0, 0))
     )
-    right = vecs.select(F.col("k").alias("key_b"), F.col("vec").alias("vb"))
-    pairs = left.join(F.broadcast(right), F.col("key_a") < F.col("key_b"))
-    sums = pairs.select("key_a", "va", "key_b", "vb").mapInPandas(
-        _pair_power_sums, _PAIR_SUMS_SCHEMA
+    bc = df.sparkSession.sparkContext.broadcast((keys, enc, mat))
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    sums = vecs.repartition(n_parts).mapInPandas(
+        _pair_sums_vs_all(bc, int(min_overlap)), _PAIR_SUMS_SCHEMA
     )
     return _corr_from_sums(sums, min_overlap)
 
