@@ -276,7 +276,10 @@ def q_doc_repetition(spark, sf_dir):
     aggregations, fractions exact BIGINT/BIGINT divisions."""
     from .functions.textstats import repetition_stats
 
-    return repetition_stats(load(spark, sf_dir, "documents"))
+    return repetition_stats(
+        load(spark, sf_dir, "documents"),
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 def q_ar2_forecast(spark, sf_dir):

@@ -1,8 +1,9 @@
 """Text-analysis functions for training-data pipelines over a documents
 table: token counting, quality scoring, language-ID heuristic, document
-fingerprinting. All hot paths are JVM-side Catalyst expressions (no Python);
-the rolling-hash fingerprint has an Arrow-UDF engine path tested against the
-NumPy oracle.
+fingerprinting. String semantics (tokenization, regexes, hashing) are always
+JVM-side Catalyst expressions; the per-document counting passes (repetition /
+diversity) and the rolling-hash fingerprint run vectorized Python over Arrow
+batches, tested against the NumPy oracle.
 
 These are graft-added operators (not in the reference) required by the build
 brief's training-data-pipeline scope.
@@ -242,7 +243,12 @@ def corpus_report(docs: DataFrame) -> DataFrame:
     )
 
 
-def repetition_stats(docs: DataFrame, text_col="text", doc_col="doc_id") -> DataFrame:
+def repetition_stats(
+    docs: DataFrame,
+    text_col="text",
+    doc_col="doc_id",
+    parallelism: int | None = None,
+) -> DataFrame:
     """Gopher-style intra-document repetition signals (Rae et al. 2021,
     table A1 'duplicate n-gram fraction'): per document, what fraction of
     its word bigrams is occupied by (a) its single most frequent bigram
@@ -250,39 +256,64 @@ def repetition_stats(docs: DataFrame, text_col="text", doc_col="doc_id") -> Data
     boilerplate / keyword-stuffed / looping docs — the standard quality
     screen a pretraining pipeline runs alongside [[doc_quality]] scores.
 
-    Plan shape: bigrams are built ROW-LOCALLY with a higher-order
-    transform over the token array (no window, no per-doc dispatch), then
-    ONE explode + groupBy(doc, bigram) + groupBy(doc) — two hash
-    aggregations on fixed-arity keys; the text column dies at the scan.
+    Plan shape: the counts are per-document, so the whole computation is
+    ROW-LOCAL — one JVM tokenizing projection (text dies there) and one
+    Python counting pass, ZERO data shuffles (the repartition spreads the
+    single-row-group scan; at real scale the source already has splits).
     Docs with fewer than two tokens have no bigrams and are absent from
     the output (documented; both engines agree).
 
     Fractions are exact BIGINT/BIGINT divisions — engine-identical,
     emitted unrounded."""
-    # tokenize ONCE into a materialized column — inlining the split into
-    # the transform lambda would re-split the text per bigram index
-    # (O(tokens^2) splits/doc; measured 25x slower). The split is
-    # non-cheap and multiply-referenced, so CollapseProject keeps the
-    # staging projection intact.
+    # tokenize ONCE JVM-side (Java regex semantics stay in Catalyst; only
+    # the token arrays cross to Python), then count per-doc bigrams in one
+    # zero-exchange Python pass. The counts are entirely ROW-LOCAL, so the
+    # former explode + groupBy(doc, bigram) + groupBy(doc) shuffled ~1M
+    # bigram strings twice for nothing (guide §2.4: remove shuffles
+    # outright). Bigrams are counted as adjacent-token PAIRS — tokens are
+    # \s+-split so they contain no spaces, making the former
+    # concat-with-space key injective and pair counting identical.
+    if parallelism:
+        # single-row-group sources pin the Python pass to one task (the
+        # shingle_sets trade): spread the raw text once when asked
+        docs = docs.repartition(parallelism, doc_col)
     toked = docs.select(
         F.col(doc_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks")
     ).filter(F.size("_toks") >= 2)
-    bigrams = F.expr(
-        "transform(sequence(0, size(_toks) - 2), "
-        "i -> concat(_toks[i], ' ', _toks[i + 1]))"
+    id_type = docs.schema[doc_col].dataType.simpleString()
+
+    def _rep(it):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in it:
+            ids, ns, tops, dups = [], [], [], []
+            for d, toks in zip(pdf[doc_col], pdf["_toks"]):
+                toks = list(toks)
+                c = Counter(zip(toks, toks[1:]))
+                ids.append(d)
+                ns.append(len(toks) - 1)
+                tops.append(max(c.values()))
+                dups.append(sum(v for v in c.values() if v > 1))
+            yield pd.DataFrame(
+                {doc_col: ids, "n_bigrams": ns, "top": tops, "dup": dups}
+            )
+
+    counted = toked.mapInPandas(
+        _rep, f"{doc_col} {id_type}, n_bigrams long, top long, dup long"
     )
-    exploded = toked.select(F.col(doc_col), F.explode(bigrams).alias("bigram"))
-    per_bigram = exploded.groupBy(doc_col, "bigram").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    total = F.sum("cnt")
-    top = F.max("cnt")
-    dup = F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0)))
-    return per_bigram.groupBy(doc_col).agg(
-        total.cast("long").alias("n_bigrams"),
-        top.cast("long").alias("top_bigram_count"),
-        (top.cast("double") / total.cast("double")).alias("top_bigram_frac"),
-        (dup.cast("double") / total.cast("double")).alias("dup_bigram_frac"),
+    total = F.col("n_bigrams")
+    return counted.select(
+        F.col(doc_col),
+        total.alias("n_bigrams"),
+        F.col("top").alias("top_bigram_count"),
+        (F.col("top").cast("double") / total.cast("double")).alias(
+            "top_bigram_frac"
+        ),
+        (F.col("dup").cast("double") / total.cast("double")).alias(
+            "dup_bigram_frac"
+        ),
     )
 
 
