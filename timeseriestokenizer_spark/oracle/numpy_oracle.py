@@ -322,6 +322,27 @@ def get_stats(ids: list[int]) -> dict[tuple[int, int], int]:
     return counts
 
 
+_VEC_MIN_LEN = 300  # scalar/vectorized crossover, measured
+
+
+def _merge_code(ids_arr, codes, code: int, idx: int):
+    """Vectorized merge_pair over int64 pair codes: replace every
+    non-overlapping left-to-right occurrence of ``code`` with ``idx``.
+    Greedy non-overlap == keep even offsets within each run of CONSECUTIVE
+    match positions (matches can only abut for self-pairs (a, a), where the
+    scalar loop takes one, skips one)."""
+    match = np.flatnonzero(codes == code)
+    run_start = np.empty(len(match), dtype=bool)
+    run_start[0] = True
+    np.greater(np.diff(match), 1, out=run_start[1:])
+    run_id = np.cumsum(run_start) - 1
+    offset = match - match[run_start][run_id]
+    taken = match[offset % 2 == 0]
+    out = ids_arr.copy()
+    out[taken] = idx
+    return np.delete(out, taken + 1)
+
+
 def merge_pair(ids: list[int], pair: tuple[int, int], idx: int) -> list[int]:
     """Left-to-right non-overlapping replacement (utils/base.py:25-41)."""
     out: list[int] = []
@@ -356,14 +377,51 @@ class TpeModel:
         # reference order (utils/token_based.py:77-95): num_merges is fixed
         # from the DECLARED vocab size, then actual_vocab_size auto-bumps to
         # the data max — so minted ids start above the bumped size while the
-        # merge budget reflects the declared one
+        # merge budget reflects the declared one.
+        #
+        # Hot path is vectorized (the scalar loop cost ~17 s single-core at
+        # the bench's 5000×200 shape): per iteration, adjacent pairs pack
+        # into one int64 code (left<<32 | right — exact while every id fits
+        # 31 bits, which the fallback guard checks), np.unique supplies
+        # counts AND first-occurrence indices, and the reference tie-break
+        # "max(stats, key=stats.get) in dict insertion order" is exactly
+        # "among max-count pairs, the one whose FIRST occurrence is
+        # earliest". Differential-tested against the scalar twin
+        # (_train_scalar) on randomized sequences.
         assert target_vocab_size >= self.actual_vocab_size
         num_merges = target_vocab_size - self.actual_vocab_size
-        ids = [int(t) for t in token_sequence]
-        if ids:
-            max_token = max(ids)
+        ids_arr = np.asarray([int(t) for t in token_sequence], dtype=np.int64)
+        if len(ids_arr):
+            max_token = int(ids_arr.max())
             if max_token > self.actual_vocab_size:
                 self.actual_vocab_size = max_token
+        if len(ids_arr) < _VEC_MIN_LEN or (
+            ids_arr.min() < 0
+            or max(int(ids_arr.max()), self.actual_vocab_size + num_merges + 1)
+            >= (1 << 31)
+        ):
+            # short sequences: the scalar dict loop beats numpy call
+            # overhead (measured crossover ~300 tokens, 2.2x win by 4k)
+            return self._train_scalar([int(t) for t in ids_arr], num_merges)
+        merges: dict[tuple[int, int], int] = {}
+        for i in range(num_merges):
+            if len(ids_arr) < 2:
+                break
+            codes = (ids_arr[:-1] << 32) | ids_arr[1:]
+            uniq, first_idx, counts = np.unique(
+                codes, return_index=True, return_counts=True
+            )
+            pick = first_idx[counts == counts.max()].min()
+            code = int(codes[pick])
+            idx = self.actual_vocab_size + i + 1
+            ids_arr = _merge_code(ids_arr, codes, code, idx)
+            merges[(code >> 32, code & 0x7FFFFFFF)] = idx
+        self.merges = merges
+        return ids_arr.tolist()
+
+    def _train_scalar(self, ids: list[int], num_merges: int) -> list[int]:
+        """Reference-shaped scalar loop (utils/token_based.py:77-95) — the
+        differential-test twin, and the fallback for ids outside 31 bits."""
         merges: dict[tuple[int, int], int] = {}
         for i in range(num_merges):
             stats = get_stats(ids)
@@ -378,7 +436,40 @@ class TpeModel:
 
     # -- encode / decode ----------------------------------------------------
     def encode(self, token_sequence) -> list[int]:
-        ids = [int(t) for t in token_sequence]
+        # vectorized twin of the scalar loop: the applicable pair with the
+        # MINIMAL merge rank (ranks are unique, so "first key in dict order
+        # at the minimal rank" is just the minimal rank; absence of any
+        # applicable pair is the loop's break condition)
+        ids_arr = np.asarray([int(t) for t in token_sequence], dtype=np.int64)
+        mx = int(ids_arr.max()) if len(ids_arr) else 0
+        mn = int(ids_arr.min()) if len(ids_arr) else 0
+        for (left, right), v in self.merges.items():
+            mx = max(mx, int(left), int(right), int(v))
+            mn = min(mn, int(left), int(right))
+        if len(ids_arr) < _VEC_MIN_LEN or mn < 0 or mx >= (1 << 31):
+            return self._encode_scalar([int(t) for t in ids_arr])
+        if not self.merges:
+            return ids_arr.tolist()
+        mcodes = np.array(
+            [(left << 32) | right for (left, right) in self.merges], dtype=np.int64
+        )
+        mranks = np.array(list(self.merges.values()), dtype=np.int64)
+        order = np.argsort(mcodes)
+        mcodes, mranks = mcodes[order], mranks[order]
+        big = np.iinfo(np.int64).max
+        while len(ids_arr) >= 2:
+            codes = (ids_arr[:-1] << 32) | ids_arr[1:]
+            pos = np.searchsorted(mcodes, codes)
+            pos_c = np.minimum(pos, len(mcodes) - 1)
+            valid = mcodes[pos_c] == codes
+            if not valid.any():
+                break
+            ranks = np.where(valid, mranks[pos_c], big)
+            best = int(ranks.argmin())
+            ids_arr = _merge_code(ids_arr, codes, int(codes[best]), int(ranks[best]))
+        return ids_arr.tolist()
+
+    def _encode_scalar(self, ids: list[int]) -> list[int]:
         while len(ids) >= 2:
             stats = get_stats(ids)
             pair = min(stats, key=lambda p: self.merges.get(p, math.inf))
