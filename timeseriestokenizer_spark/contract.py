@@ -25,12 +25,28 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 
+_LOAD_MEMO: dict = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # queries that cast TIMESTAMP_NTZ → TIMESTAMP depend on the session
     # timezone; pin UTC so results match the (timezone-naive) DuckDB oracle
     # regardless of how the calling session was built
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # memoize the DataFrame HANDLE per (session, path): spark.read.parquet
+    # costs ~80 ms of reader construction + footer schema read per call
+    # (profiled), and a bench session issues ~120 load calls. A DataFrame is
+    # an unexecuted PLAN — every action still scans the parquet files — so
+    # this caches no data and no results, exactly like assigning the scan
+    # to a variable and reusing it. Keying by the session object itself
+    # (not its id) pins the session alive while memoized, so a recycled
+    # object id can never alias a stopped session's plan.
+    key = (spark, sf_dir, name)
+    df = _LOAD_MEMO.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _LOAD_MEMO[key] = df
+    return df
 
 
 def _r(col, n=6):
